@@ -1,0 +1,29 @@
+"""dataprof_ray — a Ray-Data-native data profiling + web-corpus quality-filter engine.
+
+A from-scratch rebuild of the capabilities of AndreaBozzo/dataprof (reference at
+/root/reference, v0.10.0) expressed as idiomatic Ray Data pipelines:
+
+- ``functions/``   pure kernels: type inference, date parsing, numeric order stats,
+                   pattern detection, quality dimensions (vectorized, no Ray deps).
+- ``stages/``      ``map_batches`` stage callables (stateless fns + actor-pool classes).
+- ``sources/``     readers (parquet corpus with column pruning, CSV sniffing, JSON policy).
+- ``pipelines/``   end-to-end pipelines: quality_filter (flagship), profile rollup,
+                   dedup family, similarity search, text analysis.
+- ``state/``       mergeable accumulators (Welford/HLL/reservoir) and lineage manifests.
+
+Nothing in this package calls ``ray.init()``/``ray.shutdown()`` — sessions are owned
+by bench.py / test fixtures / the driver.
+"""
+
+__version__ = "0.1.0"
+
+from dataprof_ray.state.accumulators import (  # noqa: F401
+    WelfordAccumulator,
+    HyperLogLog,
+    CardinalityEstimator,
+    ReservoirSampler,
+    TextLengthStats,
+    StreamingStatistics,
+    RowUniquenessTracker,
+    ColumnCollection,
+)
