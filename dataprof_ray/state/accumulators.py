@@ -319,6 +319,8 @@ class StreamingStatistics:
     """
 
     def __init__(self, sample_capacity: int = DEFAULT_RESERVOIR_CAPACITY, seed: int = RESERVOIR_SEED) -> None:
+        self.kind: Optional[str] = None  # string | numeric | boolean | timestamp | binary
+        self.is_integer_type = False
         self.count = 0
         self.null_count = 0
         self.min = math.inf
@@ -447,22 +449,31 @@ class StreamingStatistics:
             return
         t = arr.type
         if pa.types.is_string(t) or pa.types.is_large_string(t):
+            self.kind = self.kind or "string"
             self.update_string_array(arr)
         elif pa.types.is_boolean(t):
+            self.kind = self.kind or "boolean"
             self.update_boolean_array(arr)
         elif pa.types.is_timestamp(t) or pa.types.is_date(t):
+            self.kind = self.kind or "timestamp"
             self.update_timestamp_array(arr)
         elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            self.kind = self.kind or "binary"
             self.update_binary_array(arr)
         elif pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t):
+            self.kind = self.kind or "numeric"
+            self.is_integer_type = self.is_integer_type or pa.types.is_integer(t)
             self.update_numeric_array(arr)
         else:
             # generic fallback: format to string (record_batch_analyzer.rs:940-964)
+            self.kind = self.kind or "string"
             self.update_string_array(pc.cast(arr, pa.string()))
 
     # ---- merge + results ----
 
     def merge(self, other: "StreamingStatistics") -> None:
+        self.kind = self.kind or other.kind
+        self.is_integer_type = self.is_integer_type or other.is_integer_type
         self.count += other.count
         self.null_count += other.null_count
         self.min = min(self.min, other.min)
