@@ -1,0 +1,283 @@
+"""Flagship pipeline: web-corpus quality filter + PII scrub (the north rule).
+
+    read_parquet(shards, columns pruned)
+      -> map_batches(extract)                  stateless, Arrow zero-copy
+      -> map_batches(LangIdStage,   actors)    model table built once per actor
+      -> map_batches(PerplexityStage, actors)  trigram LM built once per actor
+      -> map_batches(ScoreScrubStage, actors)  heuristics + keep/drop + scrub
+      -> write_parquet / profile rollup / per-domain rollup
+
+Scale notes (100 TB design):
+- ``html`` (the wide binary column) is read only to be consumed by the first
+  stage; every later stage carries text columns only.
+- No shuffle anywhere in the keep/scrub path — it is embarrassingly parallel.
+  The only wide op is the optional per-domain rollup, which pre-aggregates
+  per batch (one row per (salted domain) per batch) before the groupby, so
+  the exchange moves tiny partials, never documents. Hot domains are salted
+  (hash(url) % salt) and re-merged after the shuffle.
+- All stages are vectorized per batch; regex/LM/stopword state lives in actor
+  ``__init__`` (once per actor, not per batch).
+
+Single-process oracle ``oracle_filter`` applies the identical kernels to one
+pyarrow.Table; parity tests require byte-identical extracted/scrubbed text
+per url and keep/drop F1 >= 0.99 (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+from urllib.parse import urlparse
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataprof_ray.functions import docquality as DQ
+from dataprof_ray.functions import patterns as P
+
+_OUTPUT_FIELDS = [
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("ms")),
+    ("lang", pa.string()),
+    ("extracted_text", pa.string()),
+    ("langid", pa.string()),
+    ("langid_conf", pa.float64()),
+    ("perplexity", pa.float64()),
+    ("n_chars", pa.int64()),
+    ("n_words", pa.int64()),
+    ("quality_score", pa.float64()),
+    ("keep", pa.bool_()),
+    ("drop_reason", pa.string()),
+    ("scrubbed_text", pa.string()),
+    ("pii_replacements", pa.int64()),
+]
+OUTPUT_SCHEMA = pa.schema(_OUTPUT_FIELDS)
+
+
+# ------------------------------------------------------------------ stages
+
+
+def extract_stage(batch: pa.Table) -> pa.Table:
+    """text if non-empty else extract(html); drops the wide html column so
+    no later stage ships the bytes (byte-identical contract pinned by
+    DQ.EXTRACTION_VERSION)."""
+    texts = batch.column("text").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    extracted = [
+        t if t else DQ.extract_text(h)
+        for t, h in zip(texts, htmls)
+    ]
+    out = pa.table({
+        "url": batch.column("url"),
+        "warc_ts": batch.column("warc_ts"),
+        "lang": batch.column("lang"),
+        "extracted_text": pa.array(extracted, pa.string()),
+    })
+    return out
+
+
+class LangIdStage:
+    """Actor-pool stage: stopword-profile language ID (model in __init__)."""
+
+    def __init__(self) -> None:
+        self.model = DQ.LangIdModel()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("extracted_text").to_pylist()
+        langs, confs = self.model.predict_batch(texts)
+        return batch.append_column("langid", pa.array(langs, pa.string())) \
+                    .append_column("langid_conf", pa.array(confs, pa.float64()))
+
+
+class PerplexityStage:
+    """Actor-pool stage: character-trigram LM perplexity (LM in __init__)."""
+
+    def __init__(self) -> None:
+        self.lm = DQ.TrigramLM()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("extracted_text").to_pylist()
+        ppl = self.lm.perplexity_batch(texts)
+        return batch.append_column("perplexity", pa.array(ppl, pa.float64()))
+
+
+class ScoreScrubStage:
+    """Actor-pool stage: heuristic metrics -> keep/drop + quality score +
+    validator-gated PII scrub of kept documents."""
+
+    def __init__(self, config: Optional[DQ.FilterConfig] = None) -> None:
+        self.config = config or DQ.FilterConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        texts = batch.column("extracted_text").to_pylist()
+        langids = batch.column("langid").to_pylist()
+        confs = batch.column("langid_conf").to_numpy(zero_copy_only=False)
+        ppls = batch.column("perplexity").to_numpy(zero_copy_only=False)
+
+        n = len(texts)
+        keeps = np.zeros(n, dtype=bool)
+        reasons = []
+        scores = np.zeros(n, dtype=np.float64)
+        n_chars = np.zeros(n, dtype=np.int64)
+        n_words = np.zeros(n, dtype=np.int64)
+        to_scrub_idx = []
+        for i, text in enumerate(texts):
+            m = DQ.doc_metrics(text or "", langids[i])
+            n_chars[i] = m.n_chars
+            n_words[i] = m.n_words
+            keep, reason = DQ.evaluate_rules(m, langids[i], float(confs[i]), float(ppls[i]), cfg)
+            keeps[i] = keep
+            reasons.append(reason)
+            scores[i] = DQ.quality_score(m, float(confs[i]), float(ppls[i]), cfg)
+            if keep:
+                to_scrub_idx.append(i)
+
+        scrubbed = [""] * n
+        pii_counts = np.zeros(n, dtype=np.int64)
+        if to_scrub_idx:
+            subset = [texts[i] for i in to_scrub_idx]
+            outs, counts = P.scrub_series(subset)
+            for j, i in enumerate(to_scrub_idx):
+                scrubbed[i] = outs[j]
+                pii_counts[i] = counts[j]
+
+        return pa.table({
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "lang": batch.column("lang"),
+            "extracted_text": batch.column("extracted_text"),
+            "langid": batch.column("langid"),
+            "langid_conf": batch.column("langid_conf"),
+            "perplexity": batch.column("perplexity"),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "quality_score": pa.array(scores, pa.float64()),
+            "keep": pa.array(keeps),
+            "drop_reason": pa.array(reasons, pa.string()),
+            "scrubbed_text": pa.array(scrubbed, pa.string()),
+            "pii_replacements": pa.array(pii_counts, pa.int64()),
+        })
+
+
+# ------------------------------------------------------------------ pipeline
+
+
+def run_quality_filter(
+    ds,
+    *,
+    config: Optional[DQ.FilterConfig] = None,
+    langid_concurrency=(1, 8),
+    perplexity_concurrency=(1, 8),
+    score_concurrency=(1, 8),
+    batch_size: int = 2048,
+):
+    """Build the lazy filter pipeline over a corpus Dataset (F1 schema).
+
+    Returns the output Dataset (streaming; consume with write_parquet /
+    iter_batches). Actor pools autoscale within (min, max)."""
+    out = ds.map_batches(extract_stage, batch_format="pyarrow", batch_size=batch_size)
+    out = out.map_batches(
+        LangIdStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=langid_concurrency,
+    )
+    out = out.map_batches(
+        PerplexityStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=perplexity_concurrency,
+    )
+    out = out.map_batches(
+        ScoreScrubStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=score_concurrency,
+        fn_constructor_kwargs={"config": config},
+    )
+    return out
+
+
+def read_corpus(path: str, include_html: bool = True):
+    """Column-pruned corpus read (html is by far the widest column; callers
+    that already have extracted text should pass include_html=False)."""
+    import ray.data as rd
+
+    columns = ["url", "warc_ts", "html", "text", "lang"] if include_html else [
+        "url", "warc_ts", "text", "lang"
+    ]
+    return rd.read_parquet(path, columns=columns)
+
+
+# ------------------------------------------------------------------ oracle
+
+
+def oracle_filter(table: pa.Table, config: Optional[DQ.FilterConfig] = None) -> pa.Table:
+    """Single-process reference implementation over one pyarrow.Table: the
+    same kernels, applied sequentially. The Ray pipeline must match it
+    byte-for-byte on extracted/scrubbed text and on every keep/drop label."""
+    ext = extract_stage(table)
+    ext = LangIdStage()(ext)
+    ext = PerplexityStage()(ext)
+    return ScoreScrubStage(config)(ext)
+
+
+# ------------------------------------------------------------------ per-domain rollup
+
+
+def _domain_of(url: str) -> str:
+    try:
+        return urlparse(url).netloc or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def domain_partials_stage(batch: pa.Table) -> pa.Table:
+    """Pre-aggregate per batch: one row per (salted) domain with counts/sums.
+    The following groupby exchanges only these tiny partials — never rows.
+    Salt spreads hot domains (Zipf head) over `salt` reducers."""
+    import pandas as pd
+
+    urls = batch.column("url").to_pylist()
+    domains = [_domain_of(u) for u in urls]
+    df = pd.DataFrame({
+        "domain": domains,
+        "keep": batch.column("keep").to_numpy(zero_copy_only=False).astype(np.int64),
+        "quality_score": batch.column("quality_score").to_numpy(zero_copy_only=False),
+        "n_words": batch.column("n_words").to_numpy(zero_copy_only=False),
+        "pii": batch.column("pii_replacements").to_numpy(zero_copy_only=False),
+    })
+    salt = (pd.util.hash_pandas_object(pd.Series(urls), index=False) % 16).astype(np.int64)
+    df["salt"] = salt
+    g = df.groupby(["domain", "salt"], sort=False).agg(
+        docs=("keep", "size"),
+        kept=("keep", "sum"),
+        score_sum=("quality_score", "sum"),
+        words_sum=("n_words", "sum"),
+        pii_sum=("pii", "sum"),
+    ).reset_index()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def domain_rollup(filtered_ds):
+    """Salted two-level aggregate: batch partials -> groupby(domain, salt) ->
+    driver-side unsalt. Returns a pandas DataFrame (one row per domain —
+    small by construction)."""
+    from ray.data.aggregate import Sum
+
+    partials = filtered_ds.map_batches(
+        domain_partials_stage, batch_format="pyarrow", batch_size=8192
+    )
+    agg = partials.groupby(["domain", "salt"]).aggregate(
+        Sum("docs", alias_name="docs"),
+        Sum("kept", alias_name="kept"),
+        Sum("score_sum", alias_name="score_sum"),
+        Sum("words_sum", alias_name="words_sum"),
+        Sum("pii_sum", alias_name="pii_sum"),
+    )
+    pdf = agg.to_pandas()  # rows = domains x salt buckets: small
+    out = pdf.groupby("domain", sort=True).agg(
+        docs=("docs", "sum"),
+        kept=("kept", "sum"),
+        score_sum=("score_sum", "sum"),
+        words_sum=("words_sum", "sum"),
+        pii_sum=("pii_sum", "sum"),
+    ).reset_index()
+    out["keep_rate"] = out["kept"] / out["docs"]
+    out["mean_quality"] = out["score_sum"] / out["docs"]
+    return out.drop(columns=["score_sum"])

@@ -1,0 +1,175 @@
+"""Flagship pipeline parity: Ray quality-filter vs single-process oracle on
+the deterministic synthetic corpus (FIXTURES.md F1 / BASELINE.md gates:
+byte-identical extracted text per url, keep/drop F1 >= 0.99)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataprof_ray.functions import docquality as DQ
+from dataprof_ray.pipelines import quality_filter as QF
+from dataprof_ray.sources.corpus import generate_corpus, write_corpus_parquet
+
+
+@pytest.fixture(scope="module")
+def corpus() -> pa.Table:
+    return generate_corpus(1500)
+
+
+@pytest.fixture(scope="module")
+def oracle_out(corpus) -> pa.Table:
+    return QF.oracle_filter(corpus)
+
+
+class TestExtraction:
+    def test_extract_strips_tags_deterministically(self):
+        html = b"<html><head><script>x=1</script></head><body><p>Hello  world</p><p>Bye</p></body></html>"
+        out = DQ.extract_text(html)
+        assert out == "Hello world\n\nBye"  # paragraph boundary = blank line
+        assert DQ.extract_text(html) == out  # stable
+
+    def test_extract_entities_and_empty(self):
+        assert DQ.extract_text(b"<p>a &amp; b</p>") == "a & b"
+        assert DQ.extract_text(b"") == ""
+        assert DQ.extract_text(None) == ""
+
+    def test_extraction_version_pinned(self):
+        assert DQ.EXTRACTION_VERSION == "1.0"
+
+
+class TestDocMetrics:
+    def test_basic_counts(self):
+        m = DQ.doc_metrics("the cat sat on the mat")
+        assert m.n_words == 6
+        assert m.stopword_count == 3  # the, on, the
+        assert m.alpha_word_ratio == 1.0
+
+    def test_repetition(self):
+        m = DQ.doc_metrics("line one\nline one\nline one\nother")
+        assert m.duplicate_line_frac == pytest.approx(2 / 4)
+
+    def test_rules_first_failure_wins(self):
+        cfg = DQ.FilterConfig()
+        m = DQ.doc_metrics("short text")
+        keep, reason = DQ.evaluate_rules(m, "en", 0.5, 10.0, cfg)
+        assert not keep and reason == "too_short"
+
+    def test_keep_path(self):
+        cfg = DQ.FilterConfig()
+        text = " ".join(["the data stream reads records and computes statistics"] * 12)
+        # vary words so no bigram dominates
+        words = ("the quick brown fox jumps over a lazy dog while the data engine "
+                 "reads every record and computes exact statistics for the table "
+                 "and writes results to storage with bounded memory and stable "
+                 "output that remains correct under load ".split())
+        text = " ".join(words * 3)
+        m = DQ.doc_metrics(text)
+        keep, reason = DQ.evaluate_rules(m, "en", 0.5, 10.0, cfg)
+        assert keep, reason
+
+    def test_perplexity_gates_english_only(self):
+        cfg = DQ.FilterConfig()
+        words = " ".join(["der die das und in den von zu mit sich auf für ist ein"] * 10)
+        m = DQ.doc_metrics(words, "de")
+        keep, _ = DQ.evaluate_rules(m, "de", 0.9, 99.0, cfg)
+        assert keep  # high ppl ignored for non-en
+        keep, reason = DQ.evaluate_rules(m, "en", 0.9, 99.0, cfg)
+        assert not keep and reason == "perplexity"
+
+    def test_langid(self):
+        model = DQ.LangIdModel()
+        assert model.predict("the cat is on the table and it is happy")[0] == "en"
+        assert model.predict("der hund ist in den garten und die katze auch")[0] == "de"
+        assert model.predict("")[0] == "und"
+
+    def test_trigram_lm_orders_naturalness(self):
+        lm = DQ.TrigramLM()
+        natural = lm.perplexity("the data stream reads records and computes statistics")
+        junk = lm.perplexity("zx qj wv kx zq jx vq xz jq zv")
+        assert natural < junk
+
+    def test_quality_score_range(self):
+        cfg = DQ.FilterConfig()
+        m = DQ.doc_metrics("the data engine reads records " * 20)
+        s = DQ.quality_score(m, 0.5, 8.0, cfg)
+        assert 0.0 <= s <= 100.0
+
+
+class TestPipelineParity:
+    def test_ray_matches_oracle_bytes(self, ray_session, corpus, oracle_out, tmp_path_factory):
+        import ray.data as rd
+
+        ds = rd.from_arrow(corpus).repartition(6)
+        out = QF.run_quality_filter(ds, batch_size=256)
+        result = out.to_pandas().sort_values("url").reset_index(drop=True)
+        expected = oracle_out.to_pandas().sort_values("url").reset_index(drop=True)
+
+        assert len(result) == len(expected)
+        # byte-identical extraction + scrub per url
+        assert (result["extracted_text"] == expected["extracted_text"]).all()
+        assert (result["scrubbed_text"] == expected["scrubbed_text"]).all()
+        # keep/drop F1: identical code + deterministic kernels -> exact match
+        assert (result["keep"] == expected["keep"]).all()
+        assert (result["drop_reason"] == expected["drop_reason"]).all()
+        np.testing.assert_allclose(result["perplexity"], expected["perplexity"], rtol=1e-12)
+
+    def test_extraction_path_exercised(self, oracle_out, corpus):
+        df = oracle_out.to_pandas()
+        src = corpus.to_pandas()
+        html_rows = src["text"] == ""
+        assert html_rows.any()
+        assert (df.loc[html_rows.values, "extracted_text"].str.len() > 0).all()
+
+    def test_scrubbed_keeps_have_no_valid_pii(self, oracle_out):
+        df = oracle_out.to_pandas()
+        kept = df[df.keep]
+        assert (kept.pii_replacements > 0).any()
+        import re
+
+        email = re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}")
+        assert not kept.scrubbed_text.str.contains(email).any()
+
+    def test_drop_reasons_diverse(self, oracle_out):
+        reasons = set(oracle_out.to_pandas().drop_reason.unique())
+        assert {"too_short", "repetition_lines", "boilerplate", "symbol_ratio"} <= reasons
+
+    def test_output_schema(self, oracle_out):
+        assert oracle_out.schema.equals(QF.OUTPUT_SCHEMA)
+
+
+class TestDomainRollup:
+    def test_rollup_matches_pandas(self, ray_session, corpus, oracle_out):
+        import ray.data as rd
+
+        filtered = rd.from_arrow(oracle_out).repartition(4)
+        roll = QF.domain_rollup(filtered).set_index("domain")
+
+        df = oracle_out.to_pandas()
+        df["domain"] = df.url.map(QF._domain_of)
+        truth = df.groupby("domain").agg(
+            docs=("keep", "size"), kept=("keep", "sum"), words_sum=("n_words", "sum"),
+        )
+        assert len(roll) == len(truth)
+        for dom in truth.index:
+            assert roll.loc[dom, "docs"] == truth.loc[dom, "docs"]
+            assert roll.loc[dom, "kept"] == truth.loc[dom, "kept"]
+            assert roll.loc[dom, "words_sum"] == truth.loc[dom, "words_sum"]
+
+    def test_zipf_skew_present(self, corpus):
+        import pandas as pd
+
+        domains = pd.Series([QF._domain_of(u) for u in corpus.column("url").to_pylist()])
+        top_share = domains.value_counts().iloc[0] / len(domains)
+        assert top_share > 0.15  # head domain holds ~20%
+
+
+def test_corpus_writer_roundtrip(tmp_path):
+    path = write_corpus_parquet(str(tmp_path / "corpus"), 200, shards=4)
+    import pyarrow.parquet as pq
+
+    ds = pq.ParquetDataset(path)
+    table = ds.read()
+    assert table.num_rows == 200
+    # determinism: same seed -> same bytes
+    t2 = generate_corpus(200)
+    assert table.column("text").to_pylist() == t2.column("text").to_pylist()
