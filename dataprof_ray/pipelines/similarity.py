@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is broadcast
+  once via ``ray.put``; each batch computes a numpy matmul against it and
+  emits only its local top-k rows, which the driver k-way merges. The data
+  never shuffles; the exchange is (batches x k) candidate rows.
+- ``ivf_topk``: IVF-style scale path. Centroids are trained on a driver-side
+  sample (deterministic k-means), broadcast, and each batch scores only the
+  rows assigned to the query's ``nprobe`` nearest cells. Same merge.
+
+Design note for 100 TB: both operators stream; per-batch state (query matrix,
+centroids) is read from the object store by reference inside the stage, not
+re-shipped per batch. Exact top-k over everything is the *baseline*; IVF
+bounds compute by pruning ~(1 - nprobe/ncells) of rows at equal merge cost.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(column) -> np.ndarray:
+    return np.array(column.to_pylist(), dtype=np.float64)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-12)
+
+
+class BruteForceScorer:
+    """Actor-pool stage: local cosine top-k per batch against the broadcast
+    query matrix (one ray.get in __init__, shared across batches)."""
+
+    def __init__(self, query_ref, k: int, vec_col: str, id_col: str) -> None:
+        import ray
+
+        queries = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
+        self.queries = _normalize_rows(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize_rows(_to_matrix(batch.column(self.vec_col)))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sims = vecs @ self.queries.T  # (n, q)
+        n, q = sims.shape
+        k = min(self.k, n)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q):
+            top = np.argpartition(-sims[:, qi], k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[top].tolist())
+            out_sim.extend(sims[top, qi].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            self.id_col: pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_sim, pa.float64()),
+        })
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     concurrency=(1, 8)):
+    """Exact cosine top-k for each query row. Returns a pandas DataFrame
+    (query_id, id, cosine) sorted by (query_id, -cosine, id)."""
+    import ray
+
+    query_ref = ray.put(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    candidates = ds.map_batches(
+        BruteForceScorer, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(query_ref=query_ref, k=k, vec_col=vec_col, id_col=id_col),
+        concurrency=concurrency,
+    ).to_pandas()
+    # driver-side k-way merge of the tiny candidate set
+    out = (
+        candidates.sort_values(["query_id", "cosine", id_col],
+                               ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def train_centroids(ds, n_cells: int = 16, sample_rows: int = 4096,
+                    vec_col: str = "embedding", iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (the only
+    materialized data is `sample_rows` vectors)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    x = _normalize_rows(np.stack(sample[vec_col].map(np.asarray)))
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize_rows(centroids)
+    return centroids
+
+
+class IVFScorer:
+    """Actor-pool stage: score only rows whose nearest centroid is one of the
+    query's nprobe cells."""
+
+    def __init__(self, query_ref, centroid_ref, k: int, nprobe: int,
+                 vec_col: str, id_col: str) -> None:
+        import ray
+
+        self.queries = _normalize_rows(np.atleast_2d(ray.get(query_ref)))
+        self.centroids = ray.get(centroid_ref)
+        qc = self.queries @ self.centroids.T
+        self.probe_cells = np.argsort(-qc, axis=1)[:, :nprobe]  # (q, nprobe)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _normalize_rows(_to_matrix(batch.column(self.vec_col)))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        cells = (vecs @ self.centroids.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(self.queries)):
+            mask = np.isin(cells, self.probe_cells[qi])
+            if not mask.any():
+                continue
+            sub = vecs[mask]
+            sub_ids = ids[mask]
+            sims = sub @ self.queries[qi]
+            k = min(self.k, len(sub))
+            top = np.argpartition(-sims, k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(sub_ids[top].tolist())
+            out_sim.extend(sims[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            self.id_col: pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_sim, pa.float64()),
+        })
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id", concurrency=(1, 8)):
+    """Approximate (IVF-pruned) cosine top-k. Same output shape as
+    brute_force_topk; recall grows with nprobe/n_cells."""
+    import ray
+
+    centroids = train_centroids(ds, n_cells=n_cells, vec_col=vec_col)
+    query_ref = ray.put(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    centroid_ref = ray.put(centroids)
+    candidates = ds.map_batches(
+        IVFScorer, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(query_ref=query_ref, centroid_ref=centroid_ref,
+                                   k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col),
+        concurrency=concurrency,
+    ).to_pandas()
+    if candidates.empty:
+        return candidates
+    return (
+        candidates.sort_values(["query_id", "cosine", id_col], ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )

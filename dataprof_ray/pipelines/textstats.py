@@ -1,0 +1,176 @@
+"""Text-analysis operators over a documents table (doc_id, text, lang, ...).
+
+Each operator is a streaming map_batches (or partial-aggregate + tiny
+groupby) and has a matching DuckDB oracle in __ray_entry__.oracle_sql where
+SQL can express it. Token definition is pinned: non-empty runs split on
+whitespace (``\\s+``) — identical in Python and in the SQL oracle
+(regexp_split_to_array).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS_SPLIT = re.compile(r"\s+")
+
+# BPE-ish subword token estimate: runs of letters, digits, or single
+# punctuation — a deterministic stand-in for a real tokenizer's token count.
+_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]")
+
+
+def token_count(text: str) -> int:
+    t = (text or "").strip()
+    return len(_WS_SPLIT.split(t)) if t else 0
+
+
+def bpe_ish_count(text: str) -> int:
+    return len(_BPE_ISH.findall(text or ""))
+
+
+def token_stats_stage(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    n_tokens = np.fromiter((token_count(t) for t in texts), dtype=np.int64, count=len(texts))
+    n_subwords = np.fromiter((bpe_ish_count(t) for t in texts), dtype=np.int64, count=len(texts))
+    n_chars = pc.utf8_length(batch.column(text_col))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_chars": pc.cast(n_chars, pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_subwords": pa.array(n_subwords, pa.int64()),
+    })
+
+
+def token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document character / whitespace-token / BPE-ish counts."""
+    return ds.map_batches(
+        lambda b: token_stats_stage(b, text_col, id_col), batch_format="pyarrow"
+    )
+
+
+def fingerprint_stage(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Document fingerprints: md5 hex + a 64-bit rolling (polynomial) hash."""
+    texts = batch.column(text_col).to_pylist()
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    rolls = np.fromiter((_rolling_hash(t or "") for t in texts), dtype=np.uint64, count=len(texts))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "md5": pa.array(md5s, pa.string()),
+        "rolling_hash": pa.array(rolls, pa.uint64()),
+    })
+
+
+_ROLL_BASE = np.uint64(1099511628211)  # FNV-ish multiplier
+
+
+def _rolling_hash(text: str) -> int:
+    h = np.uint64(14695981039346656037)
+    with np.errstate(over="ignore"):
+        for b in text.encode("utf-8"):
+            h = (h ^ np.uint64(b)) * _ROLL_BASE
+    return int(h)
+
+
+def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: fingerprint_stage(b, text_col, id_col), batch_format="pyarrow"
+    )
+
+
+def top_terms(ds, k: int = 20, text_col: str = "text", min_len: int = 1):
+    """Corpus-wide term frequency top-k.
+
+    Scale pattern: per-batch partial Counter (one row per term per batch) ->
+    groupby(term).sum -> driver sorts the small aggregate. The shuffle moves
+    term partials, not documents."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            for w in _WS_SPLIT.split((t or "").strip()):
+                if len(w) >= min_len:
+                    counts[w.lower()] += 1
+        if not counts:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        terms, values = zip(*counts.items())
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "cnt": pa.array(values, pa.int64())})
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="term_count"))
+        .to_pandas()
+    )
+    return (
+        agg.sort_values(["term_count", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def langid_stage_factory():
+    from dataprof_ray.functions.docquality import LangIdModel
+
+    class LangIdOnly:
+        def __init__(self) -> None:
+            self.model = LangIdModel()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            langs, confs = self.model.predict_batch(texts)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "langid": pa.array(langs, pa.string()),
+                "langid_conf": pa.array(confs, pa.float64()),
+            })
+
+    return LangIdOnly
+
+
+def langid(ds, concurrency=(1, 8)):
+    """Language-ID over a documents table (actor pool holds the model)."""
+    return ds.map_batches(
+        langid_stage_factory(), batch_format="pyarrow", concurrency=concurrency
+    )
+
+
+def doc_quality(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document heuristic quality metrics (SQL-checkable subset)."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n = len(texts)
+        n_chars = np.zeros(n, dtype=np.int64)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        avg_token_len = np.zeros(n, dtype=np.float64)
+        uppercase_ratio = np.zeros(n, dtype=np.float64)
+        digit_ratio = np.zeros(n, dtype=np.float64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            n_chars[i] = len(t)
+            toks = _WS_SPLIT.split(t.strip()) if t.strip() else []
+            n_tokens[i] = len(toks)
+            avg_token_len[i] = (sum(len(w) for w in toks) / len(toks)) if toks else 0.0
+            if t:
+                uppercase_ratio[i] = sum(1 for c in t if c.isupper()) / len(t)
+                digit_ratio[i] = sum(1 for c in t if c.isdigit()) / len(t)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "avg_token_len": pa.array(np.round(avg_token_len, 4), pa.float64()),
+            "uppercase_ratio": pa.array(np.round(uppercase_ratio, 4), pa.float64()),
+            "digit_ratio": pa.array(np.round(digit_ratio, 4), pa.float64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")

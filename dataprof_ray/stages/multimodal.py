@@ -1,0 +1,166 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with a sidecar metadata
+struct. The decode kernels themselves are STUBBED (the decode libraries are
+not in this container — clearly marked below); the Ray-side plumbing is real
+and tested: schemas, actor-pool stage signatures, batch sizing for wide
+binary rows, and output layout.
+
+Batch-size guidance encoded here: payload stages default to small
+``batch_size`` (64) so batch x concurrency of multi-MB blobs fits worker
+heaps; callers scale it by payload size (SURVEY §"memory-aware").
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MEDIA_SCHEMA = pa.schema([
+    pa.field("media_id", pa.int64()),
+    pa.field("payload", pa.binary()),
+    pa.field("mime", pa.string()),
+    pa.field("meta", pa.struct([
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("duration_ms", pa.int32()),
+    ])),
+])
+
+DEFAULT_MEDIA_BATCH_SIZE = 64
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: decode image payloads -> (height, width, channels).
+
+    STUB: real decoding requires PIL/opencv (absent here). When the import
+    fails the stage uses a deterministic fake decoder — a hash-derived
+    (h, w, c) — so the pipeline shape, schema and actor lifecycle are fully
+    exercised. Swap in the PIL branch on a real cluster.
+    """
+
+    def __init__(self, strict: bool = False) -> None:
+        self.pil = _try_import_pil()
+        self.strict = strict
+        if strict and self.pil is None:
+            raise NotImplementedError(
+                "image decode requires PIL/opencv; not available in this container"
+            )
+
+    def _decode(self, payload: bytes) -> tuple[int, int, int]:
+        if self.pil is not None:
+            import io
+
+            with self.pil.open(io.BytesIO(payload)) as im:
+                return im.height, im.width, len(im.getbands())
+        # deterministic fake: dimensions derived from the payload digest
+        digest = hashlib.blake2b(payload or b"", digest_size=8).digest()
+        h = 64 + digest[0] % 192
+        w = 64 + digest[1] % 192
+        return h, w, 3
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        dims = [self._decode(p) for p in payloads]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "height": pa.array([d[0] for d in dims], pa.int32()),
+            "width": pa.array([d[1] for d in dims], pa.int32()),
+            "channels": pa.array([d[2] for d in dims], pa.int32()),
+            "payload_bytes": pc.cast(pc.binary_length(batch.column("payload")), pa.int64()),
+        })
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: payload -> fixed-size feature vector.
+
+    STUB embedding: a deterministic 32-dim hash projection of the payload
+    (real models plug in here; loaded once per actor in __init__)."""
+
+    DIM = 32
+
+    def __init__(self) -> None:
+        rng = np.random.default_rng(13)
+        self.projection = rng.normal(size=(256, self.DIM))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for p in batch.column("payload").to_pylist():
+            hist = np.zeros(256, dtype=np.float64)
+            if p:
+                counts = np.bincount(np.frombuffer(p, dtype=np.uint8), minlength=256)
+                hist = counts / max(len(p), 1)
+            feats.append((hist @ self.projection).tolist())
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "feature": pa.array(feats, pa.list_(pa.float64())),
+        })
+
+
+class FrameSampleStage:
+    """Actor-pool stage: sample frame offsets from a video payload.
+
+    STUB: emits deterministic byte offsets for every_n 'frames'; a real
+    implementation would call ffmpeg/pyav (absent here)."""
+
+    def __init__(self, every_n: int = 10, frame_size_hint: int = 4096) -> None:
+        self.every_n = every_n
+        self.frame_size_hint = frame_size_hint
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, offsets = [], []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            n_frames = max(len(p or b"") // self.frame_size_hint, 1)
+            for f in range(0, n_frames, self.every_n):
+                ids.append(mid)
+                offsets.append(f * self.frame_size_hint)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_offset": pa.array(offsets, pa.int64()),
+        })
+
+
+def decode_images(ds, concurrency=(1, 4), batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
+    return ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def extract_image_features(ds, concurrency=(1, 4), batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
+    return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def sample_frames(ds, every_n: int = 10, concurrency=(1, 4),
+                  batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
+    return ds.map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_kwargs={"every_n": every_n},
+    )
+
+
+def synthetic_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table for tests."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(rng.integers(1024, 65536)),
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["image/fake"] * n, pa.string()),
+        "meta": pa.array([{"width": 0, "height": 0, "duration_ms": 0}] * n,
+                         MEDIA_SCHEMA.field("meta").type),
+    })

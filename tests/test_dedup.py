@@ -1,0 +1,123 @@
+"""Dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataprof_ray.pipelines import dedup as D
+
+
+@pytest.fixture(scope="module")
+def doc_table() -> pa.Table:
+    """Docs with planted exact and near duplicates."""
+    rng = np.random.default_rng(42)
+    # large synthetic vocabulary so unrelated docs share few shingles
+    vocab = [f"w{chr(97 + i % 26)}{chr(97 + (i * 7) % 26)}{i:04d}" for i in range(5000)]
+    texts, ids = [], []
+    for i in range(80):
+        n = int(rng.integers(30, 60))
+        texts.append(" ".join(vocab[int(w)] for w in rng.integers(0, len(vocab), n)))
+        ids.append(i)
+    # exact dups: 80..84 copy 0..4
+    for j in range(5):
+        texts.append(texts[j])
+        ids.append(80 + j)
+    # near dups: 85..89 copy 5..9 with one word changed
+    for j in range(5):
+        base = texts[5 + j].split()
+        base[3] = "altered"
+        texts.append(" ".join(base))
+        ids.append(85 + j)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+
+
+def test_exact_dedup(ray_session, doc_table):
+    import ray.data as rd
+
+    out = D.exact_dedup(rd.from_arrow(doc_table).repartition(4)).to_pandas()
+    assert len(out) == 85  # 90 - 5 exact dups
+    # canonical survivor is the smallest id
+    kept = set(out.doc_id)
+    for j in range(5):
+        assert j in kept and (80 + j) not in kept
+
+
+def test_minhash_lsh_finds_exact_and_near(ray_session, doc_table):
+    import ray.data as rd
+
+    groups = D.minhash_lsh_duplicate_groups(
+        rd.from_arrow(doc_table).repartition(4), num_perm=64, bands=16
+    )
+    mapping = dict(zip(groups.id, groups.canonical_id))
+    for j in range(5):  # exact dups always caught
+        assert mapping.get(80 + j) == j or mapping.get(j) == j
+    near_hits = sum(1 for j in range(5) if mapping.get(85 + j) == 5 + j)
+    assert near_hits >= 4  # near dups (1 word changed) nearly always caught
+
+
+def test_minhash_no_false_merge_of_distinct(ray_session, doc_table):
+    import ray.data as rd
+
+    groups = D.minhash_lsh_duplicate_groups(rd.from_arrow(doc_table), num_perm=64, bands=8)
+    mapping = dict(zip(groups.id, groups.canonical_id))
+    # distinct random docs should not collapse together
+    distinct_pairs = [(10, 11), (20, 21), (30, 31)]
+    for a, b in distinct_pairs:
+        assert mapping.get(a, a) != mapping.get(b, b) or mapping.get(a, a) not in (a, b) is False
+
+
+def test_jaccard_kernels():
+    assert D.jaccard("hello world text", "hello world text") == 1.0
+    assert D.jaccard("aaa bbb", "zzz qqq") < 0.2
+    assert D.ngram_jaccard("a b c d e", "a b c d e", n=3) == 1.0
+    assert D.ngram_jaccard("a b c d e", "a b c x e", n=3) < 1.0
+    assert D.ngram_jaccard("", "", n=3) == 1.0
+
+
+def test_simhash_properties():
+    a = D.simhash64("the data stream reads every record and computes statistics")
+    b = D.simhash64("the data stream reads every record and computes statistics")
+    c = D.simhash64("the data stream reads every record and computes numbers")
+    d = D.simhash64("completely different words about gardens and weather patterns")
+    assert a == b
+    assert D.hamming64(a, c) < D.hamming64(a, d)
+
+
+def test_simhash_pairs(ray_session, doc_table):
+    import ray.data as rd
+
+    pairs = D.simhash_duplicate_pairs(rd.from_arrow(doc_table).repartition(3), max_hamming=3)
+    found = set(zip(pairs.id_a, pairs.id_b)) if not pairs.empty else set()
+    for j in range(5):  # exact dups have hamming 0
+        assert (j, 80 + j) in found
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 16))
+    vecs = list(base)
+    ids = list(range(40))
+    # planted near-dups: 40..44 = 0..4 + tiny noise
+    for j in range(5):
+        vecs.append(base[j] + rng.normal(scale=1e-3, size=16))
+        ids.append(40 + j)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+    })
+    pairs = D.embedding_neardup_pairs(rd.from_arrow(t).repartition(2), threshold=0.99)
+    found = set(zip(pairs.id_a, pairs.id_b)) if not pairs.empty else set()
+    hits = sum(1 for j in range(5) if (j, 40 + j) in found)
+    assert hits >= 4
+    # random gaussian pairs don't exceed 0.99 cosine
+    assert all(a % 40 == b % 40 for a, b in found)
+
+
+def test_minhash_deterministic(ray_session, doc_table):
+    import ray.data as rd
+
+    g1 = D.minhash_lsh_duplicate_groups(rd.from_arrow(doc_table), num_perm=32, bands=8)
+    g2 = D.minhash_lsh_duplicate_groups(rd.from_arrow(doc_table).repartition(5), num_perm=32, bands=8)
+    assert g1.sort_values("id").values.tolist() == g2.sort_values("id").values.tolist()

@@ -1,0 +1,183 @@
+"""Similarity search + text analysis + multimodal plumbing + lineage/resume."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataprof_ray.pipelines import similarity as SIM
+from dataprof_ray.pipelines import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def embeddings(sf_dir) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/embeddings.parquet")
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, ray_session, embeddings):
+        import ray.data as rd
+
+        vecs = np.array(embeddings.column("embedding").to_pylist(), dtype=np.float64)
+        ids = embeddings.column("vec_id").to_numpy()
+        q = vecs[:3]
+        out = SIM.brute_force_topk(rd.from_arrow(embeddings).repartition(4), q, k=5)
+
+        norm = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        sims = norm @ qn.T
+        for qi in range(3):
+            order = np.lexsort((ids, -sims[:, qi]))[:5]
+            expected_ids = ids[order].tolist()
+            got = out[out.query_id == qi].vec_id.tolist()
+            assert got == expected_ids
+            # each query's own vector is its top hit with cosine ~1
+            assert got[0] == ids[qi]
+
+    def test_ivf_recall(self, ray_session, embeddings):
+        import ray.data as rd
+
+        vecs = np.array(embeddings.column("embedding").to_pylist(), dtype=np.float64)
+        q = vecs[:5]
+        exact = SIM.brute_force_topk(rd.from_arrow(embeddings), q, k=10)
+        approx = SIM.ivf_topk(rd.from_arrow(embeddings), q, k=10, n_cells=8, nprobe=4)
+        recalls = []
+        for qi in range(5):
+            e = set(exact[exact.query_id == qi].vec_id)
+            a = set(approx[approx.query_id == qi].vec_id)
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 cells
+
+
+class TestTextStats:
+    def test_token_count_definition(self):
+        assert TS.token_count("a b  c") == 3
+        assert TS.token_count("  ") == 0
+        assert TS.token_count("") == 0
+        assert TS.token_count("one") == 1
+        assert TS.token_count("a\nb\tc d") == 4
+
+    def test_bpe_ish(self):
+        assert TS.bpe_ish_count("hello world") == 2
+        assert TS.bpe_ish_count("don't stop") == 4  # don ' t stop
+        assert TS.bpe_ish_count("a1b") == 3
+
+    def test_token_stats_pipeline(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        out = TS.token_stats(ds).to_pandas().sort_values("doc_id")
+        import duckdb
+
+        truth = duckdb.sql(f"""
+            select doc_id, length(text) as n_chars,
+                   len(regexp_split_to_array(trim(text), '\\s+')) as n_tokens
+            from '{sf_dir}/documents.parquet' order by doc_id
+        """).df()
+        assert (out.n_chars.values == truth.n_chars.values).all()
+        assert (out.n_tokens.values == truth.n_tokens.values).all()
+
+    def test_fingerprints(self, ray_session, sf_dir):
+        import hashlib
+
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        out = TS.fingerprints(ds).to_pandas().sort_values("doc_id")
+        import pyarrow.parquet as pq
+
+        texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]) \
+            .to_pandas().sort_values("doc_id")
+        expect = texts.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+        assert (out.md5.values == expect.values).all()
+
+    def test_top_terms(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        out = TS.top_terms(ds, k=10)
+        truth = duckdb.sql(f"""
+            select lower(term) as term, count(*) as term_count
+            from (select unnest(regexp_split_to_array(trim(text), '\\s+')) as term
+                  from '{sf_dir}/documents.parquet')
+            group by 1 order by term_count desc, term asc limit 10
+        """).df()
+        assert out.term.tolist() == truth.term.tolist()
+        assert out.term_count.tolist() == truth.term_count.tolist()
+
+    def test_langid_pipeline(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        out = TS.langid(ds).to_pandas()
+        assert len(out) == 500
+        assert set(out.columns) == {"doc_id", "langid", "langid_conf"}
+        assert (out.langid_conf >= 0).all()
+
+
+class TestMultimodal:
+    def test_decode_stage_plumbing(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.stages import multimodal as MM
+
+        t = MM.synthetic_media_table(32)
+        out = MM.decode_images(rd.from_arrow(t), concurrency=(1, 2)).to_pandas()
+        assert len(out) == 32
+        assert (out.payload_bytes > 0).all()
+        assert out.height.between(64, 255).all()
+        # deterministic fake decode
+        out2 = MM.decode_images(rd.from_arrow(t), concurrency=(1, 2)).to_pandas()
+        assert out.sort_values("media_id").height.tolist() == \
+            out2.sort_values("media_id").height.tolist()
+
+    def test_feature_stage(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.stages import multimodal as MM
+
+        t = MM.synthetic_media_table(16)
+        out = MM.extract_image_features(rd.from_arrow(t), concurrency=(1, 2)).to_pandas()
+        assert len(out) == 16
+        assert all(len(f) == MM.ImageFeatureStage.DIM for f in out.feature)
+
+    def test_frame_sampling(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.stages import multimodal as MM
+
+        t = MM.synthetic_media_table(8)
+        out = MM.sample_frames(rd.from_arrow(t), every_n=5).to_pandas()
+        assert (out.frame_offset % (5 * 4096) == 0).all()
+
+    def test_strict_mode_raises_without_libs(self):
+        from dataprof_ray.stages import multimodal as MM
+
+        if MM._try_import_pil() is None:
+            with pytest.raises(NotImplementedError):
+                MM.ImageDecodeStage(strict=True)
+
+
+class TestLineage:
+    def test_resumable_run_skips_completed(self, ray_session, tmp_path):
+        from dataprof_ray.sources.corpus import write_corpus_parquet
+        from dataprof_ray.state.lineage import run_resumable_filter
+
+        corpus_dir = write_corpus_parquet(str(tmp_path / "corpus"), 300, shards=3)
+        shards = sorted(
+            os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
+            if f.endswith(".parquet")
+        )
+        out_root = str(tmp_path / "out")
+        s1 = run_resumable_filter(shards, out_root, batch_size=128)
+        assert s1["shards_processed"] == 3 and s1["shards_skipped"] == 0
+        # second run: everything skipped
+        s2 = run_resumable_filter(shards, out_root, batch_size=128)
+        assert s2["shards_processed"] == 0 and s2["shards_skipped"] == 3
+        # output is partitioned one dir per shard
+        dirs = [d for d in os.listdir(out_root) if d.startswith("shard_")]
+        assert len(dirs) == 3
