@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per-operator callables, and
+oracle_sql() DuckDB equivalents (run side-by-side at sf=0.01).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing in
+here (or in dataprof_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name discipline: every computed/aggregate column is named identically
+in the Ray callable and the SQL (the driver sorts columns by name and
+value-hashes). Floats that depend on summation order are rounded the same
+way on both sides (ROUND = half away from zero, see
+dataprof_ray.pipelines.aggregate.round_away); exact values (min/max, counts,
+hashes) are left unrounded.
 """
 
 from __future__ import annotations
@@ -18,27 +17,475 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF001 = "/root/testdata/sf0.001"
+
+_NULL_LIKE = "({c} IS NULL OR LOWER(TRIM({c}, ' \t\n\r')) IN ('', 'null', 'nan'))"
+
+_LINEITEM_NUMERIC = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+_EVENTS_COLS = [
+    ("event_id", False), ("ts", False), ("user_id", False),
+    ("event_type", True), ("value", False), ("props", True),
+]
+_DOC_COLS = [
+    ("doc_id", False), ("text", True), ("lang", True),
+    ("source", True), ("n_chars", False),
+]
+
+
+def _read(sf_dir: str, table: str, columns=None, **kwargs):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kwargs)
+
+
+def _docs_as_corpus_stage(batch: pa.Table) -> pa.Table:
+    """Adapt the documents table to the corpus schema (url, warc_ts, html,
+    text, lang) so the flagship filter runs over driver testdata."""
+    n = batch.num_rows
+    ids = batch.column("doc_id").to_pylist()
+    sources = batch.column("source").to_pylist()
+    urls = [f"https://{s}.example.com/doc/{i}" for s, i in zip(sources, ids)]
+    ts = pa.array(np.full(n, np.datetime64("2025-06-01T00:00:00", "ms")), pa.timestamp("ms"))
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": ts,
+        "html": pa.array([b""] * n, pa.binary()),
+        "text": batch.column("text").cast(pa.string()),
+        "lang": batch.column("lang").cast(pa.string()),
+    })
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: quality-filter + PII scrub over sf0.001 documents mapped to
+    the corpus schema. Returns the lazy output Dataset (stable schema)."""
+    from dataprof_ray.pipelines import quality_filter as QF
+
+    corpus = _read(SF001, "documents").map_batches(
+        _docs_as_corpus_stage, batch_format="pyarrow"
+    )
+    return QF.run_quality_filter(corpus, langid_concurrency=(1, 2),
+                                 perplexity_concurrency=(1, 2),
+                                 score_concurrency=(1, 2))
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q1_pricing(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.compute as pc
+
+    from dataprof_ray.pipelines.aggregate import preagg_groupby, round_away
+
+    ds = _read(sf_dir, "lineitem", columns=[
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount",
+    ])
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        # Money columns are 2-decimal; per-row cents conversion is a
+        # deterministic float op, and int64 sums are order-independent —
+        # so the distributed sum matches the SQL oracle exactly.
+        price = b.column("l_extendedprice")
+        disc = pc.multiply(pc.multiply(price, pc.subtract(pa.scalar(1.0), b.column("l_discount"))),
+                           pa.scalar(10000.0))
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "l_quantity": b.column("l_quantity"),
+            "l_discount": b.column("l_discount"),
+            "base_cents": pc.cast(pc.round(pc.multiply(price, pa.scalar(100.0))), pa.int64()),
+            "disc_e4": pc.cast(pc.round(disc), pa.int64()),
+        })
+
+    ds = ds.map_batches(add_cents, batch_format="pyarrow")
+    df = preagg_groupby(ds, ["l_returnflag", "l_linestatus"], [
+        ("sum_qty", "l_quantity", "sum"),
+        ("sum_base_cents", "base_cents", "sum"),
+        ("sum_disc_e4", "disc_e4", "sum"),
+        ("sum_disc", "l_discount", "sum"),
+        ("count_order", None, "count"),
+    ])
+    df["avg_qty"] = round_away(df["sum_qty"] / df["count_order"], 4)
+    df["avg_disc"] = round_away(df["sum_disc"] / df["count_order"], 4)
+    df["sum_qty"] = df["sum_qty"].astype(np.int64)
+    df["sum_base_cents"] = df["sum_base_cents"].astype(np.int64)
+    df["sum_disc_e4"] = df["sum_disc_e4"].astype(np.int64)
+    return df.drop(columns=["sum_disc"])
+
+
+def _profile_numeric_lineitem(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.aggregate import round_away
+    from dataprof_ray.pipelines.profile import collect_column_state
+
+    ds = _read(sf_dir, "lineitem", columns=_LINEITEM_NUMERIC)
+    coll = collect_column_state(ds, track_row_uniqueness=False)
+    rows = []
+    for name in _LINEITEM_NUMERIC:
+        st = coll.columns[name]
+        rows.append({
+            "column_name": name,
+            "total_count": st.count,
+            "null_count": st.null_count,
+            "min": float(st.min),
+            "max": float(st.max),
+            "mean": float(round_away(st.welford.mean, 4)),
+            "std_dev": float(round_away(st.welford.sample_std_dev(), 4)),
+        })
+    return pd.DataFrame(rows)
+
+
+def _null_stats_events(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.profile import collect_column_state
+
+    ds = _read(sf_dir, "events")
+    coll = collect_column_state(ds, track_row_uniqueness=False)
+    rows = [
+        {"column_name": name, "total_count": coll.columns[name].count,
+         "null_count": coll.columns[name].null_count}
+        for name, _ in _EVENTS_COLS
+    ]
+    return pd.DataFrame(rows)
+
+
+def _distinct_counts_documents(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.profile import collect_column_state
+
+    ds = _read(sf_dir, "documents")
+    coll = collect_column_state(ds, track_row_uniqueness=False)
+    rows = [
+        {"column_name": name, "unique_count": coll.columns[name].unique_count()}
+        for name, _ in _DOC_COLS
+    ]
+    return pd.DataFrame(rows)
+
+
+def _value_counts_source(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.aggregate import preagg_groupby
+
+    ds = _read(sf_dir, "documents", columns=["source"])
+    df = preagg_groupby(ds, ["source"], [("cnt", None, "count")])
+    return (
+        df.sort_values(["cnt", "source"], ascending=[False, True])
+        .head(10).reset_index(drop=True)
+    )
+
+
+def _events_by_type(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.aggregate import preagg_groupby, round_away
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    df = preagg_groupby(ds, ["event_type"], [
+        ("cnt", None, "count"),
+        ("sum_value", "value", "sum"),
+        ("min_value", "value", "min"),
+        ("max_value", "value", "max"),
+    ])
+    df["avg_value"] = round_away(df["sum_value"] / df["cnt"], 4)
+    df["sum_value"] = round_away(df["sum_value"], 2)
+    return df
+
+
+def _orders_monthly(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.compute as pc
+
+    from dataprof_ray.pipelines.aggregate import preagg_groupby, round_away
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def add_ym(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
+                        pa.int64())
+        return pa.table({
+            "y": pc.cast(pc.year(d), pa.int64()),
+            "m": pc.cast(pc.month(d), pa.int64()),
+            "price_cents": cents,
+        })
+
+    df = preagg_groupby(ds.map_batches(add_ym, batch_format="pyarrow"), ["y", "m"], [
+        ("cnt", None, "count"),
+        ("sum_price_cents", "price_cents", "sum"),
+    ])
+    df["sum_price_cents"] = df["sum_price_cents"].astype(np.int64)
+    return df
+
+
+def _filter_highvalue(sf_dir: str):
+    import pyarrow.dataset as pds
+
+    expr = (pds.field("l_quantity") >= 45) & (pds.field("l_discount") < 0.05)
+    return _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+                 filter=expr)
+
+
+def _token_stats_documents(sf_dir: str):
+    from dataprof_ray.pipelines import textstats as T
+
+    return T.token_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _char_classes_documents(sf_dir: str):
+    from dataprof_ray.pipelines import textstats as T
+
+    return T.char_classes(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _dedup_exact_documents(sf_dir: str):
+    from dataprof_ray.pipelines import dedup as D
+
+    return D.exact_dedup(_read(sf_dir, "documents"))
+
+
+def _fingerprint_md5(sf_dir: str):
+    import hashlib
+
+    def stage(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "md5": pa.array(md5s, pa.string())})
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        stage, batch_format="pyarrow"
+    )
+
+
+def _load_queries(sf_dir: str, n: int = 5) -> tuple[np.ndarray, list[int]]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = tbl.to_pandas().sort_values("vec_id").head(n)
+    qids = df["vec_id"].astype(int).tolist()
+    mat = np.stack(df["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    return mat, qids
+
+
+def _topk_cosine(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.aggregate import round_away
+    from dataprof_ray.pipelines.similarity import brute_force_topk
+
+    queries, qids = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, k=10, concurrency=(1, 4))
+    out["query_id"] = out["query_id"].map(lambda i: qids[i]).astype(np.int64)
+    out["cosine"] = round_away(out["cosine"], 4)
+    return out
+
+
+# ----- rows-only (model / sketch based; no SQL equivalent) -----
+
+
+def _langid_documents(sf_dir: str):
+    from dataprof_ray.pipelines import textstats as T
+
+    return T.langid(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                    concurrency=(1, 4))
+
+
+def _quality_filter_documents(sf_dir: str):
+    from dataprof_ray.pipelines import quality_filter as QF
+
+    corpus = _read(sf_dir, "documents").map_batches(
+        _docs_as_corpus_stage, batch_format="pyarrow"
+    )
+    return QF.run_quality_filter(corpus, langid_concurrency=(1, 4),
+                                 perplexity_concurrency=(1, 4),
+                                 score_concurrency=(1, 4))
+
+
+def _minhash_duplicate_groups(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines import dedup as D
+
+    return D.minhash_lsh_duplicate_groups(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), concurrency=(1, 4)
+    )
+
+
+def _simhash_signatures(sf_dir: str):
+    from dataprof_ray.pipelines import dedup as D
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: D.simhash_stage(b), batch_format="pyarrow"
+    )
+
+
+def _embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines import dedup as D
+
+    return D.embedding_neardup_pairs(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    )
+
+
+def _ivf_topk(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.similarity import ivf_topk
+
+    queries, qids = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, queries, k=10, n_cells=8, nprobe=4, concurrency=(1, 4))
+    if not out.empty:
+        out["query_id"] = out["query_id"].map(lambda i: qids[i]).astype(np.int64)
+    return out
+
+
+def _profile_report_documents(sf_dir: str) -> pd.DataFrame:
+    """Full ProfileReport (patterns + 7 quality dimensions) flattened to one
+    row per column; the report-level quality score repeats per row."""
+    from dataprof_ray.pipelines.profile import profile_dataset
+
+    report = profile_dataset(_read(sf_dir, "documents"))
+    score = report.quality_score()
+    rows = []
+    for p in report.column_profiles:
+        rows.append({
+            "column_name": p.name,
+            "data_type": p.data_type,
+            "total_count": p.total_count,
+            "null_count": p.null_count,
+            "unique_count": p.unique_count if p.unique_count is not None else -1,
+            "n_patterns": len(p.patterns) if p.patterns is not None else -1,
+            "overall_quality_score": round(score, 2) if score is not None else -1.0,
+        })
+    return pd.DataFrame(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "q1_pricing": _q1_pricing,
+        "profile_numeric_lineitem": _profile_numeric_lineitem,
+        "null_stats_events": _null_stats_events,
+        "distinct_counts_documents": _distinct_counts_documents,
+        "value_counts_source": _value_counts_source,
+        "events_by_type": _events_by_type,
+        "orders_monthly": _orders_monthly,
+        "filter_highvalue": _filter_highvalue,
+        "token_stats_documents": _token_stats_documents,
+        "char_classes_documents": _char_classes_documents,
+        "dedup_exact_documents": _dedup_exact_documents,
+        "fingerprint_md5": _fingerprint_md5,
+        "topk_cosine": _topk_cosine,
+        # rows-only (no oracle_sql entry):
+        "langid_documents": _langid_documents,
+        "quality_filter_documents": _quality_filter_documents,
+        "minhash_duplicate_groups": _minhash_duplicate_groups,
+        "simhash_signatures": _simhash_signatures,
+        "embedding_neardup": _embedding_neardup,
+        "ivf_topk": _ivf_topk,
+        "profile_report_documents": _profile_report_documents,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------- oracles
+
+
+def _profile_numeric_sql() -> str:
+    parts = []
+    for c in _LINEITEM_NUMERIC:
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS total_count, "
+            f"COUNT(*) - COUNT({c}) AS null_count, "
+            f"MIN({c})::DOUBLE AS \"min\", MAX({c})::DOUBLE AS \"max\", "
+            f"ROUND(AVG({c}), 4) AS mean, ROUND(STDDEV_SAMP({c}), 4) AS std_dev "
+            f"FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _null_stats_sql() -> str:
+    parts = []
+    for c, stringy in _EVENTS_COLS:
+        null_expr = (
+            f"COUNT(*) FILTER (WHERE {_NULL_LIKE.format(c=c)})"
+            if stringy else f"COUNT(*) - COUNT({c})"
+        )
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS total_count, "
+            f"{null_expr} AS null_count FROM events"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _distinct_counts_sql() -> str:
+    parts = []
+    for c, stringy in _DOC_COLS:
+        expr = (
+            f"COUNT(DISTINCT CASE WHEN {_NULL_LIKE.format(c=c)} THEN NULL ELSE {c} END)"
+            if stringy else f"COUNT(DISTINCT {c})"
+        )
+        parts.append(f"SELECT '{c}' AS column_name, {expr} AS unique_count FROM documents")
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4, "
+            "COUNT(*) AS count_order, "
+            "ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty, "
+            "ROUND(SUM(l_discount) / COUNT(*), 4) AS avg_disc "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "profile_numeric_lineitem": _profile_numeric_sql(),
+        "null_stats_events": _null_stats_sql(),
+        "distinct_counts_documents": _distinct_counts_sql(),
+        "value_counts_source": (
+            "SELECT source, COUNT(*) AS cnt FROM documents "
+            "GROUP BY source ORDER BY cnt DESC, source LIMIT 10"
+        ),
+        "events_by_type": (
+            "SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value, "
+            "MIN(value) AS min_value, MAX(value) AS max_value, "
+            "ROUND(SUM(value) / COUNT(*), 4) AS avg_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "orders_monthly": (
+            "SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m, "
+            "COUNT(*) AS cnt, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents "
+            "FROM orders GROUP BY 1, 2"
+        ),
+        "filter_highvalue": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+            "FROM lineitem WHERE l_quantity >= 45 AND l_discount < 0.05"
+        ),
+        "token_stats_documents": (
+            "SELECT doc_id, LENGTH(text) AS n_chars, "
+            "CASE WHEN TRIM(text, ' \t\n\r') = '' THEN 0 "
+            "ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text, ' \t\n\r'), '\\s+')) END AS n_tokens, "
+            "LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]|[^\\sA-Za-z0-9]')) AS n_subwords "
+            "FROM documents"
+        ),
+        "char_classes_documents": (
+            "SELECT doc_id, LENGTH(text) AS n_chars, "
+            "LEN(REGEXP_EXTRACT_ALL(text, '[A-Z]')) AS n_upper, "
+            "LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS n_digit, "
+            "LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]')) AS n_alpha, "
+            "LEN(REGEXP_EXTRACT_ALL(text, '\\s')) AS n_space "
+            "FROM documents"
+        ),
+        "dedup_exact_documents": (
+            "SELECT * FROM documents "
+            "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"
+        ),
+        "fingerprint_md5": "SELECT doc_id, MD5(text) AS md5 FROM documents",
+        "topk_cosine": (
+            "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos "
+            "FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_id, vec_id, cos, "
+            "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM s) "
+            "SELECT query_id, vec_id, ROUND(cos, 4) AS cosine FROM r WHERE rn <= 10"
+        ),
+    }

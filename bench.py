@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line.
+
+--scaling: run the flagship quality-filter pipeline twice in FRESH
+subprocesses (num_cpus=8 then num_cpus=32) over the identical corpus and
+report both throughputs + scaling efficiency (sandbox stand-in for the
+north rule's N- vs 4N-node clusters).
+
+The flagship corpus is synthesized deterministically (seed 42, see
+dataprof_ray.sources.corpus) under /tmp and cached across runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "40000"))
+
+
+def corpus_path(n_docs: int) -> str:
+    import glob
+
+    path = f"/tmp/dataprof_bench_corpus_{n_docs}"
+    if not glob.glob(f"{path}/*.parquet"):
+        from dataprof_ray.sources.corpus import write_corpus_parquet
+
+        write_corpus_parquet(path, n_docs, shards=32)
+    return path
+
+
+def consume(ds) -> int:
+    """Stream the dataset to completion; return row count."""
+    total = 0
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        total += batch.num_rows
+    return total
+
+
+def run_quality_filter(corpus_dir: str, cpus: int) -> tuple[int, float]:
+    from dataprof_ray.pipelines import quality_filter as QF
+
+    ds = QF.read_corpus(corpus_dir)
+    t0 = time.perf_counter()
+    out = QF.run_quality_filter(
+        ds,
+        langid_concurrency=(1, cpus),
+        perplexity_concurrency=(1, cpus),
+        score_concurrency=(1, cpus),
+        batch_size=1024,
+    )
+    rows = consume(out)
+    return rows, time.perf_counter() - t0
+
+
+def bench_queries() -> dict[str, float]:
+    """Time each headline pipeline over SF_DIR; returns name -> seconds."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    names = [
+        "q1_pricing", "profile_numeric_lineitem", "profile_report_documents",
+        "token_stats_documents", "dedup_exact_documents",
+        "minhash_duplicate_groups", "topk_cosine", "langid_documents",
+    ]
+    qs = E.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "iter_batches"):
+            consume(res)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    corpus = corpus_path(BENCH_DOCS)
+
+    docs, qf_sec = run_quality_filter(corpus, NUM_CPUS)
+    queries = bench_queries()
+    queries["quality_filter"] = round(qf_sec, 3)
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "total_pipeline_time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "quality_filter_docs": docs,
+        "docs_per_sec": round(docs / qf_sec, 1),
+    }))
+    ray.shutdown()
+
+
+def scaling_worker(cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+             logging_level="ERROR")
+    corpus = corpus_path(BENCH_DOCS)
+    docs, sec = run_quality_filter(corpus, cpus)
+    print(json.dumps({"cpus": cpus, "docs": docs, "sec": round(sec, 3),
+                      "docs_per_sec": round(docs / sec, 1)}))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same job, fresh sessions, 8 vs 32 CPUs on identical input."""
+    corpus_path(BENCH_DOCS)  # pre-generate so neither run pays generation
+    results = []
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-run", str(cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results.append(json.loads(line))
+    low, high = results
+    ratio = high["cpus"] / low["cpus"]
+    eff = (high["docs_per_sec"] / low["docs_per_sec"]) / ratio
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "fraction",
+        "runs": results,
+        "cpu_ratio": ratio,
+        "docs": BENCH_DOCS,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling-run" in sys.argv:
+        scaling_worker(int(sys.argv[sys.argv.index("--scaling-run") + 1]))
+    elif "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

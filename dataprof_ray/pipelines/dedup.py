@@ -372,7 +372,9 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
         .to_pandas()
     )
     if pairs.empty:
-        return pairs
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "cosine": pd.Series(dtype=np.float64)})
     pairs["id_a"] = pairs["id_a"].astype(np.int64)
     pairs["id_b"] = pairs["id_b"].astype(np.int64)
     return pairs.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -118,6 +118,46 @@ def top_terms(ds, k: int = 20, text_col: str = "text", min_len: int = 1):
     )
 
 
+_UPPER = re.compile(r"[A-Z]")
+_DIGIT = re.compile(r"[0-9]")
+_ALPHA = re.compile(r"[A-Za-z]")
+_SPACE = re.compile(r"\s")
+
+
+def char_classes_stage(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-document ASCII character-class counts. Integer-exact and pinned to
+    RE2-compatible classes so the DuckDB oracle (regexp_extract_all) matches
+    bit-for-bit — unlike ``str.isupper``-style unicode predicates."""
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    n_chars = np.zeros(n, dtype=np.int64)
+    n_upper = np.zeros(n, dtype=np.int64)
+    n_digit = np.zeros(n, dtype=np.int64)
+    n_alpha = np.zeros(n, dtype=np.int64)
+    n_space = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_chars[i] = len(t)
+        n_upper[i] = len(_UPPER.findall(t))
+        n_digit[i] = len(_DIGIT.findall(t))
+        n_alpha[i] = len(_ALPHA.findall(t))
+        n_space[i] = len(_SPACE.findall(t))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_upper": pa.array(n_upper, pa.int64()),
+        "n_digit": pa.array(n_digit, pa.int64()),
+        "n_alpha": pa.array(n_alpha, pa.int64()),
+        "n_space": pa.array(n_space, pa.int64()),
+    })
+
+
+def char_classes(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: char_classes_stage(b, text_col, id_col), batch_format="pyarrow"
+    )
+
+
 def langid_stage_factory():
     from dataprof_ray.functions.docquality import LangIdModel
 
