@@ -304,7 +304,17 @@ def _minhash_duplicate_groups(sf_dir: str) -> pd.DataFrame:
     from dataprof_ray.pipelines import dedup as D
 
     return D.minhash_lsh_duplicate_groups(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]), concurrency=(1, 4)
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), concurrency=(1, 4),
+        verify_threshold=0.5,
+    )
+
+
+def _ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines import dedup as D
+
+    return D.ngram_jaccard_duplicate_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        n=3, threshold=0.5, concurrency=(1, 4),
     )
 
 
@@ -375,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _langid_documents,
         "quality_filter_documents": _quality_filter_documents,
         "minhash_duplicate_groups": _minhash_duplicate_groups,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "simhash_signatures": _simhash_signatures,
         "embedding_neardup": _embedding_neardup,
         "ivf_topk": _ivf_topk,

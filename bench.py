@@ -25,6 +25,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "40000"))
+SCALING_DOCS = int(os.environ.get("SCALING_DOCS", "800000"))
 
 
 def corpus_path(n_docs: int) -> str:
@@ -47,18 +48,20 @@ def consume(ds) -> int:
 
 
 def run_quality_filter(corpus_dir: str, cpus: int) -> tuple[int, float]:
+    """Fused actor-pool configuration; consumed with a distributed count so
+    the driver never becomes the sink bottleneck."""
     from dataprof_ray.pipelines import quality_filter as QF
 
     ds = QF.read_corpus(corpus_dir)
     t0 = time.perf_counter()
+    # Fixed pool of cpus-2 (floor 3/4): autoscaling ramps too slowly for
+    # short jobs (measured 2.6x slower at 32 cpus), while a pool of ALL
+    # cpus starves the read tasks (measured 20x slower at 8 cpus).
+    pool = max(1, cpus - 2, (cpus * 3) // 4)
     out = QF.run_quality_filter(
-        ds,
-        langid_concurrency=(1, cpus),
-        perplexity_concurrency=(1, cpus),
-        score_concurrency=(1, cpus),
-        batch_size=1024,
+        ds, score_concurrency=pool, batch_size=1024, fused=True,
     )
-    rows = consume(out)
+    rows = out.count()
     return rows, time.perf_counter() - t0
 
 
@@ -113,7 +116,7 @@ def scaling_worker(cpus: int) -> None:
 
     ray.init(address="local", num_cpus=cpus, include_dashboard=False,
              logging_level="ERROR")
-    corpus = corpus_path(BENCH_DOCS)
+    corpus = corpus_path(SCALING_DOCS)
     docs, sec = run_quality_filter(corpus, cpus)
     print(json.dumps({"cpus": cpus, "docs": docs, "sec": round(sec, 3),
                       "docs_per_sec": round(docs / sec, 1)}))
@@ -121,10 +124,17 @@ def scaling_worker(cpus: int) -> None:
 
 
 def scaling() -> None:
-    """Same job, fresh sessions, 8 vs 32 CPUs on identical input."""
-    corpus_path(BENCH_DOCS)  # pre-generate so neither run pays generation
+    """Same job, fresh sessions, N vs 4N CPUs on identical input.
+
+    Pair configurable via SCALING_CPUS="8,32" (default). Note this sandbox
+    runs both levels on ONE socket, so the high level pays a shared
+    memory-bandwidth/turbo penalty a real N- vs 4N-NODE cluster does not
+    (see BASELINE.md: a no-Ray multiprocessing control shows the same
+    per-core degradation)."""
+    pair = tuple(int(x) for x in os.environ.get("SCALING_CPUS", "8,32").split(","))
+    corpus_path(SCALING_DOCS)  # pre-generate so neither run pays generation
     results = []
-    for cpus in (8, 32):
+    for cpus in pair:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-run", str(cpus)],
             capture_output=True, text=True, check=True,
@@ -140,7 +150,7 @@ def scaling() -> None:
         "unit": "fraction",
         "runs": results,
         "cpu_ratio": ratio,
-        "docs": BENCH_DOCS,
+        "docs": SCALING_DOCS,
     }))
 
 

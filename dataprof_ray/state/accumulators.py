@@ -456,6 +456,10 @@ class StreamingStatistics:
             self.update_boolean_array(arr)
         elif pa.types.is_timestamp(t) or pa.types.is_date(t):
             self.kind = self.kind or "timestamp"
+            if pa.types.is_date(t):
+                # date32/date64 (e.g. Arrow CSV date inference) -> timestamp
+                # so the pandas .dt path applies
+                arr = pc.cast(arr, pa.timestamp("us"))
             self.update_timestamp_array(arr)
         elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
             self.kind = self.kind or "binary"

@@ -121,3 +121,35 @@ def test_minhash_deterministic(ray_session, doc_table):
     g1 = D.minhash_lsh_duplicate_groups(rd.from_arrow(doc_table), num_perm=32, bands=8)
     g2 = D.minhash_lsh_duplicate_groups(rd.from_arrow(doc_table).repartition(5), num_perm=32, bands=8)
     assert g1.sort_values("id").values.tolist() == g2.sort_values("id").values.tolist()
+
+
+def test_minhash_verify_restores_precision(ray_session, doc_table):
+    import ray.data as rd
+
+    groups = D.minhash_lsh_duplicate_groups(
+        rd.from_arrow(doc_table).repartition(4), num_perm=64, bands=16,
+        verify_threshold=0.8,
+    )
+    mapping = dict(zip(groups.id, groups.canonical_id))
+    # exact dups survive verification
+    for j in range(5):
+        assert mapping.get(80 + j) == j
+    # every confirmed edge really is >= threshold jaccard
+    texts = {i: t for i, t in zip(doc_table.column("doc_id").to_pylist(),
+                                  doc_table.column("text").to_pylist())}
+    for i, c in mapping.items():
+        if i != c:
+            assert D.jaccard(texts[i], texts[c]) >= 0.8
+
+
+def test_ngram_jaccard_pairs(ray_session, doc_table):
+    import ray.data as rd
+
+    pairs = D.ngram_jaccard_duplicate_pairs(
+        rd.from_arrow(doc_table).repartition(4), n=3, threshold=0.8,
+    )
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for j in range(5):  # exact dups: jaccard 1.0
+        assert (j, 80 + j) in found
+    for _, row in pairs.iterrows():
+        assert row.jaccard >= 0.8

@@ -1,0 +1,99 @@
+"""CSV sniffing / ragged policy + JSONL error policy + in-memory dispatch."""
+
+import json
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from dataprof_ray.sources import readers as RD
+
+
+class TestSniff:
+    def test_comma(self):
+        assert RD.sniff_delimiter(b"a,b,c\n1,2,3\n4,5,6\n") == ","
+
+    def test_semicolon(self):
+        assert RD.sniff_delimiter(b"a;b;c\n1;2;3\n4;5;6\n") == ";"
+
+    def test_tab(self):
+        assert RD.sniff_delimiter(b"a\tb\n1\t2\n") == "\t"
+
+    def test_pipe(self):
+        assert RD.sniff_delimiter(b"a|b|c\n1|2|3\n") == "|"
+
+    def test_quoted_delimiters_ignored(self):
+        # commas inside quotes must not fool the scorer toward commas
+        assert RD.sniff_delimiter(b'a;b\n"x,y,z";2\n"q,r";4\n') == ";"
+
+
+class TestCsv(object):
+    def test_read_sniffed(self, ray_session, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_text("a;b;c\n1;x;2.5\n2;y;3.5\n")
+        df = RD.read_csv(str(p)).to_pandas()
+        assert list(df.columns) == ["a", "b", "c"]
+        assert df["a"].tolist() == [1, 2]
+
+    def test_column_projection(self, ray_session, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_text("a,b,c\n1,x,2.5\n")
+        df = RD.read_csv(str(p), columns=["a", "c"]).to_pandas()
+        assert list(df.columns) == ["a", "c"]
+
+
+class TestJsonl:
+    def test_skip_counts_malformed(self, ray_session, tmp_path):
+        p = tmp_path / "t.jsonl"
+        p.write_text('{"a": 1}\nnot json\n{"a": 2, "b": "x"}\n[1,2]\n')
+        res = RD.read_jsonl(str(p), policy="skip")
+        df = res.dataset.to_pandas()
+        assert len(df) == 2
+        assert res.error_count == 2
+
+    def test_strict_raises(self, ray_session, tmp_path):
+        p = tmp_path / "t.jsonl"
+        p.write_text('{"a": 1}\nnot json\n')
+        res = RD.read_jsonl(str(p), policy="strict")
+        with pytest.raises(Exception, match="malformed|RayTaskError"):
+            res.dataset.to_pandas()
+
+    def test_late_keys_backfilled(self, ray_session, tmp_path):
+        p = tmp_path / "t.jsonl"
+        p.write_text('{"a": 1}\n{"a": 2, "late": "x"}\n')
+        df = RD.read_jsonl(str(p)).dataset.to_pandas()
+        assert df["late"].tolist()[0] is None or pd.isna(df["late"].tolist()[0])
+
+    def test_nested_flattened_to_json_string(self, ray_session, tmp_path):
+        p = tmp_path / "t.jsonl"
+        p.write_text('{"a": [1, 2], "b": {"k": 1}}\n')
+        df = RD.read_jsonl(str(p)).dataset.to_pandas()
+        assert json.loads(df["a"][0]) == [1, 2]
+        assert json.loads(df["b"][0]) == {"k": 1}
+
+    def test_bad_policy(self):
+        with pytest.raises(ValueError, match="policy"):
+            RD.read_jsonl("/nonexistent", policy="wat")
+
+
+class TestFromAny:
+    def test_dict(self, ray_session):
+        assert RD.from_any({"x": [1, 2, 3]}).count() == 3
+
+    def test_records(self, ray_session):
+        assert RD.from_any([{"x": 1}, {"x": 2}]).count() == 2
+
+    def test_arrow(self, ray_session):
+        assert RD.from_any(pa.table({"x": [1]})).count() == 1
+
+    def test_pandas(self, ray_session):
+        assert RD.from_any(pd.DataFrame({"x": [1, 2]})).count() == 2
+
+    def test_polars(self, ray_session):
+        import polars as pl
+
+        assert RD.from_any(pl.DataFrame({"x": [1, 2]})).count() == 2
+
+    def test_unsupported(self):
+        with pytest.raises(TypeError):
+            RD.from_any(42)
