@@ -65,11 +65,29 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
 
 def minhash_signature_matrix(texts: list, num_perm: int, shingle_k: int,
                              a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Per-batch signatures: one (n_docs, num_perm) matrix, vectorized over
-    permutations x shingles per document."""
+    """Per-batch signatures: one (n_docs, num_perm) matrix.
+
+    All documents' shingles are hashed in ONE polars call (a per-document
+    Series costs ~100us of construction overhead — the old hot spot), then
+    sliced back per document for the permutation min-fold."""
+    import polars as pl
+
+    all_shingles: list = []
+    offsets = [0]
+    for text in texts:
+        norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+        if len(norm) < shingle_k:
+            norm = norm + " " * (shingle_k - len(norm))
+        all_shingles.extend(sorted({norm[i: i + shingle_k]
+                                    for i in range(len(norm) - shingle_k + 1)}))
+        offsets.append(len(all_shingles))
+    hashes = (
+        pl.Series(all_shingles).hash(seed=0).to_numpy().astype(np.uint64)
+        if all_shingles else np.empty(0, dtype=np.uint64)
+    )
     out = np.empty((len(texts), num_perm), dtype=np.uint64)
-    for d, text in enumerate(texts):
-        out[d, :] = minhash_signature(_token_hashes(text, shingle_k), a, b)
+    for d in range(len(texts)):
+        out[d, :] = minhash_signature(hashes[offsets[d]: offsets[d + 1]], a, b)
     return out
 
 
@@ -199,34 +217,38 @@ def id_col_name(id_col: str) -> str:
 
 
 def _fetch_texts(ds, ids: set, text_col: str, id_col: str) -> dict:
-    """Distributed lookup of the texts for a (small) candidate id set: the id
-    set is broadcast once via ray.put, each batch emits only its members.
-    Driver materializes |candidates| texts, not the corpus."""
-    import ray
+    """Distributed lookup of the texts for a (small) candidate id set via a
+    vectorized ``pc.is_in`` semi-filter (stateless tasks — no actor pool to
+    spin up). The id set ships with the task spec (8 bytes/id); switch to a
+    ``ray.put`` broadcast + actor pool if the candidate set ever outgrows
+    task-arg size. Driver materializes |candidates| texts, not the corpus."""
+    import pyarrow.compute as pc
 
-    ids_ref = ray.put(frozenset(int(i) for i in ids))
+    wanted = pa.array(sorted(int(i) for i in ids), pa.int64())
 
-    class Fetch:
-        def __init__(self, ref) -> None:
-            self.wanted = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            mask = np.fromiter((int(i) in self.wanted for i in batch_ids),
-                               dtype=bool, count=len(batch_ids))
-            return batch.filter(pa.array(mask))
+    def fetch(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col), value_set=wanted)
+        return batch.filter(pc.fill_null(mask, False))
 
     rows = ds.select_columns([id_col, text_col]).map_batches(
-        Fetch, batch_format="pyarrow", concurrency=(1, 4),
-        fn_constructor_kwargs={"ref": ids_ref},
+        fetch, batch_format="pyarrow"
     ).take_all()
     return {int(r[id_col]): r[text_col] for r in rows}
+
+
+_EDGE_PARTITIONS = 64
 
 
 def _lsh_candidate_edges(ds, text_col, id_col, num_perm, bands, shingle_k,
                          concurrency):
     """MinHash band buckets -> per-bucket (src -> bucket-min) candidate edges.
-    The groupby shuffles (band_id, band_hash, id) triples — bytes per doc."""
+
+    The groupby shuffles (band_id, band_hash, id) triples — bytes per doc —
+    keyed on a COARSE partition of the bucket hash (bucket rows co-locate,
+    but Ray sees only `_EDGE_PARTITIONS` groups instead of one tiny group per
+    bucket; inside each group the per-bucket minima come from one vectorized
+    pandas transform). map_groups over millions of single-row groups was the
+    wall-clock hotspot."""
     import pandas as pd
 
     bands_ds = ds.map_batches(
@@ -236,17 +258,23 @@ def _lsh_candidate_edges(ds, text_col, id_col, num_perm, bands, shingle_k,
         concurrency=concurrency,
     )
 
-    def bucket_edges(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"src": [], "dst": []}).astype(np.int64)
-        ids = group[id_col].to_numpy()
-        lo = ids.min()
-        src = ids[ids != lo]
-        return pd.DataFrame({"src": src, "dst": np.full(len(src), lo, dtype=np.int64)})
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch.column("band_hash").to_numpy(zero_copy_only=False)
+                % np.uint64(_EDGE_PARTITIONS)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def partition_edges(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df.groupby(["band_id", "band_hash"])[id_col].transform("min")
+        mask = (df[id_col] != lo).to_numpy()
+        return pd.DataFrame({
+            "src": df[id_col].to_numpy()[mask],
+            "dst": lo.to_numpy()[mask],
+        }).astype(np.int64)
 
     return (
-        bands_ds.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_edges, batch_format="pandas")
+        bands_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_edges, batch_format="pandas")
         .to_pandas()
     )
 
@@ -275,9 +303,21 @@ def ngram_jaccard_duplicate_pairs(
     if edges.empty:
         return empty
     texts = _fetch_texts(ds, set(edges["src"]) | set(edges["dst"]), text_col, id_col)
+
+    def _grams(t: str) -> set:
+        w = (t or "").lower().split()
+        return {tuple(w[i: i + n]) for i in range(max(len(w) - n + 1, 0))}
+
+    grams = {i: _grams(t) for i, t in texts.items()}
     rows = []
     for s, d in edges[["src", "dst"]].itertuples(index=False):
-        j = ngram_jaccard(texts.get(int(s), ""), texts.get(int(d), ""), n)
+        ga, gb = grams.get(int(s), set()), grams.get(int(d), set())
+        if not ga and not gb:
+            j = 1.0
+        elif not ga or not gb:
+            j = 0.0
+        else:
+            j = len(ga & gb) / len(ga | gb)
         if j >= threshold:
             a, b = sorted((int(s), int(d)))
             rows.append((a, b, j))
@@ -316,8 +356,17 @@ def minhash_lsh_duplicate_groups(
     if not edges.empty and verify_threshold is not None:
         edges = edges.drop_duplicates(["src", "dst"])
         texts = _fetch_texts(ds, set(edges["src"]) | set(edges["dst"]), text_col, id_col)
+        # shingle-hash each candidate doc ONCE; pair verify is then set ops
+        shs = {i: set(_token_hashes(t, shingle_k).tolist()) for i, t in texts.items()}
+
+        def _jac(a: int, b: int) -> float:
+            sa, sb = shs.get(a, set()), shs.get(b, set())
+            if not sa and not sb:
+                return 1.0
+            return len(sa & sb) / len(sa | sb)
+
         ok = [
-            jaccard(texts.get(int(s), ""), texts.get(int(d), ""), shingle_k) >= verify_threshold
+            _jac(int(s), int(d)) >= verify_threshold
             for s, d in edges[["src", "dst"]].itertuples(index=False)
         ]
         edges = edges[np.asarray(ok, dtype=bool)]
@@ -380,26 +429,37 @@ def simhash_duplicate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             "simhash": pa.array(np.repeat(sh, 4), pa.uint64()),
         })
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(np.int64)
-        g = group.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        # keep only buckets with >=2 members (vectorized), then pair within
+        dup = part.duplicated(["band", "key"], keep=False)
+        part = part[dup]
         out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                h = hamming64(int(sh[i]), int(sh[j]))
-                if h <= max_hamming:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_h.append(h)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h}).astype(np.int64)
+        for (_, _), g in part.groupby(["band", "key"], sort=False):
+            g = g.drop_duplicates(id_col).sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            sh = g["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    h = hamming64(int(sh[i]), int(sh[j]))
+                    if h <= max_hamming:
+                        out_a.append(int(ids[i]))
+                        out_b.append(int(ids[j]))
+                        out_h.append(h)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "hamming": out_h}).astype(np.int64)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        # coarse shuffle key: bucket rows co-locate, Ray sees 64 groups
+        # instead of one per (band, 16-bit key) — see _lsh_candidate_edges
+        part = (batch.column("key").to_numpy(zero_copy_only=False)
+                % np.uint64(_EDGE_PARTITIONS)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
 
     pairs = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
         .to_pandas()
     )
     if pairs.empty:

@@ -33,6 +33,9 @@ from dataprof_ray.functions import patterns as P
 from dataprof_ray.functions import quality as Q
 from dataprof_ray.state import accumulators as A
 
+_WEEKDAY_NAMES = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+                  "Saturday", "Sunday"]
+
 
 class PartialProfiler:
     """map_batches callable: one ColumnCollection per batch, emitted as a
@@ -182,7 +185,9 @@ def build_profile(
                 if stats.ts_min is not None else 0.0,
                 year_distribution=dict(stats.year_dist),
                 month_distribution=dict(stats.month_dist),
-                day_of_week_distribution=dict(stats.weekday_dist),
+                day_of_week_distribution={
+                    _WEEKDAY_NAMES[k]: v for k, v in sorted(stats.weekday_dist.items())
+                },
                 hour_distribution=dict(stats.hour_dist) if stats.has_time_component else None,
             )
             invalid_count = 0

@@ -61,16 +61,11 @@ def hash64(values) -> np.ndarray:
 
 
 def _bitlen64(x: np.ndarray) -> np.ndarray:
-    """Vectorized floor(log2(x))+1 for uint64 (0 for x==0)."""
-    r = np.zeros(x.shape, dtype=np.uint64)
-    x = x.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        s = np.uint64(shift)
-        mask = x >= (np.uint64(1) << s)
-        r[mask] += s
-        x[mask] >>= s
-    r[x > 0] += np.uint64(1)
-    return r
+    """Vectorized floor(log2(x))+1 (0 for x==0). Valid for x < 2^53 — the
+    only caller feeds 50-bit HLL windows, exactly representable in float64,
+    where frexp's exponent IS the bit length."""
+    _, e = np.frexp(x.astype(np.float64))
+    return e.astype(np.uint64)
 
 
 class WelfordAccumulator:
@@ -216,17 +211,25 @@ class ReservoirSampler:
         self.rng = np.random.default_rng(seed & 0xFFFF_FFFF_FFFF_FFFF)
 
     def offer_batch(self, values: list) -> None:
-        n = len(values)
+        self.offer_lazy(len(values), lambda idx: [values[k] for k in idx])
+
+    def offer_lazy(self, n: int, take) -> None:
+        """Offer ``n`` values, materializing ONLY the accepted ones:
+        ``take(indices) -> list`` is called for the fill slice and the
+        replacement hits. Saves the per-batch to_pylist of values the
+        reservoir would discard anyway (the hot path at scale). The RNG
+        consumption (one ``random(m)`` draw per replacement-phase batch) is
+        identical to the eager variant, so sampling decisions are too."""
         if n == 0:
             return
         cap = self.capacity
         i = 0
         # fill phase
         if len(self.reservoir) < cap:
-            take = min(cap - len(self.reservoir), n)
-            self.reservoir.extend(values[:take])
-            self.count += take
-            i = take
+            take_n = min(cap - len(self.reservoir), n)
+            self.reservoir.extend(take(np.arange(take_n)))
+            self.count += take_n
+            i = take_n
         if i >= n:
             return
         # replacement phase, vectorized draw
@@ -234,10 +237,20 @@ class ReservoirSampler:
         t = self.count + np.arange(m, dtype=np.int64)  # items seen before each offer
         draws = (self.rng.random(m) * (t + 1)).astype(np.int64)
         hits = np.nonzero(draws < cap)[0]
-        res = self.reservoir
-        for j in hits.tolist():
-            res[draws[j]] = values[i + j]
+        if len(hits):
+            vals = take(hits + i)
+            res = self.reservoir
+            for v, j in zip(vals, hits.tolist()):
+                res[draws[j]] = v
         self.count += m
+
+    def offer_arrow(self, arr) -> None:
+        self.offer_lazy(
+            len(arr), lambda idx: arr.take(pa.array(idx, pa.int64())).to_pylist()
+        )
+
+    def offer_ndarray(self, values: np.ndarray) -> None:
+        self.offer_lazy(len(values), lambda idx: values[idx].tolist())
 
     def shrink_to(self, new_capacity: int) -> None:
         self.capacity = max(new_capacity, 1)
@@ -254,11 +267,12 @@ class ReservoirSampler:
         if total <= self.capacity:
             self.reservoir = combined
         else:
-            # partial Fisher-Yates of the first `capacity` slots (streaming_stats.rs:180-195)
-            for index in range(self.capacity):
-                swap_with = index + int(self.rng.integers(0, total - index))
-                combined[index], combined[swap_with] = combined[swap_with], combined[index]
-            self.reservoir = combined[: self.capacity]
+            # uniform without-replacement draw — same distribution as the
+            # reference's partial Fisher-Yates (streaming_stats.rs:180-195)
+            # in ONE vectorized RNG call (the per-slot loop was the driver
+            # merge hotspot: 10k RNG calls x partials x columns)
+            idx = self.rng.choice(total, size=self.capacity, replace=False)
+            self.reservoir = [combined[i] for i in idx]
         self.count += other.count
 
 
@@ -309,6 +323,12 @@ import re as _re
 _RAW_DATE_CANDIDATE_RE = _re.compile(
     r"^(?:\d{4}[-/.]\d{2}[-/.]|\d{2}[-/.]\d{2}[-/.]\d{4})"
 )
+# RE2 equivalents for pyarrow.compute.match_substring_regex (anchored).
+_RAW_DATE_CANDIDATE_PATTERN = r"^(\d{4}[-/.]\d{2}[-/.]|\d{2}[-/.]\d{2}[-/.]\d{4})"
+_NUMERIC_SHAPE_PATTERN = (
+    r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$|^[+-]?[iI][nN][fF]([iI][nN][iI][tT][yY])?$"
+    r"|^[+-]?[nN][aA][nN]$"
+)
 
 
 class StreamingStatistics:
@@ -345,39 +365,54 @@ class StreamingStatistics:
     # ---- update paths ----
 
     def update_string_array(self, arr: pa.Array) -> None:
-        """Full reference semantics for string values, vectorized."""
-        import pandas as pd
-
+        """Full reference semantics for string values — pyarrow.compute
+        kernels end to end (the pandas object-dtype version was 3x slower)."""
         n = len(arr)
         self.count += n
         if n == 0:
             return
-        s = arr.to_pandas()  # str or None
-        stripped = s.str.strip()
-        null_like = s.isna() | (stripped == "") | stripped.str.lower().isin(("null", "nan"))
-        self.null_count += int(null_like.sum())
-        vals = s[~null_like]
-        if vals.empty:
+        trimmed = pc.utf8_trim_whitespace(arr)
+        null_like = pc.fill_null(
+            pc.or_kleene(
+                pc.is_null(arr),
+                pc.is_in(pc.utf8_lower(trimmed),
+                         value_set=pa.array(["", "null", "nan"])),
+            ),
+            True,
+        )
+        n_null = int(pc.sum(pc.cast(null_like, pa.int64())).as_py() or 0)
+        self.null_count += n_null
+        if n_null == n:
             return
-        # distinct + sample + lengths over raw (untrimmed) values
-        self.cardinality.add_hashes(hash64(vals.tolist()))
-        self.sampler.offer_batch(vals.tolist())
-        lengths = vals.str.encode("utf-8").str.len().to_numpy(dtype=np.int64)
+        keep = pc.invert(null_like)
+        vals = arr.filter(keep)  # raw (untrimmed) values
+        # distinct + sample + byte lengths over raw values
+        self.cardinality.add_hashes(hash64(vals))
+        self.sampler.offer_arrow(vals)
+        lengths = pc.binary_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
         self.text_lengths.update_lengths(lengths)
         # full-stream temporal match count (untrimmed candidates, calendar-valid)
-        cand = vals[vals.str.match(_RAW_DATE_CANDIDATE_RE)]
-        if not cand.empty:
-            self.date_match_count += sum(
-                1 for v in cand.tolist() if kernels.parse_raw_datetime_year(v) is not None
-            )
-        # numeric parse (Rust f64 semantics approximated by pandas to_numeric)
-        nums = pd.to_numeric(vals.str.strip(), errors="coerce")
-        nums = nums[np.isfinite(nums)]
-        if not nums.empty:
-            a = nums.to_numpy(dtype=np.float64)
-            self.welford.update_batch(a)
-            self.min = min(self.min, float(a.min()))
-            self.max = max(self.max, float(a.max()))
+        cand_mask = pc.match_substring_regex(vals, _RAW_DATE_CANDIDATE_PATTERN)
+        if pc.any(cand_mask).as_py():
+            for v in vals.filter(cand_mask).to_pylist():
+                if kernels.parse_raw_datetime_year(v) is not None:
+                    self.date_match_count += 1
+        # numeric parse: cheap shape prefilter, then cast only the matches
+        # (Rust parse::<f64> semantics: decimals, exponents, inf/nan)
+        num_mask = pc.match_substring_regex(trimmed.filter(keep), _NUMERIC_SHAPE_PATTERN)
+        if pc.any(num_mask).as_py():
+            cand = trimmed.filter(keep).filter(num_mask)
+            try:
+                nums = pc.cast(cand, pa.float64()).to_numpy(zero_copy_only=False)
+            except pa.ArrowInvalid:
+                import pandas as pd
+
+                nums = pd.to_numeric(cand.to_pandas(), errors="coerce").to_numpy()
+            a = nums[np.isfinite(nums)]
+            if len(a):
+                self.welford.update_batch(a)
+                self.min = min(self.min, float(a.min()))
+                self.max = max(self.max, float(a.max()))
 
     def update_numeric_array(self, arr: pa.Array) -> None:
         n = len(arr)
@@ -399,7 +434,7 @@ class StreamingStatistics:
         self.min = min(self.min, float(a.min()))
         self.max = max(self.max, float(a.max()))
         self.cardinality.add_hashes(hash64(a))
-        self.sampler.offer_batch(a.tolist())
+        self.sampler.offer_ndarray(a)
 
     def update_boolean_array(self, arr: pa.Array) -> None:
         n = len(arr)
@@ -424,12 +459,15 @@ class StreamingStatistics:
         self.ts_max = hi if self.ts_max is None else max(self.ts_max, hi)
         self.year_dist.update(Counter(s.dt.year.value_counts().to_dict()))
         self.month_dist.update(Counter(s.dt.month.value_counts().to_dict()))
-        self.weekday_dist.update(Counter(s.dt.day_name().value_counts().to_dict()))
-        if (s.dt.hour != 0).any() or (s.dt.minute != 0).any() or (s.dt.second != 0).any():
+        # weekday keyed by int 0=Monday..6; rendered to names at assembly
+        # (day_name() formats a string per row — 10x the cost)
+        self.weekday_dist.update(Counter(s.dt.dayofweek.value_counts().to_dict()))
+        hours = s.dt.hour
+        if (hours != 0).any() or (s.dt.minute != 0).any() or (s.dt.second != 0).any():
             self.has_time_component = True
-        self.hour_dist.update(Counter(s.dt.hour.value_counts().to_dict()))
+        self.hour_dist.update(Counter(hours.value_counts().to_dict()))
         self.cardinality.add_hashes(hash64(s.astype("int64").to_numpy()))
-        self.sampler.offer_batch(s.tolist())
+        self.sampler.offer_lazy(len(s), lambda idx: s.iloc[idx].tolist())
 
     def update_binary_array(self, arr: pa.Array) -> None:
         """Binary columns profiled by length only (record_batch_analyzer.rs:829-853)."""
