@@ -257,6 +257,20 @@ def _fingerprint_md5(sf_dir: str):
     )
 
 
+def _stratified_customer(sf_dir: str):
+    from dataprof_ray.pipelines import sampling as SA
+
+    return SA.stratified_sample(
+        _read(sf_dir, "customer"), ["c_mktsegment"], 20, order_col="c_custkey"
+    )
+
+
+def _systematic_orders(sf_dir: str):
+    from dataprof_ray.pipelines import sampling as SA
+
+    return SA.systematic_by_key(_read(sf_dir, "orders"), "o_orderkey", 40)
+
+
 def _load_queries(sf_dir: str, n: int = 5) -> tuple[np.ndarray, list[int]]:
     import pyarrow.parquet as pq
 
@@ -381,6 +395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": _dedup_exact_documents,
         "fingerprint_md5": _fingerprint_md5,
         "topk_cosine": _topk_cosine,
+        "stratified_customer": _stratified_customer,
+        "systematic_orders": _systematic_orders,
         # rows-only (no oracle_sql entry):
         "langid_documents": _langid_documents,
         "quality_filter_documents": _quality_filter_documents,
@@ -489,6 +505,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"
         ),
         "fingerprint_md5": "SELECT doc_id, MD5(text) AS md5 FROM documents",
+        "stratified_customer": (
+            "SELECT * FROM customer QUALIFY "
+            "ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) <= 20"
+        ),
+        "systematic_orders": "SELECT * FROM orders WHERE o_orderkey % 40 = 0",
         "topk_cosine": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id < 5), "

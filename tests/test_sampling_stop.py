@@ -1,0 +1,149 @@
+"""Sampling strategies (strategies.rs parity) + stop conditions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataprof_ray.pipelines import sampling as SA
+from dataprof_ray.state import stop as ST
+
+
+@pytest.fixture(scope="module")
+def table() -> pa.Table:
+    n = 10_000
+    return pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "key": pa.array([f"k{i % 7}" for i in range(n)]),
+        "weight": pa.array(np.linspace(0, 1, n)),
+        "nullable_key": pa.array([None if i % 10 == 0 else f"g{i % 3}" for i in range(n)]),
+    })
+
+
+def _ds(table):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(8)
+
+
+class TestSampling:
+    def test_random_fraction(self, ray_session, table):
+        out = SA.random_sample(_ds(table), 0.2).count()
+        assert 1400 <= out <= 2600
+
+    def test_reservoir_exact_size_and_uniform(self, ray_session, table):
+        out = SA.reservoir_sample(_ds(table), 500)
+        assert out.num_rows == 500
+        ids = out.column("id").to_numpy()
+        assert len(set(ids.tolist())) == 500  # without replacement
+        assert 2000 < ids.mean() < 8000  # roughly uniform over [0, 10k)
+
+    def test_reservoir_smaller_input(self, ray_session, table):
+        out = SA.reservoir_sample(_ds(table.slice(0, 100)), 500)
+        assert out.num_rows == 100
+
+    def test_reservoir_deterministic(self, ray_session, table):
+        a = SA.reservoir_sample(_ds(table), 50)
+        b = SA.reservoir_sample(_ds(table), 50)
+        assert sorted(a.column("id").to_pylist()) == sorted(b.column("id").to_pylist())
+
+    def test_systematic_positional(self, ray_session, table):
+        out = SA.systematic_sample(_ds(table), 100)
+        assert out.num_rows == 100
+
+    def test_systematic_by_key(self, ray_session, table):
+        out = SA.systematic_by_key(_ds(table), "id", 100).to_pandas()
+        assert len(out) == 100
+        assert (out["id"] % 100 == 0).all()
+
+    def test_stratified_caps_and_excludes_null_keys(self, ray_session, table):
+        out = SA.stratified_sample(_ds(table), ["nullable_key"], 5,
+                                   order_col="id").to_pandas()
+        assert len(out) == 15  # 3 groups x 5; nulls excluded
+        assert out["nullable_key"].notna().all()
+        # deterministic: smallest ids per group
+        g0 = sorted(out[out.nullable_key == "g0"]["id"])
+        assert g0 == sorted(
+            [i for i in range(10_000) if i % 10 != 0 and i % 3 == 0][:5]
+        )
+
+    def test_importance(self, ray_session, table):
+        out = SA.importance_sample(_ds(table), "weight", 0.9).to_pandas()
+        assert (out["weight"] >= 0.9).all()
+        assert len(out) == 1000
+
+    def test_multi_stage(self, ray_session, table):
+        out = SA.multi_stage_sample(_ds(table), [
+            ("importance", "weight", 0.5),
+            ("reservoir", 100),
+        ])
+        assert out.num_rows == 100
+
+    def test_multi_stage_fixed_not_last_rejected(self, ray_session, table):
+        with pytest.raises(ValueError, match="last"):
+            SA.multi_stage_sample(_ds(table), [
+                ("reservoir", 100),
+                ("importance", "weight", 0.5),
+            ])
+
+    def test_adaptive_chooser(self):
+        assert SA.choose_strategy(1000, 1.0)["kind"] == "none"
+        assert SA.choose_strategy(1_000_000, 100)["kind"] == "random"
+        assert SA.choose_strategy(50_000_000, 9000)["kind"] == "reservoir"
+
+
+class TestStopConditions:
+    def test_max_rows_pushdown(self, ray_session, table):
+        cond = ST.StopCondition.max_rows(123)
+        out = ST.apply_stop_condition(_ds(table), cond)
+        assert out.count() == 123  # ds.limit path returns a Dataset
+
+    def test_row_limit_only_classification(self):
+        assert ST.StopCondition.max_rows(10).is_row_limit_only()
+        assert not ST.StopCondition.max_bytes(10).is_row_limit_only()
+        both = ST.StopCondition.any_of(
+            ST.StopCondition.max_rows(10), ST.StopCondition.max_rows(20))
+        assert both.is_row_limit_only() and both.row_limit() == 10
+        all_ = ST.StopCondition.all_of(
+            ST.StopCondition.max_rows(10), ST.StopCondition.max_rows(20))
+        assert all_.row_limit() == 20
+
+    def test_max_bytes_monitor(self, ray_session, table):
+        cond = ST.StopCondition.max_bytes(64 * 1024)
+        out, reason, ev = ST.apply_stop_condition(_ds(table), cond)
+        assert reason == "MaxBytes"
+        assert 0 < out.num_rows < 10_000
+
+    def test_schema_stable(self, ray_session, table):
+        cond = ST.StopCondition.schema_stable(2)
+        out, reason, ev = ST.apply_stop_condition(_ds(table), cond, batch_size=1000)
+        assert reason == "SchemaStable"
+        assert out.num_rows == 3000  # fires on the 3rd identical chunk
+
+    def test_schema_stable_exhausted_before_stable(self, ray_session, table):
+        # too few chunks to confirm stability -> exhaustion, not truncation
+        cond = ST.StopCondition.schema_stable(5)
+        out, reason, ev = ST.apply_stop_condition(_ds(table), cond, batch_size=4000)
+        assert reason is None
+        assert out.num_rows == 10_000
+
+    def test_confidence(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(0)
+        t = pa.table({"x": pa.array(rng.normal(100.0, 1.0, 50_000))})
+        cond = ST.StopCondition.confidence("x", 1e-4)
+        out, reason, ev = ST.apply_stop_condition(rd.from_arrow(t), cond)
+        assert reason == "ConfidenceReached"
+        assert out.num_rows < 50_000
+
+    def test_never(self, ray_session, table):
+        ds = _ds(table)
+        assert ST.apply_stop_condition(ds, ST.StopCondition.never()) is ds
+
+    def test_clamps(self):
+        assert ST.StopCondition.max_rows(10**18).rows == ST.MAX_ROWS_CLAMP
+        assert ST.StopCondition.max_rows(0).rows == 1
+
+    def test_presets(self):
+        assert ST.StopCondition.schema_inference().kind == "any"
+        assert not ST.StopCondition.quality_sample().is_row_limit_only()
