@@ -209,6 +209,91 @@ class _pending_errors:
         return f"<malformed_rows={int(self)}>"
 
 
+# ------------------------------------------------------------------ encoding
+
+
+@dataclass
+class EncodingDiagnosis:
+    """Result of the non-UTF-8 sniffer (robust_csv.rs:99-140): best-guess
+    encoding + byte offset of the first invalid UTF-8 byte."""
+
+    encoding: str
+    first_bad_byte_offset: Optional[int]
+    confident: bool
+
+
+def diagnose_encoding(sample: bytes) -> EncodingDiagnosis:
+    """Guess latin-1 / windows-1252 / utf-16 for non-UTF-8 input, reporting
+    the first bad byte offset (robust_csv.rs:99-140 semantics)."""
+    try:
+        sample.decode("utf-8")
+        return EncodingDiagnosis("utf-8", None, True)
+    except UnicodeDecodeError as e:
+        offset = e.start
+    if sample[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return EncodingDiagnosis("utf-16", offset, True)
+    # NUL bytes in even/odd positions suggest utf-16 without BOM
+    if b"\x00" in sample[: 2 * SNIFF_BYTES // 4]:
+        return EncodingDiagnosis("utf-16", offset, False)
+    # windows-1252 maps 0x80-0x9F to printable punctuation; latin-1 does not
+    high = [b for b in sample if 0x80 <= b <= 0x9F]
+    enc = "windows-1252" if high else "latin-1"
+    return EncodingDiagnosis(enc, offset, False)
+
+
+def read_csv_robust(path: str, **kwargs):
+    """CSV read with encoding diagnosis: UTF-8 fast path; otherwise decode
+    with the diagnosed encoding via a binary-file read + per-file transcode
+    (the reference normalizes the UTF-8 error at the boundary,
+    profiler.rs:1175-1200)."""
+    first = _first_file(path)
+    with open(first, "rb") as f:
+        diag = diagnose_encoding(f.read(SNIFF_BYTES))
+    if diag.encoding == "utf-8":
+        return read_csv(path, **kwargs)
+
+    import pyarrow.csv as pacsv
+    import ray.data as rd
+
+    encoding = diag.encoding
+
+    def transcode_parse(batch: dict) -> pa.Table:
+        tables = []
+        for payload in batch["bytes"]:
+            text = bytes(payload).decode(encoding, errors="replace")
+            tables.append(pacsv.read_csv(io.BytesIO(text.encode("utf-8"))))
+        return pa.concat_tables(tables)
+
+    return rd.read_binary_files(path).map_batches(transcode_parse, batch_format="numpy")
+
+
+# ------------------------------------------------------------------ SQL
+
+
+def read_sql(sql: str, connection_factory, *, parallelism: int = -1,
+             sample_above_rows: Optional[int] = None, sample_rows: int = 100_000,
+             **kwargs):
+    """DB query -> Dataset via ``ray.data.read_sql`` (the reference's
+    Postgres/MySQL/SQLite connectors, dataprof-db/src/). ``sample_above_rows``
+    mirrors the auto-sampling default for >1M-row tables
+    (config.rs:196-226): when the count exceeds it, the query is wrapped
+    with a deterministic modulo sample down to ~``sample_rows``."""
+    import ray.data as rd
+
+    if sample_above_rows is not None:
+        con = connection_factory()
+        try:
+            cur = con.execute(f"SELECT COUNT(*) FROM ({sql})")
+            total = cur.fetchone()[0]
+        finally:
+            con.close()
+        if total > sample_above_rows:
+            every = max(total // sample_rows, 1)
+            sql = (f"SELECT * FROM ({sql}) WHERE (ROWID % {every}) = 0"
+                   if every > 1 else sql)
+    return rd.read_sql(sql, connection_factory, **kwargs)
+
+
 # ------------------------------------------------------------------ in-memory
 
 

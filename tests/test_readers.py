@@ -97,3 +97,53 @@ class TestFromAny:
     def test_unsupported(self):
         with pytest.raises(TypeError):
             RD.from_any(42)
+
+
+class TestEncoding:
+    def test_utf8(self):
+        d = RD.diagnose_encoding("héllo,wörld\n1,2\n".encode("utf-8"))
+        assert d.encoding == "utf-8" and d.first_bad_byte_offset is None
+
+    def test_latin1(self):
+        d = RD.diagnose_encoding("a,b\ncafé,1\n".encode("latin-1"))
+        assert d.encoding == "latin-1"
+        assert d.first_bad_byte_offset == 7  # the é byte
+
+    def test_windows1252(self):
+        d = RD.diagnose_encoding(b"a,b\n\x93quoted\x94,1\n")  # 0x93/0x94 smart quotes
+        assert d.encoding == "windows-1252"
+
+    def test_utf16_bom(self):
+        d = RD.diagnose_encoding("a,b\n1,2\n".encode("utf-16"))
+        assert d.encoding == "utf-16" and d.confident
+
+    def test_read_csv_robust_latin1(self, ray_session, tmp_path):
+        p = tmp_path / "latin.csv"
+        p.write_bytes("name,n\ncafé,1\nnoël,2\n".encode("latin-1"))
+        df = RD.read_csv_robust(str(p)).to_pandas()
+        assert df["name"].tolist() == ["café", "noël"]
+
+
+class TestReadSql:
+    def _factory(self, tmp_path):
+        import sqlite3
+
+        db = str(tmp_path / "t.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE IF NOT EXISTS t (id INTEGER, v REAL)")
+        con.executemany("INSERT INTO t VALUES (?, ?)",
+                        [(i, i * 0.5) for i in range(1000)])
+        con.commit()
+        con.close()
+        return lambda: __import__("sqlite3").connect(db)
+
+    def test_read_all(self, ray_session, tmp_path):
+        f = self._factory(tmp_path)
+        ds = RD.read_sql("SELECT * FROM t", f)
+        assert ds.count() == 1000
+
+    def test_auto_sampling(self, ray_session, tmp_path):
+        f = self._factory(tmp_path)
+        ds = RD.read_sql("SELECT * FROM t", f, sample_above_rows=100, sample_rows=100)
+        n = ds.count()
+        assert n <= 150  # ~every 10th row
