@@ -17,6 +17,9 @@ by bench.py / test fixtures / the driver.
 
 __version__ = "0.1.0"
 
+from dataprof_ray.config import PipelineConfig, SemanticHints  # noqa: F401
+from dataprof_ray.profiler import Profiler, profile  # noqa: F401
+from dataprof_ray.schema import ProfileReport  # noqa: F401
 from dataprof_ray.state.accumulators import (  # noqa: F401
     WelfordAccumulator,
     HyperLogLog,
