@@ -257,6 +257,42 @@ def _fingerprint_md5(sf_dir: str):
     )
 
 
+def _tumbling_events(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.window import tumbling_window
+
+    return tumbling_window(
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]),
+        "ts", unit="day", keys=["event_type"], value_col="value",
+    )
+
+
+def _weekday_orders(sf_dir: str) -> pd.DataFrame:
+    """Weekday distribution via the profiler's DateTimeStats accumulator."""
+    from dataprof_ray.pipelines.profile import _WEEKDAY_NAMES, collect_column_state
+
+    coll = collect_column_state(_read(sf_dir, "orders", columns=["o_orderdate"]))
+    dist = coll.columns["o_orderdate"].weekday_dist
+    return pd.DataFrame(
+        [{"weekday": _WEEKDAY_NAMES[k], "cnt": v} for k, v in sorted(dist.items())]
+    )
+
+
+def _row_duplicates_documents(sf_dir: str) -> pd.DataFrame:
+    """Full-stream duplicate-row counting over a projected (lang, source)
+    view — the reference's RowUniquenessTracker semantics."""
+    from dataprof_ray.pipelines.profile import collect_column_state
+
+    coll = collect_column_state(
+        _read(sf_dir, "documents", columns=["lang", "source"]),
+        track_row_uniqueness=True,
+    )
+    t = coll.row_tracker
+    return pd.DataFrame([{
+        "rows_seen": t.rows_seen,
+        "duplicate_rows": t.duplicate_rows(),
+    }])
+
+
 def _stratified_customer(sf_dir: str):
     from dataprof_ray.pipelines import sampling as SA
 
@@ -359,6 +395,46 @@ def _ivf_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _domain_rollup(sf_dir: str) -> pd.DataFrame:
+    """Salted per-domain rollup over the filtered corpus (the north rule's
+    skew-handled groupby)."""
+    from dataprof_ray.pipelines import quality_filter as QF
+
+    corpus = _read(sf_dir, "documents").map_batches(
+        _docs_as_corpus_stage, batch_format="pyarrow"
+    )
+    filtered = QF.run_quality_filter(corpus, fused=True, score_concurrency=(1, 4))
+    return QF.domain_rollup(filtered)
+
+
+def _image_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal actor-pool stage over a deterministic synthetic media table
+    (decode stubbed per TESTDATA constraints; plumbing is real)."""
+    import ray.data as rd
+
+    from dataprof_ray.stages import multimodal as MM
+
+    ds = rd.from_arrow(MM.synthetic_media_table(64))
+    dims = MM.decode_images(ds).to_pandas()
+    feats = MM.extract_image_features(ds).to_pandas()
+    return dims.merge(feats, on="media_id")
+
+
+def _approx_distinct_lineitem(sf_dir: str) -> pd.DataFrame:
+    """HLL spill path: distinct counts over >10k-cardinality columns are
+    approximate (flagged), exercising the exact->HLL regime distributed."""
+    from dataprof_ray.pipelines.profile import collect_column_state
+
+    coll = collect_column_state(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"]))
+    rows = []
+    for name in ("l_orderkey", "l_extendedprice"):
+        st = coll.columns[name]
+        rows.append({"column_name": name, "unique_count": st.unique_count(),
+                     "is_approximate": st.unique_count_is_approximate()})
+    return pd.DataFrame(rows)
+
+
 def _profile_report_documents(sf_dir: str) -> pd.DataFrame:
     """Full ProfileReport (patterns + 7 quality dimensions) flattened to one
     row per column; the report-level quality score repeats per row."""
@@ -397,6 +473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_cosine": _topk_cosine,
         "stratified_customer": _stratified_customer,
         "systematic_orders": _systematic_orders,
+        "tumbling_events": _tumbling_events,
+        "weekday_orders": _weekday_orders,
+        "row_duplicates_documents": _row_duplicates_documents,
         # rows-only (no oracle_sql entry):
         "langid_documents": _langid_documents,
         "quality_filter_documents": _quality_filter_documents,
@@ -406,6 +485,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         "ivf_topk": _ivf_topk,
         "profile_report_documents": _profile_report_documents,
+        "domain_rollup": _domain_rollup,
+        "image_features": _image_features,
+        "approx_distinct_lineitem": _approx_distinct_lineitem,
     }
 
 
@@ -510,6 +592,21 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) <= 20"
         ),
         "systematic_orders": "SELECT * FROM orders WHERE o_orderkey % 40 = 0",
+        "tumbling_events": (
+            "SELECT DATE_TRUNC('day', ts) AS window, event_type, COUNT(*) AS cnt, "
+            "ROUND(SUM(value), 2) AS sum_value, MIN(value) AS min_value, "
+            "MAX(value) AS max_value FROM events GROUP BY 1, 2"
+        ),
+        "weekday_orders": (
+            "SELECT DAYNAME(o_orderdate) AS weekday, COUNT(*) AS cnt "
+            "FROM orders GROUP BY 1"
+        ),
+        "row_duplicates_documents": (
+            "SELECT COUNT(*) AS rows_seen, "
+            "COUNT(*) - COUNT(DISTINCT COALESCE(lang, '') || '\x1f' || "
+            "COALESCE(source, '')) AS duplicate_rows "
+            "FROM documents"
+        ),
         "topk_cosine": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id < 5), "

@@ -1,0 +1,45 @@
+"""Tumbling-window aggregates."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from dataprof_ray.pipelines.window import tumbling_window
+
+
+@pytest.fixture(scope="module")
+def events():
+    import ray.data as rd
+
+    n = 5000
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = base + (np.arange(n) * 137_000_000).astype("timedelta64[us]")  # ~2.3min apart
+    t = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "kind": pa.array([f"k{i % 3}" for i in range(n)]),
+        "v": pa.array(np.linspace(0, 1, n)),
+    })
+    return rd.from_arrow(t).repartition(4)
+
+
+def test_hourly_counts_match_pandas(ray_session, events):
+    out = tumbling_window(events, "ts", unit="hour", keys=["kind"], value_col="v")
+    df = events.to_pandas()
+    df["window"] = df["ts"].dt.floor("h")
+    want = df.groupby(["window", "kind"]).agg(cnt=("v", "size"), sum_value=("v", "sum")).reset_index()
+    got = out.sort_values(["window", "kind"]).reset_index(drop=True)
+    want = want.sort_values(["window", "kind"]).reset_index(drop=True)
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+    np.testing.assert_allclose(got["sum_value"], want["sum_value"].round(2), atol=0.01)
+
+
+def test_day_unit_no_value(ray_session, events):
+    out = tumbling_window(events, "ts", unit="day")
+    assert out["cnt"].sum() == 5000
+    assert "sum_value" not in out.columns
+
+
+def test_bad_unit(ray_session, events):
+    with pytest.raises(ValueError, match="unit"):
+        tumbling_window(events, "ts", unit="fortnight")
