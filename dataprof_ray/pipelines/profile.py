@@ -71,14 +71,26 @@ def collect_column_state(
     sample_capacity: int = A.DEFAULT_RESERVOIR_CAPACITY,
     track_row_uniqueness: bool = True,
     batch_size: Optional[int] = None,
+    progress=None,
 ) -> A.ColumnCollection:
-    """Run the partial-profile stage over a Dataset and fold the partials."""
+    """Run the partial-profile stage over a Dataset and fold the partials.
+
+    ``progress``: optional callable ``(partials_done, rows_so_far)`` invoked
+    as partials stream back to the driver (the reference's progress
+    sink/callback hooks, profiler.rs:28-313)."""
     parts_ds = ds.map_batches(
         PartialProfiler(sample_capacity, track_row_uniqueness),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    rows = parts_ds.take_all()  # one tiny row per block
+    rows = []
+    seen_rows = 0
+    for batch in parts_ds.iter_batches(batch_format="pyarrow", batch_size=64):
+        for r in batch.to_pylist():  # one tiny row per block
+            rows.append(r)
+            seen_rows += r["rows"]
+            if progress is not None:
+                progress(len(rows), seen_rows)
     parts = [((r["part_key"], r["blob"]), pickle.loads(r["blob"])) for r in rows]
     return A.merge_collections(parts)
 

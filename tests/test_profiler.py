@@ -192,3 +192,19 @@ def test_profile_testdata_lineitem(ray_session, sf_dir):
     ).fetchone()[0]
     assert rep["l_orderkey"].unique_count == truth
     assert rep.quality is not None
+
+
+def test_progress_callback(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.profile import collect_column_state
+
+    t = pa.table({"x": list(range(5000))})
+    calls = []
+    collect_column_state(
+        rd.from_arrow(t).repartition(4),
+        progress=lambda parts, rows: calls.append((parts, rows)),
+    )
+    assert calls  # invoked at least once per partial
+    assert calls[-1][1] == 5000  # final rows_so_far covers the stream
+    assert [c[0] for c in calls] == sorted(c[0] for c in calls)
