@@ -218,6 +218,15 @@ def build_profile(
     else:  # String / Identifier / binary
         tl = stats.text_lengths
         col_stats = S.text_stats_from_lengths(tl.min_length, tl.max_length, tl.avg_length)
+        if kind == "string" and sample:
+            # top/bottom-10 frequencies from the merged reservoir with the
+            # deterministic (count desc, value asc) tie-break — the
+            # streaming reference computes these over the reservoir too
+            # (stats/text.rs:53-89); exact when the reservoir covers the
+            # stream, sample-derived (and the report is Mixed) otherwise.
+            freq = S.text_stats_from_sample(sample)
+            col_stats.most_frequent = freq.most_frequent
+            col_stats.least_frequent = freq.least_frequent
 
     patterns = None
     if not skip_patterns and kind in ("string", "numeric"):

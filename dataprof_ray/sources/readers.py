@@ -62,12 +62,16 @@ def read_csv(
     delimiter: Optional[str] = None,
     flexible: bool = True,
     columns: Optional[list] = None,
+    count_ragged: bool = False,
     **kwargs,
 ):
     """``ray.data.read_csv`` with driver-side delimiter sniffing and the
     reference's ragged-row policy. ``flexible=True`` lets short rows fill
     with nulls (Arrow handles padding); ``flexible=False`` raises on ragged
-    input like the strict engine."""
+    input like the strict engine. With ``count_ragged=True`` returns
+    ``(dataset, ragged_counter)`` where the counter reads the skipped-row
+    total once the dataset has been consumed (execution.rs:43-51
+    ragged_row_count accounting)."""
     import pyarrow.csv as pacsv
     import ray.data as rd
 
@@ -75,13 +79,24 @@ def read_csv(
         first = _first_file(path)
         with open(first, "rb") as f:
             delimiter = sniff_delimiter(f.read(SNIFF_BYTES))
+
+    counter = _ErrorCounter.remote() if count_ragged else None
+
+    def skip_and_count(row):
+        if counter is not None:
+            counter.add.remote(1)
+        return "skip"
+
     parse = pacsv.ParseOptions(
         delimiter=delimiter,
         # invalid_row_handler only fires for rows Arrow cannot reconcile
-        invalid_row_handler=(lambda row: "skip") if flexible else None,
+        invalid_row_handler=skip_and_count if flexible else None,
     )
     convert = pacsv.ConvertOptions(include_columns=columns) if columns else None
-    return rd.read_csv(path, parse_options=parse, convert_options=convert, **kwargs)
+    ds = rd.read_csv(path, parse_options=parse, convert_options=convert, **kwargs)
+    if count_ragged:
+        return ds, _pending_errors(counter)
+    return ds
 
 
 def _first_file(path: str) -> str:

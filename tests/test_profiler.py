@@ -208,3 +208,14 @@ def test_progress_callback(ray_session):
     assert calls  # invoked at least once per partial
     assert calls[-1][1] == 5000  # final rows_so_far covers the stream
     assert [c[0] for c in calls] == sorted(c[0] for c in calls)
+
+
+def test_distributed_text_frequencies(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"s": pa.array(["x"] * 50 + ["y"] * 30 + ["z"] * 20)})
+    report = PP.profile_dataset(rd.from_arrow(t).repartition(4))
+    st = report["s"].stats
+    assert st.most_frequent[0] == ("x", 50)
+    assert st.most_frequent[1] == ("y", 30)
+    assert st.least_frequent[0] == ("z", 20)

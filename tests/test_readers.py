@@ -147,3 +147,13 @@ class TestReadSql:
         ds = RD.read_sql("SELECT * FROM t", f, sample_above_rows=100, sample_rows=100)
         n = ds.count()
         assert n <= 150  # ~every 10th row
+
+
+class TestRaggedRows:
+    def test_ragged_counted_and_skipped(self, ray_session, tmp_path):
+        p = tmp_path / "ragged.csv"
+        p.write_text("a,b,c\n1,2,3\n4,5\n6,7,8\n9,10,11,12\n13,14,15\n")
+        ds, ragged = RD.read_csv(str(p), count_ragged=True)
+        df = ds.to_pandas()
+        assert len(df) + int(ragged) == 5
+        assert int(ragged) >= 1  # the 4-field row is unreconcilable
