@@ -232,6 +232,34 @@ class QualityMetrics:
         return min(score / total_weight, 100.0) if total_weight > 0.0 else 0.0
 
 
+def quality_from_dict(d: dict) -> "QualityMetrics":
+    """Rebuild QualityMetrics from its asdict() form (report JSON load
+    round-trip; extra keys like the serialized overall_score are ignored)."""
+
+    def sub(cls, key):
+        v = d.get(key)
+        if v is None:
+            return None
+        allowed = cls.__dataclass_fields__
+        return cls(**{k: val for k, val in v.items() if k in allowed})
+
+    weights = d.get("score_weights") or {}
+    return QualityMetrics(
+        completeness=sub(CompletenessMetrics, "completeness"),
+        consistency=sub(ConsistencyMetrics, "consistency"),
+        uniqueness=sub(UniquenessMetrics, "uniqueness"),
+        accuracy=sub(AccuracyMetrics, "accuracy"),
+        timeliness=sub(TimelinessMetrics, "timeliness"),
+        validity=sub(ValidityMetrics, "validity"),
+        precision=sub(PrecisionMetrics, "precision"),
+        low_sample_warning=bool(d.get("low_sample_warning", False)),
+        score_weights=QualityScoreWeights(**{
+            k: v for k, v in weights.items()
+            if k in QualityScoreWeights.__dataclass_fields__
+        }),
+    )
+
+
 # ------------------------------------------------------------------ calculators
 #
 # All calculators take:

@@ -128,11 +128,23 @@ class Profiler:
         """Auto-detected format -> Dataset -> distributed profile."""
         fmt = self._format_override or detect_format(path)
         ds = self._open(path, fmt)
-        report = self._profile_ds(ds, data_source={
+        data_source = {
             "type": "File", "path": path, "format": fmt,
             "size_bytes": os.path.getsize(path) if os.path.isfile(path) else None,
-        })
-        return report
+        }
+        if fmt == "parquet" and os.path.isfile(path):
+            # footer metadata capture (parser.rs:136-200 ParquetMetadata)
+            import pyarrow.parquet as pq
+
+            meta = pq.ParquetFile(path).metadata
+            data_source["parquet"] = {
+                "num_rows": meta.num_rows,
+                "num_row_groups": meta.num_row_groups,
+                "codec": meta.row_group(0).column(0).compression
+                if meta.num_row_groups else None,
+                "serialized_size": meta.serialized_size,
+            }
+        return self._profile_ds(ds, data_source=data_source)
 
     def analyze_dataset(self, ds, data_source: Optional[dict] = None) -> ProfileReport:
         return self._profile_ds(ds, data_source or {"type": "Dataset"})

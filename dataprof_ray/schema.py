@@ -210,7 +210,54 @@ class ProfileReport:
             metric_confidence=raw.get("metric_confidence", "Exact"),
             semantic_hint_bindings=raw.get("semantic_hint_bindings", {}),
         )
+        if raw.get("quality") is not None:
+            from dataprof_ray.functions.quality import quality_from_dict
+
+            report.quality = quality_from_dict(raw["quality"])
         return report
+
+    # ---- sinks (delegate to dataprof_ray.report; reference exposes these
+    # as report methods, python/dataprof/__init__.py:1869-2357) ----
+
+    def describe(self):
+        from dataprof_ray.report import describe
+
+        return describe(self)
+
+    def quality_summary(self) -> dict:
+        from dataprof_ray.report import quality_summary
+
+        return quality_summary(self)
+
+    def to_markdown(self) -> str:
+        from dataprof_ray.report import to_markdown
+
+        return to_markdown(self)
+
+    def to_llm_context(self, max_tokens: int = 1000) -> str:
+        from dataprof_ray.report import to_llm_context
+
+        return to_llm_context(self, max_tokens=max_tokens)
+
+    def compare(self, other: "ProfileReport") -> dict:
+        from dataprof_ray.report import compare
+
+        return compare(self, other)
+
+    def to_dataframe(self):
+        from dataprof_ray.report import describe
+
+        return describe(self)
+
+    def to_arrow(self):
+        import pyarrow as _pa
+
+        return _pa.Table.from_pandas(self.to_dataframe(), preserve_index=False)
+
+    def to_polars(self):
+        import polars as pl
+
+        return pl.from_pandas(self.to_dataframe())
 
 
 def _profile_to_dict(p: ColumnProfile) -> dict:

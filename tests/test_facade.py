@@ -111,3 +111,15 @@ class TestProfileDispatch:
     def test_kwargs_hints(self, ray_session):
         rep = dp.profile({"amount": [1.0, 2.0, 3.0]}, positive_columns=("amount",))
         assert rep.rows == 3
+
+
+def test_parquet_metadata_captured(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "m.parquet"
+    pq.write_table(pa.table({"x": range(100)}), p, compression="snappy")
+    rep = dp.Profiler().analyze_file(str(p))
+    meta = rep.data_source["parquet"]
+    assert meta["num_rows"] == 100
+    assert meta["num_row_groups"] >= 1
+    assert meta["codec"] == "SNAPPY"

@@ -73,3 +73,21 @@ def test_load_rejects_future_schema(sample_report, tmp_path):
     p.write_text(json.dumps(d, default=str))
     with pytest.raises(ValueError, match="schema_version"):
         ProfileReport.load(str(p))
+
+
+def test_quality_roundtrip(sample_report, tmp_path):
+    p = tmp_path / "q.json"
+    sample_report.save(str(p))
+    loaded = ProfileReport.load(str(p))
+    assert loaded.quality is not None
+    assert loaded.quality_score() == pytest.approx(sample_report.quality_score(), abs=0.01)
+    assert loaded.quality.dimension_scores().keys() == \
+        sample_report.quality.dimension_scores().keys()
+
+
+def test_report_methods_delegate(sample_report):
+    assert "## Columns" in sample_report.to_markdown()
+    assert sample_report.describe().shape[0] == 5
+    assert sample_report.quality_summary()["overall_score"] is not None
+    assert sample_report.to_arrow().num_rows == 5
+    assert sample_report.to_polars().height == 5
