@@ -152,20 +152,26 @@ def add_content_hash(batch: pa.Table, text_col: str = "text",
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the smallest id per identical text: hash column per batch, then a
     hash-partitioned groupby keeps one row per content hash. The shuffle key
-    is the 8-byte hash, not the document."""
-    import pandas as pd
+    is the 8-byte hash, not the document — and the groupby runs on a COARSE
+    partition of it (hash % _EDGE_PARTITIONS) so Ray schedules
+    `_EDGE_PARTITIONS` vectorized pandas dedups instead of one tiny
+    map_groups call per distinct document."""
 
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
-    )
+    def add_hash_and_part(b: pa.Table) -> pa.Table:
+        b = add_content_hash(b, text_col)
+        part = (b.column("content_hash").to_numpy(zero_copy_only=False)
+                % np.uint64(_EDGE_PARTITIONS)).astype(np.int32)
+        return b.append_column("part", pa.array(part, pa.int32()))
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+    def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(id_col)
+                  .drop_duplicates("content_hash", keep="first"))
 
     return (
-        hashed.groupby("content_hash")
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["content_hash"])
+        ds.map_batches(add_hash_and_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_partition, batch_format="pandas")
+        .drop_columns(["content_hash", "part"])
     )
 
 
