@@ -188,6 +188,7 @@ def run_quality_filter(
     score_concurrency=(1, 8),
     batch_size: int = 2048,
     fused: bool = False,
+    **map_batches_kwargs,
 ):
     """Build the lazy filter pipeline over a corpus Dataset (F1 schema).
 
@@ -202,6 +203,7 @@ def run_quality_filter(
             FusedFilterStage, batch_format="pyarrow", batch_size=batch_size,
             concurrency=score_concurrency,
             fn_constructor_kwargs={"config": config},
+            **map_batches_kwargs,
         )
     out = ds.map_batches(extract_stage, batch_format="pyarrow", batch_size=batch_size)
     out = out.map_batches(
