@@ -5,10 +5,11 @@ Default: run the headline pipelines over $GRAFT_SF_DIR (default
 /root/testdata/sf0.1) under ray.init(address="local",
 num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line.
 
---scaling: run the flagship quality-filter pipeline twice in FRESH
-subprocesses (num_cpus=8 then num_cpus=32) over the identical corpus and
-report both throughputs + scaling efficiency (sandbox stand-in for the
-north rule's N- vs 4N-node clusters).
+--scaling: run the flagship quality-filter pipeline at two CPU levels
+(default num_cpus=4 then 16; override with SCALING_CPUS="8,32") in FRESH
+subprocesses over the identical corpus and report both throughputs +
+scaling efficiency (sandbox stand-in for the north rule's N- vs 4N-node
+clusters; see BASELINE.md for why 4,16 is the node-like default).
 
 The flagship corpus is synthesized deterministically (seed 42, see
 dataprof_ray.sources.corpus) under /tmp and cached across runs.
@@ -128,7 +129,7 @@ def scaling_worker(cpus: int) -> None:
 def scaling() -> None:
     """Same job, fresh sessions, N vs 4N CPUs on identical input.
 
-    Pair configurable via SCALING_CPUS="8,32" (default). Note this sandbox
+    Pair configurable via SCALING_CPUS (default "4,16"). Note this sandbox
     runs both levels on ONE socket, so the high level pays a shared
     memory-bandwidth/turbo penalty a real N- vs 4N-NODE cluster does not
     (see BASELINE.md: a no-Ray multiprocessing control shows the same
@@ -140,7 +141,7 @@ def scaling() -> None:
     # multiprocessing control reproduces the same cap (BASELINE.md), so it
     # measures the box, not the pipeline.
     pair = tuple(int(x) for x in os.environ.get("SCALING_CPUS", "4,16").split(","))
-    trials = int(os.environ.get("SCALING_TRIALS", "2"))
+    trials = max(1, int(os.environ.get("SCALING_TRIALS", "2")))
     corpus_path(SCALING_DOCS)  # pre-generate so neither run pays generation
     results = []
     for cpus in pair:

@@ -236,9 +236,10 @@ def doc_metrics(text: str, lang: str = "en") -> DocMetrics:
     alpha_words = len(_ALPHA_WORD_RE.findall(text))
     alpha_word_ratio = alpha_words / n_words if n_words else 0.0
     stop_table = _STOPWORDS.get(lang, _EN_STOP)
+    low = text.lower()  # single lowercase pass, shared with boilerplate check
     # lowercasing never adds/removes whitespace, so lower-then-split
     # tokenizes identically to per-word lower
-    stop_count = sum(map(stop_table.__contains__, text.lower().split()))
+    stop_count = sum(map(stop_table.__contains__, low.split()))
 
     lines = [ln for ln in text.split("\n") if ln.strip()]
     n_lines = len(lines)
@@ -257,7 +258,6 @@ def doc_metrics(text: str, lang: str = "en") -> DocMetrics:
     else:
         top_bigram_frac = 0.0
 
-    low = text.lower()
     has_boiler = any(m in low for m in _BOILERPLATE_MARKERS)
     return DocMetrics(
         n_chars, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, stop_count,

@@ -205,19 +205,20 @@ def run_quality_filter(
             fn_constructor_kwargs={"config": config},
             **map_batches_kwargs,
         )
-    out = ds.map_batches(extract_stage, batch_format="pyarrow", batch_size=batch_size)
+    out = ds.map_batches(extract_stage, batch_format="pyarrow", batch_size=batch_size,
+                         **map_batches_kwargs)
     out = out.map_batches(
         LangIdStage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=langid_concurrency,
+        concurrency=langid_concurrency, **map_batches_kwargs,
     )
     out = out.map_batches(
         PerplexityStage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=perplexity_concurrency,
+        concurrency=perplexity_concurrency, **map_batches_kwargs,
     )
     out = out.map_batches(
         ScoreScrubStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=score_concurrency,
-        fn_constructor_kwargs={"config": config},
+        fn_constructor_kwargs={"config": config}, **map_batches_kwargs,
     )
     return out
 
