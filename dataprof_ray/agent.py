@@ -10,7 +10,6 @@ into agent-visible messages).
 from __future__ import annotations
 
 import os
-import time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -71,8 +70,13 @@ class AgentGuard:
             if setter is None:
                 raise SandboxViolation(f"unknown profiler option: {k}")
             setter(*v) if isinstance(v, tuple) else setter(v)
-        prof.stop_when(StopCondition.max_rows(self.policy.max_rows))
-        t0 = time.monotonic()
+        # both budgets enforced DURING execution: the composite stop
+        # condition runs in the driver monitor, which truncates the stream
+        # the moment either the row cap or the wall-clock budget is hit
+        prof.stop_when(StopCondition.any_of(
+            StopCondition.max_rows(self.policy.max_rows),
+            StopCondition.max_seconds(self.policy.timeout_seconds),
+        ))
         try:
             report = prof.analyze_file(real)
         except SandboxViolation:
@@ -82,8 +86,7 @@ class AgentGuard:
             raise SandboxViolation(
                 f"profiling failed ({type(e).__name__})"
             ) from None
-        elapsed = time.monotonic() - t0
-        if elapsed > self.policy.timeout_seconds:
+        if report.execution.truncation_reason == "TimeBudget":
             raise SandboxViolation("profiling exceeded the permitted time budget")
         return report
 

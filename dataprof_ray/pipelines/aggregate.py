@@ -48,7 +48,9 @@ def preagg_groupby(
 
     def partials(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        g = df.groupby(keys, sort=False)
+        # dropna=False: SQL GROUP BY and Ray's groupby both emit a null-key
+        # group; pandas' default would silently drop those rows here
+        g = df.groupby(keys, sort=False, dropna=False)
         out = {}
         for name, col, fn in specs:
             if fn == "count":

@@ -34,15 +34,21 @@ import pyarrow as pa
 _MERSENNE = (1 << 61) - 1
 
 
-def _token_hashes(text: str, shingle_k: int) -> np.ndarray:
-    """Hashes of the char k-shingles of a normalized document."""
+def _shingles(text: str, shingle_k: int) -> list:
+    """Sorted distinct char k-shingles of a normalized document — the ONE
+    normalization shared by signature generation and Jaccard verification
+    (a divergence would silently desync candidates from verification)."""
     norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
     if len(norm) < shingle_k:
         norm = norm + " " * (shingle_k - len(norm))
-    shingles = {norm[i: i + shingle_k] for i in range(len(norm) - shingle_k + 1)}
+    return sorted({norm[i: i + shingle_k] for i in range(len(norm) - shingle_k + 1)})
+
+
+def _token_hashes(text: str, shingle_k: int) -> np.ndarray:
+    """Hashes of the char k-shingles of a normalized document."""
     import polars as pl
 
-    return pl.Series(sorted(shingles)).hash(seed=0).to_numpy().astype(np.uint64)
+    return pl.Series(_shingles(text, shingle_k)).hash(seed=0).to_numpy().astype(np.uint64)
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -75,11 +81,7 @@ def minhash_signature_matrix(texts: list, num_perm: int, shingle_k: int,
     all_shingles: list = []
     offsets = [0]
     for text in texts:
-        norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
-        if len(norm) < shingle_k:
-            norm = norm + " " * (shingle_k - len(norm))
-        all_shingles.extend(sorted({norm[i: i + shingle_k]
-                                    for i in range(len(norm) - shingle_k + 1)}))
+        all_shingles.extend(_shingles(text, shingle_k))
         offsets.append(len(all_shingles))
     hashes = (
         pl.Series(all_shingles).hash(seed=0).to_numpy().astype(np.uint64)

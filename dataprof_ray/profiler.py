@@ -197,8 +197,13 @@ class Profiler:
 
                 ds = rd.from_arrow(table)
             else:
+                # limit-pushdown path: truncation-vs-exhaustion precision
+                # (incremental.rs:216-245 lookahead) — MaxRows is only a
+                # truncation if the source actually had more rows
+                cap = cond.row_limit()
+                if ds.limit(cap + 1).count() > cap:
+                    truncation = "MaxRows"
                 ds = applied
-                truncation = "MaxRows"
 
         report = profile_dataset(
             ds,

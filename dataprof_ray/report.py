@@ -145,6 +145,7 @@ def to_llm_context(report: ProfileReport, max_tokens: int = 1000) -> str:
     qs = quality_summary(report)
     if qs["overall_score"] is not None:
         parts.append(f"Quality score {qs['overall_score']:.1f}/100 ({qs['confidence']}).")
+    shown = 0
     for p in report.column_profiles:
         desc = f"{p.name}: {p.data_type}, {p.null_percentage:.0f}% null"
         if p.unique_count is not None:
@@ -158,9 +159,10 @@ def to_llm_context(report: ProfileReport, max_tokens: int = 1000) -> str:
             desc += f", {p.stats.min_datetime}..{p.stats.max_datetime}"
         candidate = "\n".join(parts + [desc])
         if len(candidate) > budget:
-            parts.append(f"(+{len(report.column_profiles) - len(parts) + 2} more columns)")
+            parts.append(f"(+{len(report.column_profiles) - shown} more columns)")
             break
         parts.append(desc)
+        shown += 1
     out = "\n".join(parts)
     return out[:budget]
 

@@ -65,10 +65,12 @@ def read_csv(
     count_ragged: bool = False,
     **kwargs,
 ):
-    """``ray.data.read_csv`` with driver-side delimiter sniffing and the
-    reference's ragged-row policy. ``flexible=True`` lets short rows fill
-    with nulls (Arrow handles padding); ``flexible=False`` raises on ragged
-    input like the strict engine. With ``count_ragged=True`` returns
+    """``ray.data.read_csv`` with driver-side delimiter sniffing and a
+    ragged-row policy. ``flexible=True`` SKIPS rows whose field count Arrow
+    cannot reconcile (this diverges from the reference's pad/truncate,
+    robust_csv.rs:52-97 — Arrow's reader has no padding hook; skipped rows
+    are COUNTED instead); ``flexible=False`` raises on the first ragged row
+    like the strict engine. With ``count_ragged=True`` returns
     ``(dataset, ragged_counter)`` where the counter reads the skipped-row
     total once the dataset has been consumed (execution.rs:43-51
     ragged_row_count accounting)."""
@@ -256,27 +258,42 @@ def diagnose_encoding(sample: bytes) -> EncodingDiagnosis:
     return EncodingDiagnosis(enc, offset, False)
 
 
-def read_csv_robust(path: str, **kwargs):
+def read_csv_robust(path: str, *, delimiter: Optional[str] = None,
+                    flexible: bool = True, columns: Optional[list] = None,
+                    **kwargs):
     """CSV read with encoding diagnosis: UTF-8 fast path; otherwise decode
     with the diagnosed encoding via a binary-file read + per-file transcode
     (the reference normalizes the UTF-8 error at the boundary,
-    profiler.rs:1175-1200)."""
+    profiler.rs:1175-1200). delimiter/flexible/columns apply on BOTH paths
+    (the delimiter is sniffed from the transcoded sample when not given)."""
     first = _first_file(path)
     with open(first, "rb") as f:
-        diag = diagnose_encoding(f.read(SNIFF_BYTES))
+        sample = f.read(SNIFF_BYTES)
+    diag = diagnose_encoding(sample)
     if diag.encoding == "utf-8":
-        return read_csv(path, **kwargs)
+        return read_csv(path, delimiter=delimiter, flexible=flexible,
+                        columns=columns, **kwargs)
 
     import pyarrow.csv as pacsv
     import ray.data as rd
 
     encoding = diag.encoding
+    if delimiter is None:
+        delimiter = sniff_delimiter(
+            sample.decode(encoding, errors="replace").encode("utf-8"))
+    parse = pacsv.ParseOptions(
+        delimiter=delimiter,
+        invalid_row_handler=(lambda row: "skip") if flexible else None,
+    )
+    convert = pacsv.ConvertOptions(include_columns=columns) if columns else None
 
     def transcode_parse(batch: dict) -> pa.Table:
         tables = []
         for payload in batch["bytes"]:
             text = bytes(payload).decode(encoding, errors="replace")
-            tables.append(pacsv.read_csv(io.BytesIO(text.encode("utf-8"))))
+            tables.append(pacsv.read_csv(io.BytesIO(text.encode("utf-8")),
+                                         parse_options=parse,
+                                         convert_options=convert))
         return pa.concat_tables(tables)
 
     return rd.read_binary_files(path).map_batches(transcode_parse, batch_format="numpy")
@@ -289,23 +306,33 @@ def read_sql(sql: str, connection_factory, *, parallelism: int = -1,
              sample_above_rows: Optional[int] = None, sample_rows: int = 100_000,
              **kwargs):
     """DB query -> Dataset via ``ray.data.read_sql`` (the reference's
-    Postgres/MySQL/SQLite connectors, dataprof-db/src/). ``sample_above_rows``
-    mirrors the auto-sampling default for >1M-row tables
-    (config.rs:196-226): when the count exceeds it, the query is wrapped
-    with a deterministic modulo sample down to ~``sample_rows``."""
+    connector family, dataprof-db/src/). ``sample_above_rows`` mirrors the
+    auto-sampling default for >1M-row tables (config.rs:196-226): when the
+    count exceeds it, the query is wrapped with a deterministic modulo
+    sample down to ~``sample_rows``.
+
+    Auto-sampling is implemented for SQLite connections only (it relies on
+    the ROWID pseudo-column); for other engines pre-sample in the SQL you
+    pass (e.g. ``TABLESAMPLE``) — a non-sqlite connection with
+    ``sample_above_rows`` set raises rather than silently mis-sampling."""
     import ray.data as rd
 
     if sample_above_rows is not None:
         con = connection_factory()
         try:
-            cur = con.execute(f"SELECT COUNT(*) FROM ({sql})")
+            if type(con).__module__.split(".")[0] != "sqlite3":
+                raise ValueError(
+                    "sample_above_rows auto-sampling requires a sqlite3 "
+                    "connection (ROWID); pre-sample in SQL for other engines"
+                )
+            cur = con.execute(f"SELECT COUNT(*) FROM ({sql}) AS _t")
             total = cur.fetchone()[0]
         finally:
             con.close()
         if total > sample_above_rows:
             every = max(total // sample_rows, 1)
-            sql = (f"SELECT * FROM ({sql}) WHERE (ROWID % {every}) = 0"
-                   if every > 1 else sql)
+            if every > 1:
+                sql = f"SELECT * FROM ({sql}) WHERE (ROWID % {every}) = 0"
     return rd.read_sql(sql, connection_factory, **kwargs)
 
 

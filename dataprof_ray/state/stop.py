@@ -18,6 +18,7 @@ are never materialized. The evaluation cadence matches the reference
 from __future__ import annotations
 
 import math
+import time as _time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -62,6 +63,12 @@ class StopCondition:
                              target_rse=max(1e-6, target_rse))
 
     @staticmethod
+    def max_seconds(seconds: float) -> "StopCondition":
+        """Wall-clock budget, evaluated per chunk in the driver monitor
+        (target_rse reused as the seconds threshold)."""
+        return StopCondition("max_seconds", target_rse=max(0.001, seconds))
+
+    @staticmethod
     def any_of(*conds: "StopCondition") -> "StopCondition":
         return StopCondition("any", children=list(conds))
 
@@ -99,6 +106,23 @@ class StopCondition:
                 return agg(limits)
         return None
 
+    def firing_row_cap(self) -> Optional[int]:
+        """Row count at which the condition FIRES regardless of other
+        state — the per-row trim bound for the monitored path. A max_rows
+        child under ``any`` fires alone (min of caps); under ``all`` it
+        only fires with the rest, so no standalone cap."""
+        if self.kind == "max_rows":
+            return self.rows
+        if self.kind == "any":
+            caps = [c.firing_row_cap() for c in self.children]
+            caps = [c for c in caps if c is not None]
+            return min(caps) if caps else None
+        if self.kind == "all":
+            caps = [c.firing_row_cap() for c in self.children]
+            if caps and all(c is not None for c in caps):
+                return max(caps)
+        return None
+
 
 class StopEvaluator:
     """Per-chunk evaluator with the reference's truncation-vs-exhaustion
@@ -110,7 +134,10 @@ class StopEvaluator:
         self.bytes = 0
         self.schema_fingerprint: Optional[tuple] = None
         self.stable_run = 0
-        self.mean_state = (0, 0.0, 0.0)  # welford for confidence
+        self.start_time = _time.monotonic()
+        # per-COLUMN welford state — two confidence conditions on different
+        # columns must not share a mean/variance stream
+        self.mean_states: dict = {}
 
     def observe(self, batch: pa.Table) -> Optional[str]:
         """Feed one chunk; returns a truncation reason to stop, else None."""
@@ -128,7 +155,7 @@ class StopEvaluator:
                 vals = batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
                 vals = vals[np.isfinite(vals)]
                 if len(vals):
-                    n, mean, m2 = self.mean_state
+                    n, mean, m2 = self.mean_states.get(c, (0, 0.0, 0.0))
                     cn = len(vals)
                     cmean = float(vals.mean())
                     cm2 = float(((vals - cmean) ** 2).sum())
@@ -136,7 +163,7 @@ class StopEvaluator:
                     delta = cmean - mean
                     m2 = m2 + cm2 + delta * delta * n * cn / tot
                     mean = mean + delta * cn / tot
-                    self.mean_state = (tot, mean, m2)
+                    self.mean_states[c] = (tot, mean, m2)
         return self._eval(cond)
 
     def _confidence_columns(self, cond: StopCondition) -> list:
@@ -157,11 +184,14 @@ class StopEvaluator:
         if k == "schema_stable":
             return "SchemaStable" if self.stable_run >= cond.stable_chunks else None
         if k == "confidence":
-            n, mean, m2 = self.mean_state
+            n, mean, m2 = self.mean_states.get(cond.column, (0, 0.0, 0.0))
             if n < 30 or abs(mean) < 1e-12:
                 return None
             se = math.sqrt(m2 / (n - 1)) / math.sqrt(n)
             return "ConfidenceReached" if se / abs(mean) <= cond.target_rse else None
+        if k == "max_seconds":
+            elapsed = _time.monotonic() - self.start_time
+            return "TimeBudget" if elapsed >= cond.target_rse else None
         if k == "any":
             for c in cond.children:
                 r = self._eval(c)
@@ -192,12 +222,13 @@ def apply_stop_condition(ds, cond: StopCondition, batch_size: int = 8192):
     ev = StopEvaluator(cond)
     out = []
     reason = None
+    # per-row MaxRows guard inside the chunk (incremental.rs:216-245): trim
+    # the final chunk at any max_rows cap that fires on its own, so
+    # composite conditions like any_of(max_rows, max_bytes) don't over-read
+    cap = cond.firing_row_cap()
     for batch in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
-        # per-row MaxRows guard inside the chunk (incremental.rs:216-245):
-        # trim the final chunk so exact-limit streams aren't over-read
-        limit = cond.row_limit() if cond.is_row_limit_only() else None
-        if limit is not None and ev.rows + batch.num_rows > limit:
-            batch = batch.slice(0, limit - ev.rows)
+        if cap is not None and ev.rows + batch.num_rows > cap:
+            batch = batch.slice(0, cap - ev.rows)
         out.append(batch)
         reason = ev.observe(batch)
         if reason is not None:

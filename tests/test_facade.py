@@ -123,3 +123,12 @@ def test_parquet_metadata_captured(ray_session, tmp_path):
     assert meta["num_rows"] == 100
     assert meta["num_row_groups"] >= 1
     assert meta["codec"] == "SNAPPY"
+
+
+def test_exhausted_limit_not_truncation(ray_session, tmp_path):
+    # stop_when(max_rows(1000)) on a 200-row file: exhaustion, not truncation
+    p = tmp_path / "small.csv"
+    p.write_text("a\n" + "\n".join(str(i) for i in range(200)) + "\n")
+    rep = dp.Profiler().stop_when(StopCondition.max_rows(1000)).analyze_file(str(p))
+    assert rep.rows == 200
+    assert rep.execution.truncation_reason is None

@@ -147,3 +147,33 @@ class TestStopConditions:
     def test_presets(self):
         assert ST.StopCondition.schema_inference().kind == "any"
         assert not ST.StopCondition.quality_sample().is_row_limit_only()
+
+    def test_composite_any_trims_at_row_cap(self, ray_session, table):
+        # any_of(max_rows, max_bytes): row cap must trim mid-batch
+        cond = ST.StopCondition.any_of(
+            ST.StopCondition.max_rows(100),
+            ST.StopCondition.max_bytes(1 << 40),
+        )
+        out, reason, ev = ST.apply_stop_condition(_ds(table), cond, batch_size=8192)
+        assert reason == "MaxRows"
+        assert out.num_rows == 100
+
+    def test_max_seconds_budget(self, ray_session, table):
+        cond = ST.StopCondition.max_seconds(0.001)
+        out, reason, ev = ST.apply_stop_condition(_ds(table), cond, batch_size=500)
+        assert reason == "TimeBudget"
+        assert out.num_rows < 10_000
+
+    def test_per_column_confidence_isolation(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(1)
+        t = pa.table({
+            "stable": pa.array(rng.normal(100.0, 0.1, 20_000)),
+            "wild": pa.array(rng.normal(0.001, 1000.0, 20_000)),
+        })
+        cond = ST.StopCondition.confidence("stable", 1e-4)
+        out, reason, ev = ST.apply_stop_condition(rd.from_arrow(t), cond,
+                                                  batch_size=2000)
+        # fires from the stable column alone despite the wild column existing
+        assert reason == "ConfidenceReached"
