@@ -209,15 +209,26 @@ class _ErrorCounter:
 
 class _pending_errors:
     """Lazy view over the counter actor: reading it after the dataset has
-    been consumed returns the final malformed count."""
+    been consumed returns the final malformed count. Reads poll until the
+    value is stable — task-side ``add.remote`` calls may still be in flight
+    for a moment after the dataset finishes."""
 
     def __init__(self, actor) -> None:
         self._actor = actor
 
     def __int__(self) -> int:
+        import time
+
         import ray
 
-        return int(ray.get(self._actor.get.remote()))
+        prev = int(ray.get(self._actor.get.remote()))
+        for _ in range(20):
+            time.sleep(0.05)
+            cur = int(ray.get(self._actor.get.remote()))
+            if cur == prev:
+                return cur
+            prev = cur
+        return prev
 
     def __eq__(self, other) -> bool:
         return int(self) == other
