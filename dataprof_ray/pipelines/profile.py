@@ -72,17 +72,50 @@ def collect_column_state(
     track_row_uniqueness: bool = True,
     batch_size: Optional[int] = None,
     progress=None,
+    tree_merge_groups: int = 0,
 ) -> A.ColumnCollection:
     """Run the partial-profile stage over a Dataset and fold the partials.
 
     ``progress``: optional callable ``(partials_done, rows_so_far)`` invoked
     as partials stream back to the driver (the reference's progress
-    sink/callback hooks, profiler.rs:28-313)."""
+    sink/callback hooks, profiler.rs:28-313).
+
+    ``tree_merge_groups`` > 0 enables the scale path: partials are first
+    combined inside a ``groupby(part_key % G).map_groups`` reduction so the
+    driver folds G pre-merged blobs instead of one per block — required
+    when block count x blob size outgrows driver memory (e.g. ~800k blobs
+    for 100 TB at 128 MB blocks). Deterministic: groups and intra-group
+    order are fixed by part_key."""
     parts_ds = ds.map_batches(
         PartialProfiler(sample_capacity, track_row_uniqueness),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+    if tree_merge_groups > 0:
+        import pandas as pd
+
+        groups = tree_merge_groups
+
+        def add_group(batch: pa.Table) -> pa.Table:
+            g = (batch.column("part_key").to_numpy(zero_copy_only=False)
+                 % np.uint64(groups)).astype(np.int64)
+            return batch.append_column("grp", pa.array(g, pa.int64()))
+
+        def merge_group(df: pd.DataFrame) -> pd.DataFrame:
+            parts = [((int(r.part_key), r.blob), pickle.loads(r.blob))
+                     for r in df.itertuples(index=False)]
+            merged = A.merge_collections(parts)
+            return pd.DataFrame({
+                "part_key": [int(df["grp"].iloc[0])],
+                "rows": [int(df["rows"].sum())],
+                "blob": [pickle.dumps(merged, protocol=pickle.HIGHEST_PROTOCOL)],
+            })
+
+        parts_ds = (
+            parts_ds.map_batches(add_group, batch_format="pyarrow")
+            .groupby("grp")
+            .map_groups(merge_group, batch_format="pandas")
+        )
     rows = []
     seen_rows = 0
     for batch in parts_ds.iter_batches(batch_format="pyarrow", batch_size=64):
@@ -341,8 +374,15 @@ def profile_dataset(
     data_source: Optional[dict] = None,
     batch_size: Optional[int] = None,
 ) -> S.ProfileReport:
-    """Profile a ray.data.Dataset end to end (the flagship profiling path)."""
+    """Profile a ray.data.Dataset end to end (the flagship profiling path).
+
+    Duplicate column names are rejected up front, as in every reference
+    engine (dataprof-core/src/validation.rs:21-41)."""
     t0 = time.perf_counter()
+    names = ds.schema().names
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        raise ValueError(f"duplicate column names: {dupes}")
     coll = collect_column_state(ds, sample_capacity, batch_size=batch_size)
     if not coll.columns:
         # Zero-row input: keep the schema's columns with empty stats

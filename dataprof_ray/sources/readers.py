@@ -151,7 +151,27 @@ def read_jsonl(
         rows = []
         errors = 0
         for payload in batch["bytes"]:
-            for line in bytes(payload).splitlines():
+            data = bytes(payload)
+            # array-vs-lines autodetect (dataprof-json/src/lib.rs:85-299):
+            # a file whose first non-ws byte is '[' is one JSON array
+            head = data.lstrip()[:1]
+            if head == b"[":
+                try:
+                    arr = json.loads(data)
+                    for obj in arr:
+                        if isinstance(obj, dict):
+                            rows.append(obj)
+                        elif policy == "strict":
+                            raise ValueError("array element is not an object")
+                        else:
+                            errors += 1
+                    continue
+                except json.JSONDecodeError as e:
+                    if policy == "strict":
+                        raise ValueError("malformed JSON array") from e
+                    errors += 1
+                    continue
+            for line in data.splitlines():
                 line = line.strip()
                 if not line:
                     continue

@@ -219,3 +219,38 @@ def test_distributed_text_frequencies(ray_session):
     assert st.most_frequent[0] == ("x", 50)
     assert st.most_frequent[1] == ("y", 30)
     assert st.least_frequent[0] == ("z", 20)
+
+
+def test_tree_merge_matches_driver_merge_exact_fields(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.profile import collect_column_state
+
+    t = pa.table({
+        "x": pa.array(np.linspace(-50, 50, 20_000)),
+        "s": pa.array([f"v{i % 37}" for i in range(20_000)]),
+    })
+    ds = rd.from_arrow(t).repartition(16)
+    flat = collect_column_state(ds)
+    tree = collect_column_state(ds, tree_merge_groups=4)
+    for col in ("x", "s"):
+        a, b = flat.columns[col], tree.columns[col]
+        assert a.count == b.count and a.null_count == b.null_count
+        assert a.unique_count() == b.unique_count()
+    assert flat.columns["x"].welford.mean == pytest.approx(
+        tree.columns["x"].welford.mean, rel=1e-12)
+    assert flat.columns["x"].min == tree.columns["x"].min
+    assert flat.columns["x"].max == tree.columns["x"].max
+
+
+def test_duplicate_columns_rejected(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.profile import profile_dataset
+
+    t = pa.Table.from_arrays(
+        [pa.array([1, 2]), pa.array([3, 4])], names=["a", "a"])
+    # rejected loudly — either by our up-front validation or by pyarrow's
+    # own schema lookup, depending on where Ray first touches the schema
+    with pytest.raises(Exception, match="[Dd]uplicate|exists 2 times"):
+        profile_dataset(rd.from_arrow(t))

@@ -157,3 +157,9 @@ class TestRaggedRows:
         df = ds.to_pandas()
         assert len(df) + int(ragged) == 5
         assert int(ragged) >= 1  # the 4-field row is unreconcilable
+
+    def test_json_array_autodetect(self, ray_session, tmp_path):
+        p = tmp_path / "arr.json"
+        p.write_text('[{"a": 1}, {"a": 2}, {"a": 3}]')
+        df = RD.read_jsonl(str(p)).dataset.to_pandas()
+        assert df["a"].tolist() == [1, 2, 3]
