@@ -360,6 +360,39 @@ _QUICK_PREFILTER = re.compile(r"[0-9@]")
 
 SCRUB_CATEGORIES = {CONTACT, IDENTIFIER, FINANCIAL, NETWORK}
 
+# ---------------------------------------------------------------- toxicity
+#
+# Deterministic toxicity lexicon stage (BASELINE.json north rule names
+# "PII/toxicity regex sets"). The real deployment swaps in a curated
+# lexicon / classifier; this placeholder list keeps the plumbing — word
+# boundary matching, masking, per-doc counts — real and testable without
+# embedding actual slurs in the repository.
+TOXICITY_LEXICON = (
+    "badword", "slur1", "slur2", "expletive", "obscenity",
+)
+_TOXICITY_RE = re.compile(
+    r"\b(" + "|".join(re.escape(w) for w in TOXICITY_LEXICON) + r")\b",
+    re.IGNORECASE,
+)
+
+
+def toxicity_scan(text: str) -> tuple[int, str]:
+    """(hit_count, masked_text): lexicon hits replaced with '<TOXIC>'."""
+    if not text:
+        return 0, text
+    masked, count = _TOXICITY_RE.subn("<TOXIC>", text)
+    return count, masked
+
+
+def toxicity_series(texts) -> tuple[np.ndarray, list[str]]:
+    counts = np.zeros(len(texts), dtype=np.int64)
+    out = []
+    for i, t in enumerate(texts):
+        c, m = toxicity_scan(t or "")
+        counts[i] = c
+        out.append(m)
+    return counts, out
+
 
 def scrub_text(text: str) -> tuple[str, int]:
     """Replace validator-passing PII hits with ``<NAME>`` placeholders.

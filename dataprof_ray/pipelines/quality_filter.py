@@ -176,6 +176,32 @@ class FusedFilterStage:
         return self.score(self.ppl(self.langid(extract_stage(batch))))
 
 
+class ToxicityStage:
+    """Optional actor-pool stage over the filter output: lexicon-based
+    toxicity masking of kept documents' scrubbed text, emitting
+    ``toxicity_hits`` and rewriting ``scrubbed_text``. Compiled lexicon
+    lives at module scope (once per worker process)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keeps = batch.column("keep").to_numpy(zero_copy_only=False)
+        texts = batch.column("scrubbed_text").to_pylist()
+        counts, masked = P.toxicity_series(
+            [t if k else "" for t, k in zip(texts, keeps)]
+        )
+        out_texts = [m if k else t for m, t, k in zip(masked, texts, keeps)]
+        batch = batch.drop_columns(["scrubbed_text"])
+        return batch.append_column(
+            "scrubbed_text", pa.array(out_texts, pa.string())
+        ).append_column("toxicity_hits", pa.array(counts, pa.int64()))
+
+
+def scrub_toxicity(filtered_ds, concurrency=(1, 8), batch_size: int = 2048):
+    return filtered_ds.map_batches(
+        ToxicityStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 # ------------------------------------------------------------------ pipeline
 
 

@@ -173,3 +173,30 @@ def test_corpus_writer_roundtrip(tmp_path):
     # determinism: same seed -> same bytes
     t2 = generate_corpus(200)
     assert table.column("text").to_pylist() == t2.column("text").to_pylist()
+
+
+class TestToxicity:
+    def test_scan_masks_and_counts(self):
+        from dataprof_ray.functions.patterns import toxicity_scan
+
+        c, m = toxicity_scan("clean text with BadWord and expletive inside")
+        assert c == 2
+        assert "<TOXIC>" in m and "BadWord" not in m
+
+    def test_word_boundaries(self):
+        from dataprof_ray.functions.patterns import toxicity_scan
+
+        c, m = toxicity_scan("notbadwordhere stays")  # substring, no hit
+        assert c == 0 and m == "notbadwordhere stays"
+
+    def test_stage_only_rewrites_kept_docs(self, ray_session, corpus):
+        import ray.data as rd
+
+        from dataprof_ray.pipelines import quality_filter as QF
+
+        filtered = QF.run_quality_filter(rd.from_arrow(corpus), fused=True,
+                                         score_concurrency=(1, 2))
+        out = QF.scrub_toxicity(filtered, concurrency=(1, 2)).to_pandas()
+        assert "toxicity_hits" in out.columns
+        dropped = out[~out.keep]
+        assert (dropped.scrubbed_text == "").all()  # untouched
