@@ -60,20 +60,30 @@ OUTPUT_SCHEMA = pa.schema(_OUTPUT_FIELDS)
 def extract_stage(batch: pa.Table) -> pa.Table:
     """text if non-empty else extract(html); drops the wide html column so
     no later stage ships the bytes (byte-identical contract pinned by
-    DQ.EXTRACTION_VERSION)."""
-    texts = batch.column("text").to_pylist()
-    htmls = batch.column("html").to_pylist()
-    extracted = [
-        t if t else DQ.extract_text(h)
-        for t, h in zip(texts, htmls)
-    ]
-    out = pa.table({
+    DQ.EXTRACTION_VERSION).
+
+    Vectorized: only rows with null/empty text materialize their html
+    payload into Python — the common non-empty-text row passes through as
+    zero-copy Arrow."""
+    texts = pc.cast(batch.column("text"), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    need = pc.fill_null(
+        pc.or_kleene(pc.is_null(texts), pc.equal(texts, pa.scalar(""))), True
+    )
+    if pc.any(need).as_py():
+        idx = np.nonzero(need.to_numpy(zero_copy_only=False))[0]
+        htmls = batch.column("html").take(pa.array(idx, pa.int64())).to_pylist()
+        repl = pa.array([DQ.extract_text(h) for h in htmls], pa.string())
+        extracted = pc.replace_with_mask(texts, need, repl)
+    else:
+        extracted = texts
+    return pa.table({
         "url": batch.column("url"),
         "warc_ts": batch.column("warc_ts"),
         "lang": batch.column("lang"),
-        "extracted_text": pa.array(extracted, pa.string()),
+        "extracted_text": extracted,
     })
-    return out
 
 
 class LangIdStage:
