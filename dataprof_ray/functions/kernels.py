@@ -260,8 +260,9 @@ def decimal_scale(value: str) -> Optional[int]:
 # --- column-name heuristics ---------------------------------------------------
 
 _DATE_NAME_TOKENS = (
-    "date", "time", "timestamp", "created", "updated", "modified",
-    "birth", "expiry", "expire", "start", "end", "when",
+    # exactly the reference's indicator set (utils.rs:107-121); broader
+    # substrings like "end" would misfire on gender/weekend/trend
+    "date", "time", "created", "updated", "timestamp", "birth", "expiry",
 )
 
 
@@ -272,7 +273,8 @@ def is_likely_date_column(name: str) -> bool:
 
 
 _WORD_SPLIT_RE = re.compile(r"[_\-\s]+|(?<=[a-z0-9])(?=[A-Z])")
-_ID_WORDS = {"id", "key", "uuid", "guid", "code", "identifier"}
+_ID_WORDS = {"id", "key", "pk"}  # exactly utils.rs:124-130 ('code' etc.
+# would pick low-cardinality columns like country_code as the key)
 
 
 def is_likely_id_column(name: str) -> bool:

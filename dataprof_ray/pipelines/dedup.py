@@ -114,26 +114,44 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(ga & gb) / len(ga | gb)
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (frequency-weighted)."""
+def simhash_batch(texts) -> np.ndarray:
+    """64-bit frequency-weighted SimHash per document; ALL documents' tokens
+    are hashed in one polars call (a per-document Series costs ~100us of
+    construction — the same hot spot minhash_signature_matrix batches away)."""
     from collections import Counter
 
     import polars as pl
 
-    tokens = (text or "").lower().split()
-    if not tokens:
-        return 0
-    counts = Counter(tokens)
-    words = list(counts.keys())
-    hashes = pl.Series(words).hash(seed=0).to_numpy().astype(np.uint64)
-    weights = np.array([counts[w] for w in words], dtype=np.float64)
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
-    acc = ((bits * 2 - 1) * weights[:, None]).sum(axis=0)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    all_words: list = []
+    weights: list = []
+    offsets = [0]
+    for t in texts:
+        counts = Counter((t or "").lower().split())
+        all_words.extend(counts.keys())
+        weights.extend(counts.values())
+        offsets.append(len(all_words))
+    hashes = (
+        pl.Series(all_words).hash(seed=0).to_numpy().astype(np.uint64)
+        if all_words else np.empty(0, dtype=np.uint64)
+    )
+    w = np.asarray(weights, dtype=np.float64)
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for d in range(len(texts)):
+        h = hashes[offsets[d]: offsets[d + 1]]
+        if len(h) == 0:
+            continue
+        ww = w[offsets[d]: offsets[d + 1]]
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.float64)
+        acc = ((bits * 2 - 1) * ww[:, None]).sum(axis=0)
+        with np.errstate(over="ignore"):
+            out[d] = ((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
     return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (frequency-weighted)."""
+    return int(simhash_batch([text])[0])
 
 
 def hamming64(x: int, y: int) -> int:
@@ -408,7 +426,7 @@ def minhash_lsh_duplicate_groups(
 def simhash_stage(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     ids = batch.column(id_col)
-    sh = np.array([simhash64(t) for t in texts], dtype=np.uint64)
+    sh = simhash_batch(texts)
     return pa.table({id_col: ids, "simhash": pa.array(sh, pa.uint64())})
 
 
@@ -489,6 +507,13 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
     import pandas as pd
 
     def sig_stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.uint64()),
+                "vec": pa.array([], pa.list_(pa.float64())),
+                "norm": pa.array([], pa.float64()),
+            })
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in batch.column(vec_col).to_pylist()])
         rng = np.random.default_rng(seed)
         hyper = rng.normal(size=(vecs.shape[1], planes))

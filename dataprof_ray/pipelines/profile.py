@@ -338,10 +338,13 @@ def assemble_report(
             score_weights=config.score_weights,
         )
         # Bifurcated provenance (report_assembler.rs:173-250): sampled context
-        # whenever any column's reservoir no longer covers the stream.
+        # whenever any SAMPLED column's reservoir no longer covers the
+        # stream. Boolean/binary columns are computed exactly from counters
+        # and never feed the sampler — they must not force "Mixed".
         sampled = any(
             len(stats.sampler.samples()) < stats.count - stats.null_count
             for stats in coll.columns.values()
+            if stats.kind not in ("boolean", "binary")
         )
         confidence = "Mixed" if sampled else "Exact"
 

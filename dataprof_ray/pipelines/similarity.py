@@ -45,6 +45,10 @@ class BruteForceScorer:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         vecs = _normalize_rows(_to_matrix(batch.column(self.vec_col)))
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         sims = vecs @ self.queries.T  # (n, q)
@@ -122,6 +126,10 @@ class IVFScorer:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             self.id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         vecs = _normalize_rows(_to_matrix(batch.column(self.vec_col)))
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         cells = (vecs @ self.centroids.T).argmax(axis=1)

@@ -307,7 +307,9 @@ class TextLengthStats:
         if self.welford.count == 0:
             self.min_length = other.min_length
             self.max_length = other.max_length
-            self.welford = other.welford
+            # merge, never alias: adopting other.welford by reference would
+            # let later updates on self mutate the donor accumulator
+            self.welford.merge(other.welford)
             self.histogram = other.histogram.copy()
             return
         self.min_length = min(self.min_length, other.min_length)
@@ -509,7 +511,16 @@ class StreamingStatistics:
         else:
             # generic fallback: format to string (record_batch_analyzer.rs:940-964)
             self.kind = self.kind or "string"
-            self.update_string_array(pc.cast(arr, pa.string()))
+            try:
+                rendered = pc.cast(arr, pa.string())
+            except pa.ArrowNotImplementedError:
+                # nested types (struct/list/map) have no Arrow utf8 cast;
+                # Python-render like the reference's ArrayFormatter
+                rendered = pa.array(
+                    [None if v is None else str(v) for v in arr.to_pylist()],
+                    pa.string(),
+                )
+            self.update_string_array(rendered)
 
     # ---- merge + results ----
 
@@ -584,8 +595,29 @@ def row_signature_hashes(batch: pa.Table) -> np.ndarray:
     in spirit: identical rows collide, differing rows almost surely don't)."""
     import polars as pl
 
+    # nested columns (struct/list/map) have no utf8 cast in either engine:
+    # Python-render them up front (matches the string-fallback in
+    # update_array), keeping identical rows -> identical signatures
+    cols = {}
+    for name in batch.column_names:
+        col = batch.column(name)
+        if pa.types.is_nested(col.type):
+            col = pa.array(
+                [None if v is None else str(v) for v in col.to_pylist()],
+                pa.string(),
+            )
+        cols[name] = col
+    batch = pa.table(cols)
+
     df = pl.from_arrow(batch)
-    exprs = [pl.col(c).cast(pl.Utf8).fill_null("") for c in df.columns]
+    exprs = []
+    for c, dt in zip(df.columns, df.dtypes):
+        e = pl.col(c)
+        if dt == pl.Binary:
+            # strict utf8 cast would crash on non-UTF8 payloads (html etc.);
+            # hex rendering keeps identical-bytes -> identical-signature
+            e = e.bin.encode("hex")
+        exprs.append(e.cast(pl.Utf8).fill_null(""))
     return (
         df.select(pl.concat_str([e.str.len_bytes().cast(pl.Utf8) + pl.lit(":") + e for e in exprs]).hash(seed=0))
         .to_series()
