@@ -254,3 +254,49 @@ def test_duplicate_columns_rejected(ray_session):
     # own schema lookup, depending on where Ray first touches the schema
     with pytest.raises(Exception, match="[Dd]uplicate|exists 2 times"):
         profile_dataset(rd.from_arrow(t))
+
+
+def test_nonutf8_binary_and_nested_columns(ray_session):
+    """Regressions: row signatures over non-UTF8 binary payloads; nested
+    struct/list columns profiled via the string-render fallback."""
+    from dataprof_ray.state import accumulators as A
+
+    t = pa.table({"a": [1, 2],
+                  "blob": pa.array([b"\xff\xfe\x00\x01", b"ok"], pa.binary())})
+    coll = A.ColumnCollection(track_row_uniqueness=True)
+    coll.update_table(t)
+    assert coll.row_tracker.rows_seen == 2
+
+    t2 = pa.table({"s": pa.array([{"a": 1}, {"a": 2}]),
+                   "l": pa.array([[1, 2], [3]])})
+    rep = PP.profile_table(t2)
+    assert rep["s"].data_type == "String"
+    assert rep["l"].total_count == 2
+
+
+def test_bool_binary_columns_do_not_force_mixed(ray_session):
+    t = pa.table({"flag": pa.array([True, False, True]),
+                  "x": pa.array([1.0, 2.0, 3.0])})
+    rep = PP.profile_table(t)
+    assert rep.metric_confidence == "Exact"
+    assert rep.execution.sampling_applied is False
+
+
+def test_name_heuristics_reference_parity():
+    assert not K.is_likely_date_column("gender")       # 'end' not a token
+    assert not K.is_likely_date_column("weekend_sales")
+    assert K.is_likely_date_column("created_at")
+    assert K.is_likely_id_column("pk")
+    assert not K.is_likely_id_column("country_code")
+
+
+def test_textlength_merge_does_not_alias():
+    import numpy as np
+
+    from dataprof_ray.state import accumulators as A
+
+    a, b = A.TextLengthStats(), A.TextLengthStats()
+    b.update_lengths(np.array([5, 7]))
+    a.merge(b)
+    a.update_lengths(np.array([100]))
+    assert b.welford.count == 2  # donor untouched
