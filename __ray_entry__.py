@@ -293,6 +293,35 @@ def _row_duplicates_documents(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def _sales_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join (orders x customer, no shuffle of the big side) +
+    pre-aggregated groupby."""
+    import pyarrow.compute as pc
+
+    from dataprof_ray.pipelines.aggregate import preagg_groupby
+    from dataprof_ray.pipelines.join import broadcast_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, customer, big_key="o_custkey",
+                            small_key="c_custkey", columns=["c_mktsegment"],
+                            how="inner", concurrency=(1, 4))
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"),
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({"c_mktsegment": b.column("c_mktsegment"),
+                         "price_cents": cents})
+
+    df = preagg_groupby(joined.map_batches(add_cents, batch_format="pyarrow"),
+                        ["c_mktsegment"], [
+        ("cnt", None, "count"),
+        ("sum_cents", "price_cents", "sum"),
+    ])
+    df["sum_cents"] = df["sum_cents"].astype(np.int64)
+    return df
+
+
 def _stratified_customer(sf_dir: str):
     from dataprof_ray.pipelines import sampling as SA
 
@@ -476,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_events": _tumbling_events,
         "weekday_orders": _weekday_orders,
         "row_duplicates_documents": _row_duplicates_documents,
+        "sales_by_segment": _sales_by_segment,
         # rows-only (no oracle_sql entry):
         "langid_documents": _langid_documents,
         "quality_filter_documents": _quality_filter_documents,
@@ -600,6 +630,12 @@ def oracle_sql() -> dict[str, str]:
         "weekday_orders": (
             "SELECT DAYNAME(o_orderdate) AS weekday, COUNT(*) AS cnt "
             "FROM orders GROUP BY 1"
+        ),
+        "sales_by_segment": (
+            "SELECT c_mktsegment, COUNT(*) AS cnt, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
         ),
         "row_duplicates_documents": (
             "SELECT COUNT(*) AS rows_seen, "

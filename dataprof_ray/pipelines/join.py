@@ -1,0 +1,87 @@
+"""Broadcast (map-side) joins.
+
+The reference is single-table (SURVEY.md §2.6: no joins of any kind); a
+training-data engine needs at least the small-side join. Ray-Data-first
+design: the small side is materialized ONCE into a lookup table, put in the
+object store (`ray.put`), and read by reference inside every map task — the
+big side never shuffles. This is the only join shape that stays cheap at
+100 TB; large-large joins would need a hash-partitioned cogroup (documented
+extension point, not claimed).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_lookup(small_ds_or_table, key: str, columns: Sequence[str]) -> dict:
+    """Materialize the small side to {key -> tuple(columns)} (driver-side;
+    the small side must fit in memory — that is the operator's contract)."""
+    if isinstance(small_ds_or_table, pa.Table):
+        df = small_ds_or_table.to_pandas()
+    else:
+        df = small_ds_or_table.to_pandas()
+    return {
+        k: tuple(vals)
+        for k, *vals in df[[key, *columns]].itertuples(index=False, name=None)
+    }
+
+
+class _BroadcastJoiner:
+    def __init__(self, lookup_ref, big_key: str, columns: Sequence[str],
+                 how: str) -> None:
+        import ray
+
+        self.lookup = ray.get(lookup_ref) if not isinstance(lookup_ref, dict) \
+            else lookup_ref
+        self.big_key = big_key
+        self.columns = list(columns)
+        self.how = how
+        self.missing = tuple([None] * len(self.columns))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.big_key).to_pylist()
+        get = self.lookup.get
+        rows = [get(k, self.missing) for k in keys]
+        if self.how == "inner":
+            mask = np.fromiter((r is not self.missing for r in rows),
+                               dtype=bool, count=len(rows))
+            batch = batch.filter(pa.array(mask))
+            rows = [r for r in rows if r is not self.missing]
+        for i, col in enumerate(self.columns):
+            batch = batch.append_column(col, pa.array([r[i] for r in rows]))
+        return batch
+
+
+def broadcast_join(
+    big_ds,
+    small,
+    *,
+    big_key: str,
+    small_key: str,
+    columns: Sequence[str],
+    how: str = "inner",
+    concurrency=(1, 8),
+    batch_size: Optional[int] = 4096,
+):
+    """Join a large Dataset against a small side without any shuffle.
+
+    ``small`` may be a Dataset or pyarrow.Table; ``columns`` are the small
+    side's columns appended to each matching big-side row. ``how`` is
+    "inner" (drop unmatched) or "left" (null-fill). The lookup dict ships
+    once via ray.put; actors dereference it in __init__."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how}")
+    lookup_ref = ray.put(broadcast_lookup(small, small_key, columns))
+    return big_ds.map_batches(
+        _BroadcastJoiner, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(lookup_ref=lookup_ref, big_key=big_key,
+                                   columns=columns, how=how),
+    )

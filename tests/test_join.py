@@ -1,0 +1,47 @@
+"""Broadcast join (no-shuffle small-side join)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataprof_ray.pipelines.join import broadcast_join
+
+
+@pytest.fixture(scope="module")
+def sides():
+    import ray.data as rd
+
+    big = pa.table({
+        "k": pa.array([1, 2, 3, 99, 2, 1], pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0]),
+    })
+    small = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "label": pa.array(["a", "b", "c"]),
+        "weight": pa.array([0.1, 0.2, 0.3]),
+    })
+    return rd.from_arrow(big).repartition(3), small
+
+
+def test_inner_drops_unmatched(ray_session, sides):
+    big, small = sides
+    out = broadcast_join(big, small, big_key="k", small_key="id",
+                         columns=["label", "weight"]).to_pandas()
+    assert len(out) == 5  # k=99 dropped
+    assert set(out.label) == {"a", "b", "c"}
+    assert out.loc[out.k == 2, "weight"].unique().tolist() == [0.2]
+
+
+def test_left_null_fills(ray_session, sides):
+    big, small = sides
+    out = broadcast_join(big, small, big_key="k", small_key="id",
+                         columns=["label"], how="left").to_pandas()
+    assert len(out) == 6
+    assert out.loc[out.k == 99, "label"].isna().all()
+
+
+def test_bad_how(ray_session, sides):
+    big, small = sides
+    with pytest.raises(ValueError, match="join type"):
+        broadcast_join(big, small, big_key="k", small_key="id",
+                       columns=["label"], how="outer")
