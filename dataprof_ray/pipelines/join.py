@@ -33,14 +33,15 @@ def broadcast_lookup(small_ds_or_table, key: str, columns: Sequence[str]) -> dic
 
 class _BroadcastJoiner:
     def __init__(self, lookup_ref, big_key: str, columns: Sequence[str],
-                 how: str) -> None:
+                 types: Sequence[pa.DataType], how: str) -> None:
         import ray
 
         self.lookup = ray.get(lookup_ref) if not isinstance(lookup_ref, dict) \
             else lookup_ref
         self.big_key = big_key
         self.columns = list(columns)
-        self.how = how
+        self.types = list(types)  # pin types: an all-null batch (left join,
+        self.how = how            # no matches) must not infer a null column
         self.missing = tuple([None] * len(self.columns))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -53,7 +54,8 @@ class _BroadcastJoiner:
             batch = batch.filter(pa.array(mask))
             rows = [r for r in rows if r is not self.missing]
         for i, col in enumerate(self.columns):
-            batch = batch.append_column(col, pa.array([r[i] for r in rows]))
+            batch = batch.append_column(
+                col, pa.array([r[i] for r in rows], self.types[i]))
         return batch
 
 
@@ -78,10 +80,13 @@ def broadcast_join(
 
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how}")
+    small_schema = small.schema if isinstance(small, pa.Table) \
+        else small.schema().base_schema
+    types = [small_schema.field(c).type for c in columns]
     lookup_ref = ray.put(broadcast_lookup(small, small_key, columns))
     return big_ds.map_batches(
         _BroadcastJoiner, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs=dict(lookup_ref=lookup_ref, big_key=big_key,
-                                   columns=columns, how=how),
+                                   columns=columns, types=types, how=how),
     )

@@ -45,3 +45,17 @@ def test_bad_how(ray_session, sides):
     with pytest.raises(ValueError, match="join type"):
         broadcast_join(big, small, big_key="k", small_key="id",
                        columns=["label"], how="outer")
+
+
+def test_left_join_all_unmatched_batch_keeps_types(ray_session):
+    """A batch with zero matches must still emit a typed (string) column,
+    not a null-typed one — schema stability across blocks."""
+    import ray.data as rd
+
+    big = pa.table({"k": pa.array([99, 98], pa.int64())})
+    small = pa.table({"id": pa.array([1], pa.int64()), "label": pa.array(["a"])})
+    out = broadcast_join(rd.from_arrow(big), small, big_key="k", small_key="id",
+                         columns=["label"], how="left")
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert t.schema.field("label").type == pa.string()
+    assert t.column("label").null_count == 2
