@@ -509,7 +509,7 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
     def sig_stage(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], batch.schema.field(id_col).type),
                 "bucket": pa.array([], pa.uint64()),
                 "vec": pa.array([], pa.list_(pa.float64())),
                 "norm": pa.array([], pa.float64()),

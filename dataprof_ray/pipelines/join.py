@@ -20,15 +20,28 @@ import pyarrow as pa
 
 def broadcast_lookup(small_ds_or_table, key: str, columns: Sequence[str]) -> dict:
     """Materialize the small side to {key -> tuple(columns)} (driver-side;
-    the small side must fit in memory — that is the operator's contract)."""
-    if isinstance(small_ds_or_table, pa.Table):
-        df = small_ds_or_table.to_pandas()
-    else:
-        df = small_ds_or_table.to_pandas()
-    return {
-        k: tuple(vals)
-        for k, *vals in df[[key, *columns]].itertuples(index=False, name=None)
-    }
+    the small side must fit in memory — that is the operator's contract).
+
+    Arrow-native (``to_pylist``): a pandas round-trip would launder nullable
+    ints into float64/NaN and corrupt null semantics. Small-side keys must
+    be UNIQUE — a duplicate would silently pick one row where SQL JOIN
+    multiplies rows, so it raises instead."""
+    table = small_ds_or_table
+    if not isinstance(table, pa.Table):
+        table = pa.concat_tables(
+            list(table.iter_batches(batch_format="pyarrow"))
+        )
+    keys = table.column(key).to_pylist()
+    cols = [table.column(c).to_pylist() for c in columns]
+    lookup: dict = {}
+    for i, k in enumerate(keys):
+        if k in lookup:
+            raise ValueError(
+                f"broadcast_join small side has duplicate key {k!r}; "
+                "the operator requires unique small-side keys"
+            )
+        lookup[k] = tuple(col[i] for col in cols)
+    return lookup
 
 
 class _BroadcastJoiner:
@@ -42,20 +55,24 @@ class _BroadcastJoiner:
         self.columns = list(columns)
         self.types = list(types)  # pin types: an all-null batch (left join,
         self.how = how            # no matches) must not infer a null column
-        self.missing = tuple([None] * len(self.columns))
+        # identity sentinel — a tuple of Nones would collide with the
+        # interned empty tuple when columns=[] (semi-join use)
+        self.missing = object()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.big_key).to_pylist()
         get = self.lookup.get
-        rows = [get(k, self.missing) for k in keys]
+        miss = self.missing
+        rows = [get(k, miss) for k in keys]
         if self.how == "inner":
-            mask = np.fromiter((r is not self.missing for r in rows),
+            mask = np.fromiter((r is not miss for r in rows),
                                dtype=bool, count=len(rows))
             batch = batch.filter(pa.array(mask))
-            rows = [r for r in rows if r is not self.missing]
+            rows = [r for r in rows if r is not miss]
         for i, col in enumerate(self.columns):
             batch = batch.append_column(
-                col, pa.array([r[i] for r in rows], self.types[i]))
+                col, pa.array([None if r is miss else r[i] for r in rows],
+                              self.types[i]))
         return batch
 
 

@@ -153,11 +153,17 @@ def read_jsonl(
         for payload in batch["bytes"]:
             data = bytes(payload)
             # array-vs-lines autodetect (dataprof-json/src/lib.rs:85-299):
-            # a file whose first non-ws byte is '[' is one JSON array
+            # a file whose first non-ws byte is '[' is TRIED as one JSON
+            # array; if that parse fails it falls through to per-line
+            # parsing (a stray '[...]' first line must not discard a whole
+            # JSONL file in skip mode)
             head = data.lstrip()[:1]
             if head == b"[":
                 try:
                     arr = json.loads(data)
+                except json.JSONDecodeError:
+                    arr = None  # not a single array: per-line path below
+                if arr is not None:
                     for obj in arr:
                         if isinstance(obj, dict):
                             rows.append(obj)
@@ -165,11 +171,6 @@ def read_jsonl(
                             raise ValueError("array element is not an object")
                         else:
                             errors += 1
-                    continue
-                except json.JSONDecodeError as e:
-                    if policy == "strict":
-                        raise ValueError("malformed JSON array") from e
-                    errors += 1
                     continue
             for line in data.splitlines():
                 line = line.strip()

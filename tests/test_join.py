@@ -59,3 +59,36 @@ def test_left_join_all_unmatched_batch_keeps_types(ray_session):
     t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
     assert t.schema.field("label").type == pa.string()
     assert t.column("label").null_count == 2
+
+
+def test_duplicate_small_keys_rejected(ray_session):
+    import ray.data as rd
+
+    big = pa.table({"k": pa.array([1], pa.int64())})
+    small = pa.table({"id": pa.array([1, 1], pa.int64()),
+                      "label": pa.array(["a", "b"])})
+    with pytest.raises(Exception, match="duplicate key"):
+        broadcast_join(rd.from_arrow(big), small, big_key="k",
+                       small_key="id", columns=["label"]).to_pandas()
+
+
+def test_semi_join_empty_columns(ray_session, sides):
+    # columns=[] = existence filter; must keep matches, drop non-matches
+    big, small = sides
+    out = broadcast_join(big, small, big_key="k", small_key="id",
+                         columns=[]).to_pandas()
+    assert len(out) == 5
+    assert 99 not in set(out.k)
+
+
+def test_nullable_int_small_side(ray_session):
+    import ray.data as rd
+
+    big = pa.table({"k": pa.array([1, 2], pa.int64())})
+    small = pa.table({"id": pa.array([1, 2], pa.int64()),
+                      "num": pa.array([7, None], pa.int64())})
+    out = broadcast_join(rd.from_arrow(big), small, big_key="k",
+                         small_key="id", columns=["num"]).to_pandas()
+    assert out.sort_values("k")["num"].tolist()[0] == 7
+    assert pa.Table.from_pandas(out).schema.field("num").type in (
+        pa.int64(), pa.float64())  # null survived as null, not NaN-poisoned crash

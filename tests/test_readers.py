@@ -163,3 +163,10 @@ class TestRaggedRows:
         p.write_text('[{"a": 1}, {"a": 2}, {"a": 3}]')
         df = RD.read_jsonl(str(p)).dataset.to_pandas()
         assert df["a"].tolist() == [1, 2, 3]
+
+    def test_stray_array_line_falls_back_to_lines(self, ray_session, tmp_path):
+        p = tmp_path / "mixed.jsonl"
+        p.write_text('[1, 2]\n{"a": 1}\n{"a": 2}\n')
+        res = RD.read_jsonl(str(p), policy="skip")
+        df = res.dataset.to_pandas()
+        assert df["a"].tolist() == [1, 2]  # objects survive the stray array line
