@@ -293,6 +293,17 @@ def _row_duplicates_documents(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def _top_expensive_orders(sf_dir: str):
+    """Global distributed sort (ds.sort is the one all-to-all primitive the
+    profiler never needs — demonstrated here) + limit, with a total
+    deterministic tie-break mirrored in the SQL."""
+    return (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def _sales_by_segment(sf_dir: str) -> pd.DataFrame:
     """Broadcast join (orders x customer, no shuffle of the big side) +
     pre-aggregated groupby."""
@@ -506,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_orders": _weekday_orders,
         "row_duplicates_documents": _row_duplicates_documents,
         "sales_by_segment": _sales_by_segment,
+        "top_expensive_orders": _top_expensive_orders,
         # rows-only (no oracle_sql entry):
         "langid_documents": _langid_documents,
         "quality_filter_documents": _quality_filter_documents,
@@ -630,6 +642,10 @@ def oracle_sql() -> dict[str, str]:
         "weekday_orders": (
             "SELECT DAYNAME(o_orderdate) AS weekday, COUNT(*) AS cnt "
             "FROM orders GROUP BY 1"
+        ),
+        "top_expensive_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
         ),
         "sales_by_segment": (
             "SELECT c_mktsegment, COUNT(*) AS cnt, "

@@ -1,2 +1,14 @@
-"""End-to-end Ray Data pipelines: profiling rollup, corpus quality filter,
-dedup family, similarity search, text analysis."""
+"""End-to-end pipelines. Import submodules directly, e.g.
+``from dataprof_ray.pipelines import quality_filter, dedup``."""
+
+from dataprof_ray.pipelines import (  # noqa: F401
+    aggregate,
+    dedup,
+    join,
+    profile,
+    quality_filter,
+    sampling,
+    similarity,
+    textstats,
+    window,
+)
