@@ -43,3 +43,9 @@ def test_day_unit_no_value(ray_session, events):
 def test_bad_unit(ray_session, events):
     with pytest.raises(ValueError, match="unit"):
         tumbling_window(events, "ts", unit="fortnight")
+
+
+def test_minute_unit(ray_session, events):
+    out = tumbling_window(events, "ts", unit="minute")
+    assert out["cnt"].sum() == 5000
+    assert len(out) > 100  # ~2.3-min spacing -> most windows hold 1 event
