@@ -424,6 +424,41 @@ def _embedding_neardup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _embedding_neardup_recall(sf_dir: str) -> pd.DataFrame:
+    """Measured LSH recall vs brute force. The driver testdata embeddings
+    contain NO cosine>=0.95 pairs (max observed ~0.6), so near-duplicates
+    are PLANTED deterministically: every 5th vector gets a perturbed clone
+    at cosine ~0.97, and the audit reports recall/precision of the banded
+    hyperplane LSH against the brute-force ground truth on that corpus."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dataprof_ray.pipelines import dedup as D
+    from dataprof_ray.pipelines.similarity import _to_matrix
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    vecs = _to_matrix(tbl.column("embedding"))
+    rng = np.random.default_rng(42)
+    base = vecs[::5]
+    norms = np.linalg.norm(base, axis=1, keepdims=True)
+    unit = base / np.maximum(norms, 1e-12)
+    noise = rng.normal(size=base.shape)
+    noise -= (np.einsum("ij,ij->i", noise, unit)[:, None]) * unit
+    noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True), 1e-12)
+    clones = (unit + 0.25 * noise) * norms  # cosine ~0.97 to the original
+    clone_ids = ids.max() + 1 + np.arange(len(clones), dtype=np.int64)
+    planted = pa.table({
+        "vec_id": pa.array(np.concatenate([ids, clone_ids]), pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, v)) for v in np.vstack([vecs, clones])],
+            pa.list_(pa.float64())),
+    })
+    return D.embedding_neardup_recall(rd.from_arrow(planted).repartition(4),
+                                      threshold=0.95)
+
+
 def _ivf_topk(sf_dir: str) -> pd.DataFrame:
     from dataprof_ray.pipelines.similarity import ivf_topk
 
@@ -525,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
         "simhash_signatures": _simhash_signatures,
         "embedding_neardup": _embedding_neardup,
+        "embedding_neardup_recall": _embedding_neardup_recall,
         "ivf_topk": _ivf_topk,
         "profile_report_documents": _profile_report_documents,
         "domain_rollup": _domain_rollup,

@@ -23,6 +23,24 @@ import pyarrow as pa
 
 
 def _to_matrix(column) -> np.ndarray:
+    """(n, d) float64 matrix from a list/fixed_size_list embedding column.
+
+    Zero-copy flatten + reshape for the regular case (every hot consumer:
+    scorers, LSH signature stages); ``to_pylist`` boxed every float and was
+    the top per-batch cost. Falls back to the boxed path only for ragged
+    lists or null rows, which are a schema error for embedding columns."""
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
+    t = column.type
+    if pa.types.is_fixed_size_list(t) and column.null_count == 0:
+        d = t.list_size
+        flat = np.asarray(column.flatten(), dtype=np.float64)
+        return flat.reshape(len(column), d)
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and column.null_count == 0:
+        lengths = np.asarray(column.value_lengths(), dtype=np.int64)
+        if len(lengths) and (lengths == lengths[0]).all():
+            flat = np.asarray(column.flatten(), dtype=np.float64)
+            return flat.reshape(len(column), int(lengths[0]))
     return np.array(column.to_pylist(), dtype=np.float64)
 
 

@@ -115,6 +115,58 @@ def test_embedding_neardup(ray_session):
     assert all(a % 40 == b % 40 for a, b in found)
 
 
+def test_embedding_neardup_recall_measured(ray_session):
+    """Recall is MEASURED against brute force on planted near-duplicates
+    (cosine ~0.97 clones), not asserted from the docstring."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    d = 32
+    base = rng.normal(size=(60, d))
+    vecs = [v for v in base]
+    ids = list(range(60))
+    for j in range(20):
+        v = base[j] / np.linalg.norm(base[j])
+        w = rng.normal(size=d)
+        w -= (w @ v) * v
+        w /= np.linalg.norm(w)
+        vecs.append((v + 0.2 * w) * np.linalg.norm(base[j]))  # cosine ~0.98
+        ids.append(100 + j)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    m = D.embedding_neardup_recall(rd.from_arrow(t).repartition(3), threshold=0.95)
+    row = m.iloc[0]
+    assert row.gt_pairs >= 20
+    assert row.precision == 1.0  # exact verify: no false pairs, ever
+    assert row.recall >= 0.95
+    # analytic floor at the threshold itself (planted pairs sit above it,
+    # where per-pair recall is higher — hence the measured 0.95 bar above)
+    assert row.analytic_recall >= 0.95
+
+
+def test_embedding_neardup_dense_bucket_star_edges(ray_session):
+    """A bucket over the pair cap degrades to star edges: components stay
+    connected (every member pairs with the bucket min) without O(n^2)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    v = rng.normal(size=16)
+    vecs = [v * (1.0 + 1e-9 * i) for i in range(12)]  # one identical cluster
+    t = pa.table({
+        "vec_id": pa.array(list(range(12)), pa.int64()),
+        "embedding": pa.array([list(map(float, x)) for x in vecs],
+                              pa.list_(pa.float64())),
+    })
+    pairs = D.embedding_neardup_pairs(rd.from_arrow(t), threshold=0.99,
+                                      bucket_pair_cap=4)
+    found = set(zip(pairs.id_a, pairs.id_b))
+    for i in range(1, 12):
+        assert (0, i) in found  # star to the min id keeps the component whole
+
+
 def test_minhash_deterministic(ray_session, doc_table):
     import ray.data as rd
 
