@@ -1,12 +1,18 @@
-"""Broadcast (map-side) joins.
+"""Joins: broadcast (map-side) and hash-partitioned cogroup (large-large).
 
 The reference is single-table (SURVEY.md §2.6: no joins of any kind); a
-training-data engine needs at least the small-side join. Ray-Data-first
-design: the small side is materialized ONCE into a lookup table, put in the
-object store (`ray.put`), and read by reference inside every map task — the
-big side never shuffles. This is the only join shape that stays cheap at
-100 TB; large-large joins would need a hash-partitioned cogroup (documented
-extension point, not claimed).
+training-data engine needs both join shapes:
+
+- ``broadcast_join``: the small side is materialized ONCE into a lookup
+  table, put in the object store (`ray.put`), and read by reference inside
+  every map task — the big side never shuffles. The cheap shape; use it
+  whenever one side fits in memory.
+- ``hash_join``: both sides are partitioned by a hash of the join key and
+  cogrouped (union with a side tag -> coarse ``groupby(part)`` -> one
+  vectorized pandas merge per partition). Every row of BOTH sides moves
+  exactly once; skewed keys concentrate in their partition, so pick
+  ``partitions`` >= cluster parallelism and salt hot keys upstream if one
+  key dominates.
 """
 
 from __future__ import annotations
@@ -106,4 +112,129 @@ def broadcast_join(
         concurrency=concurrency,
         fn_constructor_kwargs=dict(lookup_ref=lookup_ref, big_key=big_key,
                                    columns=columns, types=types, how=how),
+    )
+
+
+# --------------------------------------------------------- hash-partitioned join
+
+
+_JOIN_PARTITIONS = 64
+
+
+def _key_parts(column: pa.ChunkedArray | pa.Array, partitions: int) -> np.ndarray:
+    """Deterministic partition of a join-key column (any hashable type):
+    polars 64-bit hash -> modulo. Null keys get partition -1 (dropped or
+    left-unmatched by the caller — SQL NULL never matches)."""
+    import polars as pl
+
+    if isinstance(column, pa.Table):
+        column = column.column(0)
+    arr = column.combine_chunks() if isinstance(column, pa.ChunkedArray) else column
+    h = pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
+    part = (h % np.uint64(partitions)).astype(np.int32)
+    null_mask = np.asarray(arr.is_null())
+    if null_mask.any():
+        part = part.copy()
+        part[null_mask] = -1
+    return part
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+    partitions: int = _JOIN_PARTITIONS,
+    right_suffix: str = "_right",
+):
+    """Large-large equi-join as a hash-partitioned cogroup. Returns a lazy
+    Dataset with all left columns plus the right side's non-key columns
+    (plus the right key itself when its name differs from the left key, as
+    SQL keeps both); a right column colliding with a left name gets
+    ``right_suffix``.
+
+    Semantics pinned to SQL: NULL keys never match (right-side NULL-key
+    rows are dropped; left NULL-key rows are dropped for ``inner`` and
+    null-filled for ``left``). Duplicate keys multiply rows, as in SQL.
+    ``left`` joins null-fill right columns via pandas, so nullable ints
+    surface as float64 — exact-dtype consumers should use ``inner``."""
+    import pandas as pd
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how}")
+    left_cols = list(left.schema().names)
+    right_schema = right.schema().base_schema
+    keep_right = [c for c in right_schema.names if c != right_key] \
+        + ([right_key] if right_key != left_key else [])
+    rename_right = {
+        c: (c + right_suffix if c in left_cols else c) for c in keep_right
+    }
+    key_type = left.schema().base_schema.field(left_key).type
+    out_cols = left_cols + [rename_right[c] for c in keep_right]
+
+    # pandas launders null-padded int64 columns to float64 inside the
+    # cogroup; restore integer dtypes wherever the merged column has no
+    # nulls so inner-join output keeps exact dtypes (oracle hash contract)
+    _int_targets = {}
+    for c in left_cols:
+        t = left.schema().base_schema.field(c).type
+        if pa.types.is_integer(t):
+            _int_targets[c] = t.to_pandas_dtype()
+    for c in keep_right:
+        t = right_schema.field(c).type
+        if pa.types.is_integer(t):
+            _int_targets[rename_right[c]] = t.to_pandas_dtype()
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        part = _key_parts(batch.column(left_key), partitions)
+        cols = {c: batch.column(c) for c in left_cols}
+        cols["__part"] = pa.array(part, pa.int32())
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        for c in keep_right:
+            cols["__r_" + c] = pa.nulls(batch.num_rows, right_schema.field(c).type)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        # right rows ride with their join key cast into the LEFT key slot so
+        # the cogroup merges both sides on one column; all other left
+        # columns are null padding (required for Dataset.union's one schema)
+        part = _key_parts(batch.column(right_key), partitions)
+        n = batch.num_rows
+        cols = {}
+        for c in left_cols:
+            if c == left_key:
+                cols[c] = batch.column(right_key).cast(key_type)
+            else:
+                cols[c] = pa.nulls(n, left.schema().base_schema.field(c).type)
+        cols["__part"] = pa.array(part, pa.int32())
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        for c in keep_right:
+            cols["__r_" + c] = batch.column(c)
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        part = int(df["__part"].iloc[0])
+        ldf = df[df["__side"] == 0]
+        rdf = df[df["__side"] == 1]
+        l = ldf[left_cols]
+        r = rdf[[left_key] + ["__r_" + c for c in keep_right]].rename(
+            columns={"__r_" + c: rename_right[c] for c in keep_right})
+        if part < 0:  # NULL join keys never match (SQL semantics): merging
+            r = r.iloc[0:0]  # against an emptied right drops (inner) or
+        merged = l.merge(r, how=how, on=left_key)[out_cols]  # null-fills (left)
+        for c, dt in _int_targets.items():
+            col = merged[c]
+            if col.dtype != dt and not col.isna().any():
+                merged[c] = col.astype(dt)
+        return merged
+
+    return (
+        tagged.groupby("__part")
+        .map_groups(cogroup, batch_format="pandas")
     )

@@ -167,6 +167,40 @@ def test_embedding_neardup_dense_bucket_star_edges(ray_session):
         assert (0, i) in found  # star to the min id keeps the component whole
 
 
+def test_minhash_distributed_clustering_matches_union_find(ray_session, doc_table):
+    """Golden: min-label propagation (distributed, no driver edge list)
+    produces the identical (id, canonical_id) table as the union-find
+    oracle, with and without the Jaccard verify filter."""
+    import ray.data as rd
+
+    for vt in (None, 0.5):
+        dist = D.minhash_lsh_duplicate_groups(
+            rd.from_arrow(doc_table).repartition(4), num_perm=32, bands=8,
+            verify_threshold=vt, clustering="distributed")
+        drv = D.minhash_lsh_duplicate_groups(
+            rd.from_arrow(doc_table).repartition(4), num_perm=32, bands=8,
+            verify_threshold=vt, clustering="driver")
+        assert dist.sort_values("id").values.tolist() == \
+            drv.sort_values("id").values.tolist()
+        assert len(dist) > 0
+
+
+def test_connected_components_chain(ray_session):
+    """A long path graph needs multiple propagation rounds — exercises the
+    fixpoint loop beyond the star-shaped LSH case."""
+    import ray.data as rd
+
+    # path 10-11-12-...-19 plus an isolated edge pair (2, 7)
+    src = list(range(10, 19)) + [7]
+    dst = list(range(11, 20)) + [2]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                    "dst": pa.array(dst, pa.int64())}))
+    labels = D.connected_components(edges).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert all(got[n] == 10 for n in range(10, 20))
+    assert got[2] == 2 and got[7] == 2
+
+
 def test_minhash_deterministic(ray_session, doc_table):
     import ray.data as rd
 
