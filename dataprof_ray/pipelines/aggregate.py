@@ -46,21 +46,26 @@ def preagg_groupby(
 
     keys = list(keys)
 
+    for _name, _col, _fn in specs:
+        if _fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"unsupported partial aggregate: {_fn}")
+
     def partials(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        # dropna=False: SQL GROUP BY and Ray's groupby both emit a null-key
-        # group; pandas' default would silently drop those rows here
-        g = df.groupby(keys, sort=False, dropna=False)
-        out = {}
+        # Arrow-native partial collapse: pa.TableGroupBy keeps null-key
+        # groups (SQL GROUP BY semantics, like the Ray groupby downstream)
+        # and avoids the pandas round-trip the old path paid per batch.
+        uniq: list = []
+        for _, col, fn in specs:
+            pair = (None, "count_all") if fn == "count" else (col, fn)
+            if pair not in uniq:
+                uniq.append(pair)
+        res = pa.TableGroupBy(batch, keys).aggregate(
+            [([] if c is None else c, f) for c, f in uniq])
+        cols = {k: res.column(k) for k in keys}
         for name, col, fn in specs:
-            if fn == "count":
-                out[name] = g.size()
-            elif fn in ("sum", "min", "max"):
-                out[name] = getattr(g[col], fn)()
-            else:
-                raise ValueError(f"unsupported partial aggregate: {fn}")
-        res = pd.DataFrame(out).reset_index()
-        return pa.Table.from_pandas(res, preserve_index=False)
+            src = "count_all" if fn == "count" else f"{col}_{fn}"
+            cols[name] = res.column(src)
+        return pa.table(cols)
 
     final_aggs = []
     for name, _col, fn in specs:

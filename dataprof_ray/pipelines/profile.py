@@ -66,13 +66,40 @@ class PartialProfiler:
         })
 
 
+# Above this many input blocks the driver-side fold switches to the
+# grouped (tree) merge automatically; below it the extra shuffle costs
+# more than it saves.
+TREE_MERGE_BLOCK_THRESHOLD = 512
+
+
+def _auto_tree_groups(n_blocks: int) -> int:
+    """Tree-merge group count for an estimated block count: 0 (off) under
+    the threshold, else ~sqrt(n) clamped to [32, 256] so the driver folds
+    at most a few hundred pre-merged blobs regardless of input size."""
+    if n_blocks <= TREE_MERGE_BLOCK_THRESHOLD:
+        return 0
+    import math
+
+    return int(min(256, max(32, math.isqrt(n_blocks))))
+
+
+def _estimate_blocks(ds) -> int:
+    try:
+        return int(ds._plan.initial_num_blocks())
+    except Exception:
+        try:
+            return len(ds.input_files())
+        except Exception:
+            return 0
+
+
 def collect_column_state(
     ds,
     sample_capacity: int = A.DEFAULT_RESERVOIR_CAPACITY,
     track_row_uniqueness: bool = True,
     batch_size: Optional[int] = None,
     progress=None,
-    tree_merge_groups: int = 0,
+    tree_merge_groups: Optional[int] = None,
 ) -> A.ColumnCollection:
     """Run the partial-profile stage over a Dataset and fold the partials.
 
@@ -85,7 +112,11 @@ def collect_column_state(
     driver folds G pre-merged blobs instead of one per block — required
     when block count x blob size outgrows driver memory (e.g. ~800k blobs
     for 100 TB at 128 MB blocks). Deterministic: groups and intra-group
-    order are fixed by part_key."""
+    order are fixed by part_key. The default (``None``) decides
+    automatically from the estimated input block count
+    (``TREE_MERGE_BLOCK_THRESHOLD``); pass 0 to force the flat fold."""
+    if tree_merge_groups is None:
+        tree_merge_groups = _auto_tree_groups(_estimate_blocks(ds))
     parts_ds = ds.map_batches(
         PartialProfiler(sample_capacity, track_row_uniqueness),
         batch_format="pyarrow",

@@ -243,6 +243,30 @@ def test_tree_merge_matches_driver_merge_exact_fields(ray_session):
     assert flat.columns["x"].max == tree.columns["x"].max
 
 
+def test_tree_merge_auto_enables_above_threshold(ray_session, monkeypatch):
+    """profile_dataset's default path engages the grouped (tree) merge once
+    the estimated block count crosses the threshold — VERDICT r1 item 3."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines import profile as P
+
+    assert P._auto_tree_groups(P.TREE_MERGE_BLOCK_THRESHOLD) == 0
+    assert P._auto_tree_groups(P.TREE_MERGE_BLOCK_THRESHOLD + 1) == 32
+    assert P._auto_tree_groups(20_000) == 141  # ~sqrt
+    assert P._auto_tree_groups(10_000_000) == 256  # clamped
+
+    t = pa.table({"x": pa.array(np.arange(4000, dtype=np.float64))})
+    ds = rd.from_arrow(t).repartition(16)
+    assert P._estimate_blocks(ds) == 16
+    # force the auto path on at 16 blocks and pin it against the flat fold
+    monkeypatch.setattr(P, "TREE_MERGE_BLOCK_THRESHOLD", 8)
+    auto = P.collect_column_state(ds)  # default None -> auto -> grouped
+    flat = P.collect_column_state(ds, tree_merge_groups=0)
+    a, b = auto.columns["x"], flat.columns["x"]
+    assert a.count == b.count and a.min == b.min and a.max == b.max
+    assert a.welford.mean == pytest.approx(b.welford.mean, rel=1e-12)
+
+
 def test_duplicate_columns_rejected(ray_session):
     import ray.data as rd
 
