@@ -41,6 +41,9 @@ def broadcast_lookup(small_ds_or_table, key: str, columns: Sequence[str]) -> dic
     cols = [table.column(c).to_pylist() for c in columns]
     lookup: dict = {}
     for i, k in enumerate(keys):
+        if k is None:
+            continue  # SQL JOIN: NULL never matches, so a NULL small-side
+            # row must not become a match target for NULL big-side keys
         if k in lookup:
             raise ValueError(
                 f"broadcast_join small side has duplicate key {k!r}; "

@@ -330,7 +330,12 @@ def assemble_report(
     temporal_columns: tuple = (),
     scan_time_ms: float = 0.0,
     partitions: int = 0,
+    quality_dimensions: Optional[tuple] = None,
 ) -> S.ProfileReport:
+    """``quality_dimensions``: restrict quality assessment to the named
+    dimensions (None = all seven). Unselected dimensions stay None —
+    "not assessed" — so the overall score renormalizes over the selected
+    weights (quality.rs renormalization semantics)."""
     config = config or Q.IsoQualityConfig()
     profiles = [
         build_profile(name, stats, skip_patterns=skip_patterns, locale=locale,
@@ -355,16 +360,29 @@ def assemble_report(
             p.name for p in profiles
             if p.data_type == K.TYPE_DATE or K.is_likely_date_column(p.name)
         ]
+        want = (set(quality_dimensions) if quality_dimensions is not None
+                else None)
+
+        def _on(name: str) -> bool:
+            return want is None or name in want
+
         quality = Q.QualityMetrics(
-            completeness=Q.calc_completeness_from_profiles(profiles, config),
-            consistency=Q.calc_consistency(sample_data, profiles),
+            completeness=Q.calc_completeness_from_profiles(profiles, config)
+            if _on("completeness") else None,
+            consistency=Q.calc_consistency(sample_data, profiles)
+            if _on("consistency") else None,
             uniqueness=Q.calc_uniqueness(
-                sample_data, profiles, coll.rows, list(identifier_columns), config, row_dups
-            ),
-            accuracy=Q.calc_accuracy(sample_data, profiles, config, list(positive_columns)),
-            timeliness=Q.calc_timeliness(sample_data, temporal, config),
-            validity=Q.calc_validity(sample_data, profiles),
-            precision=Q.calc_precision(sample_data, profiles),
+                sample_data, profiles, coll.rows, list(identifier_columns),
+                config, row_dups) if _on("uniqueness") else None,
+            accuracy=Q.calc_accuracy(sample_data, profiles, config,
+                                     list(positive_columns))
+            if _on("accuracy") else None,
+            timeliness=Q.calc_timeliness(sample_data, temporal, config)
+            if _on("timeliness") else None,
+            validity=Q.calc_validity(sample_data, profiles)
+            if _on("validity") else None,
+            precision=Q.calc_precision(sample_data, profiles)
+            if _on("precision") else None,
             low_sample_warning=Q.low_sample_warning(coll.rows),
             score_weights=config.score_weights,
         )
@@ -407,6 +425,7 @@ def profile_dataset(
     temporal_columns: tuple = (),
     data_source: Optional[dict] = None,
     batch_size: Optional[int] = None,
+    quality_dimensions: Optional[tuple] = None,
 ) -> S.ProfileReport:
     """Profile a ray.data.Dataset end to end (the flagship profiling path).
 
@@ -435,6 +454,7 @@ def profile_dataset(
         positive_columns=positive_columns,
         temporal_columns=temporal_columns,
         scan_time_ms=scan_ms,
+        quality_dimensions=quality_dimensions,
     )
 
 

@@ -7,7 +7,8 @@ Behavior parity (not a port) with the reference's sampling layer
 - systematic every-Nth                        -> strategies.rs:36-44
 - stratified per-key cap (multi-key,
   rows missing a key excluded)                -> strategies.rs:121-149
-- importance = threshold filter on a weight   -> strategies.rs:56-60
+- progressive grow-until-relative-SE          -> strategies.rs:44-60
+- importance = threshold filter on a weight   -> strategies.rs:62-75
 - multi-stage: filters then <=1 fixed-size    -> strategies.rs:86-117
 - adaptive chooser by rows/MB                 -> strategies.rs:159-180
 
@@ -157,16 +158,104 @@ def multi_stage_sample(ds, stages: Sequence[tuple]):
         elif kind == "reservoir":
             out = reservoir_sample(out, spec[1])
             fixed_seen = True
+        elif kind == "progressive":
+            out = progressive_sample(out, *spec[1:])
+            fixed_seen = True
         else:
             raise ValueError(f"unknown stage kind: {kind}")
     return out
 
 
-def choose_strategy(total_rows: int, total_mb: float) -> dict:
-    """Adaptive chooser mirroring strategies.rs:159-180 thresholds: small
-    data -> none; medium -> random; large -> reservoir cap."""
-    if total_rows <= 100_000 and total_mb <= 50:
+def progressive_sample(ds, initial_size: int = 10_000,
+                       confidence_level: float = 0.95,
+                       max_size: int = 50_000,
+                       batch_size: int = 4096) -> pa.Table:
+    """Grow-until-precise sampling (strategies.rs Progressive, :44-60):
+    rows stream in until the mean of EVERY numeric column has a relative
+    standard error within ``1 - confidence_level``, bounded by
+    ``initial_size`` (never stop earlier) and ``max_size`` (never grow
+    further). A source with no numeric columns has no measurable precision
+    and always samples ``max_size`` rows, as in the reference.
+
+    Driver-monitored like the stop conditions (state/stop.py): batches
+    stream in dataset order, a Welford accumulator per numeric column
+    tracks the running RSE, and the stream is abandoned at the stop row —
+    the rest of the dataset is never pulled (Ray's streaming executor
+    cancels the remainder when iteration ends)."""
+    target = 1.0 - confidence_level
+    # (count, mean, M2) per numeric column, merged with Chan's formula
+    stats: dict = {}
+    numeric_cols: Optional[list] = None
+    collected: list = []
+    n = 0
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=batch_size):
+        if numeric_cols is None:
+            numeric_cols = [
+                f.name for f in batch.schema
+                if pa.types.is_integer(f.type) or pa.types.is_floating(f.type)
+            ]
+        take = min(batch.num_rows, max_size - n)
+        if take <= 0:
+            break
+        if take < batch.num_rows:
+            batch = batch.slice(0, take)
+        collected.append(batch)
+        n += take
+        for c in numeric_cols:
+            vals = batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            vals = vals[np.isfinite(vals)]
+            if not len(vals):
+                continue
+            bc, bm = len(vals), float(vals.mean())
+            bm2 = float(((vals - bm) ** 2).sum())
+            c0, m0, m20 = stats.get(c, (0, 0.0, 0.0))
+            delta = bm - m0
+            cn = c0 + bc
+            stats[c] = (cn, m0 + delta * bc / cn,
+                        m20 + bm2 + delta * delta * c0 * bc / cn)
+        if n >= max_size:
+            break
+        if n >= initial_size and numeric_cols and _rse_converged(stats, target):
+            break
+    if not collected:
+        return pa.table({})
+    return pa.concat_tables(collected)
+
+
+def _rse_converged(stats: dict, target: float) -> bool:
+    """True when every tracked numeric column's mean has relative standard
+    error <= target. A zero mean has no relative scale, so it only passes
+    with zero variance (the reference's 'volatile column runs to max')."""
+    if not stats:
+        return False
+    for count, mean, m2 in stats.values():
+        if count < 2:
+            return False
+        se = (m2 / (count - 1)) ** 0.5 / count ** 0.5
+        if mean == 0.0:
+            if se > 0.0:
+                return False
+        elif se / abs(mean) > target:
+            return False
+    return True
+
+
+def choose_strategy(total_rows: Optional[int], total_mb: float) -> dict:
+    """Adaptive chooser with the reference's exact thresholds
+    (strategies.rs:159-180): <=10k rows and <10MB -> none; <=100k rows ->
+    random 10k; <=1M rows -> progressive(10k, 0.95, 50k); >1000MB ->
+    multi-stage [systematic every-100th, progressive(5k, 0.99, 25k)];
+    otherwise reservoir 100k."""
+    if total_rows is not None and total_rows <= 10_000 and total_mb < 10.0:
         return {"kind": "none"}
-    if total_rows <= 5_000_000:
-        return {"kind": "random", "fraction": min(1.0, 500_000 / max(total_rows, 1))}
-    return {"kind": "reservoir", "size": 500_000}
+    if total_rows is not None and total_rows <= 100_000:
+        return {"kind": "random", "size": 10_000}
+    if total_rows is not None and total_rows <= 1_000_000:
+        return {"kind": "progressive", "initial_size": 10_000,
+                "confidence_level": 0.95, "max_size": 50_000}
+    if total_mb > 1000.0:
+        return {"kind": "multi_stage", "stages": [
+            ("systematic", 100),
+            ("progressive", 5_000, 0.99, 25_000),
+        ]}
+    return {"kind": "reservoir", "size": 100_000}

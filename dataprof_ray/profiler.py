@@ -218,6 +218,7 @@ class Profiler:
             temporal_columns=cfg.hints.temporal_columns,
             data_source=data_source,
             batch_size=cfg.batch_size,
+            quality_dimensions=cfg.quality_dimensions,
         )
         if truncation is not None:
             report.execution.truncation_reason = truncation

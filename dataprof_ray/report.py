@@ -133,6 +133,72 @@ def to_markdown(report: ProfileReport) -> str:
     return "\n".join(lines) + "\n"
 
 
+def to_html(report: ProfileReport) -> str:
+    """Embeddable HTML fragment of the report (reference `to_html`,
+    __init__.py:2113 — the `_repr_html_` surface): header summary line,
+    per-column table, quality dimensions, detected patterns. Values are
+    HTML-escaped; the fragment carries no <html>/<head> wrapper so it can
+    be dropped into CI summaries or notebooks."""
+    import html as _html
+
+    def esc(v) -> str:
+        return _html.escape(_fmt(v))
+
+    score = report.quality_score()
+    qs_str = f"{score:.1f}" if score is not None else "N/A"
+    parts = [
+        '<div class="dataprof-report">',
+        f"<p><b>Source:</b> {esc(report.data_source or 'in-memory')} | "
+        f"<b>Rows:</b> {report.rows:,} | "
+        f"<b>Columns:</b> {len(report.column_profiles)} | "
+        f"<b>Quality:</b> {qs_str} | "
+        f"<b>Confidence:</b> {esc(report.metric_confidence)}</p>",
+        "<table>",
+        "<thead><tr><th>Column</th><th>Type</th><th>Nulls</th>"
+        "<th>Null %</th><th>Unique</th><th>Stats</th></tr></thead>",
+        "<tbody>",
+    ]
+    for p in report.column_profiles:
+        s = p.stats
+        if isinstance(s, NumericStats):
+            stat = (f"min {_fmt(s.min)} / max {_fmt(s.max)} / mean {_fmt(s.mean)}"
+                    f" / sd {_fmt(s.std_dev)}")
+        elif isinstance(s, TextStats):
+            stat = f"len {s.min_length}-{s.max_length} (avg {_fmt(s.avg_length, 3)})"
+        elif isinstance(s, DateTimeStats):
+            stat = f"{s.min_datetime} .. {s.max_datetime} ({_fmt(s.duration_days, 3)} d)"
+        elif isinstance(s, BooleanStats):
+            stat = f"true {s.true_count} / false {s.false_count}"
+        else:
+            stat = "-"
+        approx = "~" if p.unique_count_is_approximate else ""
+        parts.append(
+            f"<tr><td>{esc(p.name)}</td><td>{esc(p.data_type)}</td>"
+            f"<td>{p.null_count}</td><td>{p.null_percentage:.1f}%</td>"
+            f"<td>{approx}{esc(p.unique_count)}</td><td>{esc(stat)}</td></tr>"
+        )
+    parts += ["</tbody>", "</table>"]
+    qs = quality_summary(report)
+    if qs["overall_score"] is not None:
+        parts.append(f"<p><b>Quality score:</b> {qs['overall_score']:.2f} "
+                     f"({esc(qs['confidence'])})</p>")
+        dims = [f"{esc(d)}: {v:.2f}" for d, v in qs["dimensions"].items()
+                if v is not None]
+        if dims:
+            parts.append("<ul>" + "".join(f"<li>{d}</li>" for d in dims) + "</ul>")
+    pat_items = []
+    for p in report.column_profiles:
+        for pat in (p.patterns or []):
+            pat_items.append(
+                f"<li><code>{esc(p.name)}</code>: {esc(pat.name)} "
+                f"({esc(pat.category)}) x{pat.match_count} @ {pat.confidence:.2f}</li>"
+            )
+    if pat_items:
+        parts.append("<p><b>Patterns</b></p><ul>" + "".join(pat_items) + "</ul>")
+    parts.append("</div>")
+    return "\n".join(parts)
+
+
 def to_llm_context(report: ProfileReport, max_tokens: int = 1000) -> str:
     """Token-bounded plain-text context for an LLM (~4 chars/token budget),
     PII-redacting: pattern NAMES are disclosed, matched VALUES never are;

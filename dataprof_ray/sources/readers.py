@@ -334,28 +334,106 @@ def read_csv_robust(path: str, *, delimiter: Optional[str] = None,
 # ------------------------------------------------------------------ SQL
 
 
+class RetryConfig:
+    """Retry policy for database operations, mirroring the reference's
+    dataprof-db/src/retry.rs:13-33 defaults (3 retries, 100ms initial
+    delay, 2x backoff capped at 10s, jitter in [0.5, 1.5))."""
+
+    def __init__(self, max_retries: int = 3, initial_delay: float = 0.1,
+                 max_delay: float = 10.0, backoff_multiplier: float = 2.0,
+                 use_jitter: bool = True, seed: Optional[int] = None) -> None:
+        self.max_retries = max_retries
+        self.initial_delay = initial_delay
+        self.max_delay = max_delay
+        self.backoff_multiplier = backoff_multiplier
+        self.use_jitter = use_jitter
+        self.seed = seed
+
+
+_RETRYABLE_TOKENS = (
+    # retry.rs:100-117 (is_retryable_error): connection-shaped failures only
+    "connection", "timeout", "network", "temporary", "unavailable",
+    "broken pipe", "connection reset", "connection refused",
+    "host unreachable", "too many connections", "database is locked",
+    "server has gone away", "connection timed out",
+)
+
+
+def is_retryable_error(error: str) -> bool:
+    low = error.lower()
+    return any(tok in low for tok in _RETRYABLE_TOKENS)
+
+
+def retry_database_operation(operation, config: Optional[RetryConfig] = None,
+                             operation_name: str = "db",
+                             only_connection_errors: bool = False):
+    """Call ``operation()`` with exponential backoff
+    (retry.rs:36-92 semantics): up to ``max_retries`` retries, delay
+    doubling from ``initial_delay`` capped at ``max_delay``, optional
+    jitter. ``only_connection_errors`` retries only errors matching
+    ``is_retryable_error`` (retry.rs ``retry_on_connection_error``);
+    non-retryable errors re-raise immediately."""
+    import random
+    import time as _time
+
+    config = config or RetryConfig()
+    rng = random.Random(config.seed)
+    delay = config.initial_delay
+    last: Optional[Exception] = None
+    for attempt in range(config.max_retries + 1):
+        try:
+            return operation()
+        except Exception as exc:  # noqa: BLE001 — driver errors vary by DBAPI
+            if only_connection_errors and not is_retryable_error(str(exc)):
+                raise
+            last = exc
+            if attempt < config.max_retries:
+                actual = delay * rng.uniform(0.5, 1.5) if config.use_jitter else delay
+                _time.sleep(actual)
+                delay = min(delay * config.backoff_multiplier, config.max_delay)
+    raise RuntimeError(
+        f"database operation '{operation_name}' exhausted "
+        f"{config.max_retries + 1} attempts: {last}"
+    ) from last
+
+
 def read_sql(sql: str, connection_factory, *, parallelism: int = -1,
              sample_above_rows: Optional[int] = None, sample_rows: int = 100_000,
+             retry: Optional[RetryConfig] = None,
              **kwargs):
     """DB query -> Dataset via ``ray.data.read_sql`` (the reference's
     connector family, dataprof-db/src/). ``sample_above_rows`` mirrors the
     auto-sampling default for >1M-row tables (config.rs:196-226): when the
     count exceeds it, the query is wrapped with a deterministic modulo
-    sample down to ~``sample_rows``.
+    sample (on a synthesized ROW_NUMBER — ROWID resolves to NULL inside a
+    derived table on SQLite, which silently emptied the old predicate)
+    down to ~``sample_rows``.
 
-    Auto-sampling is implemented for SQLite connections only (it relies on
-    the ROWID pseudo-column); for other engines pre-sample in the SQL you
-    pass (e.g. ``TABLESAMPLE``) — a non-sqlite connection with
-    ``sample_above_rows`` set raises rather than silently mis-sampling."""
+    ``retry``: a RetryConfig makes every connection attempt retry with
+    exponential backoff (retry.rs semantics) — the factory is wrapped so
+    Ray's read tasks retry too, not just the driver-side count.
+
+    Auto-sampling is implemented for SQLite connections only (validated by
+    module name); for other engines pre-sample in the SQL you pass (e.g.
+    ``TABLESAMPLE``) — a non-sqlite connection with ``sample_above_rows``
+    set raises rather than silently mis-sampling."""
     import ray.data as rd
 
+    factory = connection_factory
+    if retry is not None:
+        cfg = retry
+
+        def factory():  # noqa: F811 — wrap with backoff, ship to read tasks
+            return retry_database_operation(
+                connection_factory, cfg, operation_name="connect")
+
     if sample_above_rows is not None:
-        con = connection_factory()
+        con = factory()
         try:
             if type(con).__module__.split(".")[0] != "sqlite3":
                 raise ValueError(
                     "sample_above_rows auto-sampling requires a sqlite3 "
-                    "connection (ROWID); pre-sample in SQL for other engines"
+                    "connection; pre-sample in SQL for other engines"
                 )
             cur = con.execute(f"SELECT COUNT(*) FROM ({sql}) AS _t")
             total = cur.fetchone()[0]
@@ -364,8 +442,12 @@ def read_sql(sql: str, connection_factory, *, parallelism: int = -1,
         if total > sample_above_rows:
             every = max(total // sample_rows, 1)
             if every > 1:
-                sql = f"SELECT * FROM ({sql}) WHERE (ROWID % {every}) = 0"
-    return rd.read_sql(sql, connection_factory, **kwargs)
+                sql = (
+                    f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER () AS _rn "
+                    f"FROM ({sql})) WHERE (_rn % {every}) = 0"
+                )
+                return rd.read_sql(sql, factory, **kwargs).drop_columns(["_rn"])
+    return rd.read_sql(sql, factory, **kwargs)
 
 
 # ------------------------------------------------------------------ in-memory

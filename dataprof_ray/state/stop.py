@@ -1,12 +1,25 @@
 """Stop conditions / early termination.
 
-Behavior parity (not a port) with the reference's stop-condition family
+Modeled on the reference's stop-condition family
 (/root/reference/crates/dataprof-core/src/stop_condition.rs:14-217):
-MaxRows, MaxBytes, SchemaStable, ConfidenceThreshold (numeric-mean relative
-standard error), MemoryPressure, Any, All, Never — with clamped thresholds,
-presets ``schema_inference()`` / ``quality_sample()``, and the
-``is_row_limit_only`` gate parsers use to reject richer conditions
-(profiler.rs:516-529).
+MaxRows, MaxBytes, SchemaStable, confidence-based stop, Any, All, Never —
+with clamped thresholds, presets and the ``is_row_limit_only`` gate parsers
+use to reject richer conditions (profiler.rs:516-529).
+
+INTENTIONAL DIVERGENCES from stop_condition.rs (this is a redesign for a
+distributed engine, not parity):
+- no MemoryPressure condition: a Ray pipeline's memory is governed by the
+  object store + streaming backpressure, not driver RSS; a driver-side
+  psutil check would stop the wrong process.
+- ``confidence`` here is a numeric-mean RELATIVE STANDARD ERROR target
+  (matches the sampling layer's Progressive semantics, strategies.rs:44-60)
+  rather than the reference's rows_processed/estimated_total ratio, which
+  needs a total-row estimate Ray streams don't have up front.
+- ``schema_stable`` counts stable CHUNKS (the unit the driver monitor
+  sees), not stable rows; presets are sized for that unit
+  (schema_inference: 1000 rows + 3 stable chunks; quality_sample:
+  100k rows / 100 MB) rather than the reference's row-based 10k/1000 and
+  50k/50MB/95%.
 
 Ray-Data-first: a pure MaxRows condition compiles to ``ds.limit(n)`` (the
 executor stops reading — true pushdown). Richer conditions run as a DRIVER

@@ -60,6 +60,22 @@ class TestBuilder:
         assert rep.quality is None
         assert rep.quality_score() is None
 
+    def test_quality_dimension_selection(self, ray_session, csv_file):
+        """Selected dimensions are the ONLY ones assessed; the rest stay
+        None so the overall score renormalizes (ADVICE r1: the selection
+        used to be validated but never threaded into assembly)."""
+        rep = (dp.Profiler()
+               .with_quality_dimensions("completeness")
+               .analyze_file(csv_file))
+        q = rep.quality
+        assert q.completeness is not None
+        assert q.consistency is None and q.uniqueness is None
+        assert q.accuracy is None and q.validity is None and q.precision is None
+        scores = q.dimension_scores()
+        assert scores["completeness"] is not None
+        assert all(v is None for k, v in scores.items() if k != "completeness")
+        assert rep.quality_score() == pytest.approx(scores["completeness"])
+
     def test_no_patterns_pack(self, ray_session, csv_file):
         rep = (dp.Profiler()
                .with_metric_packs("schema", "statistics", "quality")

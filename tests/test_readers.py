@@ -146,7 +146,52 @@ class TestReadSql:
         f = self._factory(tmp_path)
         ds = RD.read_sql("SELECT * FROM t", f, sample_above_rows=100, sample_rows=100)
         n = ds.count()
-        assert n <= 150  # ~every 10th row
+        # a lower bound too: the old ROWID-in-derived-table predicate
+        # silently returned ZERO rows (ADVICE r1), which `<= 150` masked
+        assert 50 <= n <= 150  # ~every 10th row
+        assert "_rn" not in ds.schema().names
+
+    def test_retry_backoff_flaky_factory(self, ray_session, tmp_path):
+        calls = {"n": 0}
+        real = self._factory(tmp_path)
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise ConnectionError("connection refused (simulated)")
+            return real()
+
+        cfg = RD.RetryConfig(max_retries=3, initial_delay=0.001,
+                             use_jitter=False)
+        ds = RD.read_sql("SELECT * FROM t", flaky, retry=cfg)
+        assert ds.count() == 1000
+        assert calls["n"] >= 3
+
+    def test_retry_exhaustion_raises(self):
+        cfg = RD.RetryConfig(max_retries=2, initial_delay=0.001,
+                             use_jitter=False)
+        calls = {"n": 0}
+
+        def always_fails():
+            calls["n"] += 1
+            raise ConnectionError("network down")
+
+        with pytest.raises(RuntimeError, match="exhausted 3 attempts"):
+            RD.retry_database_operation(always_fails, cfg)
+        assert calls["n"] == 3
+
+    def test_retry_nonretryable_raises_immediately(self):
+        cfg = RD.RetryConfig(max_retries=5, initial_delay=0.001)
+        calls = {"n": 0}
+
+        def bad_sql():
+            calls["n"] += 1
+            raise ValueError("syntax error near SELECT")
+
+        with pytest.raises(ValueError):
+            RD.retry_database_operation(bad_sql, cfg,
+                                        only_connection_errors=True)
+        assert calls["n"] == 1
 
 
 class TestRaggedRows:

@@ -34,6 +34,23 @@ def test_to_markdown(sample_report):
     assert "Email" in md  # pattern section mentions detected email pattern
 
 
+def test_to_html(sample_report):
+    html = R.to_html(sample_report)
+    assert html.startswith('<div class="dataprof-report">') and html.endswith("</div>")
+    assert "<td>id</td>" in html
+    assert "<b>Quality score:</b>" in html
+    assert "Email" in html  # pattern section mentions detected email pattern
+    assert "<script" not in html
+
+
+def test_to_html_escapes_values():
+    table = pa.table({"a<b": pa.array(["<x>&", "y"])})
+    rep = profile_table(table)
+    html = R.to_html(rep)
+    assert "a&lt;b" in html
+    assert "<x>" not in html
+
+
 def test_llm_context_redacts_and_bounds(sample_report):
     ctx = R.to_llm_context(sample_report, max_tokens=200)
     assert len(ctx) <= 200 * 4

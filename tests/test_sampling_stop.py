@@ -86,9 +86,41 @@ class TestSampling:
             ])
 
     def test_adaptive_chooser(self):
+        # strategies.rs:159-180 thresholds, matched exactly
         assert SA.choose_strategy(1000, 1.0)["kind"] == "none"
-        assert SA.choose_strategy(1_000_000, 100)["kind"] == "random"
-        assert SA.choose_strategy(50_000_000, 9000)["kind"] == "reservoir"
+        assert SA.choose_strategy(50_000, 100)["kind"] == "random"
+        assert SA.choose_strategy(50_000, 100)["size"] == 10_000
+        assert SA.choose_strategy(1_000_000, 100)["kind"] == "progressive"
+        assert SA.choose_strategy(50_000_000, 9000)["kind"] == "multi_stage"
+        assert SA.choose_strategy(50_000_000, 500)["kind"] == "reservoir"
+        assert SA.choose_strategy(None, 500)["kind"] == "reservoir"
+
+    def test_progressive_low_variance_stops_early(self, ray_session):
+        import ray.data as rd
+
+        # constant numeric column: RSE is 0 as soon as 2 rows are in
+        t = pa.table({"x": pa.array(np.full(50_000, 7.0))})
+        out = SA.progressive_sample(rd.from_arrow(t).repartition(8),
+                                    initial_size=1000, max_size=40_000)
+        assert 1000 <= out.num_rows < 5000
+
+    def test_progressive_volatile_runs_to_max(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(1)
+        # heavy-tailed around a near-zero mean: RSE never reaches 5%
+        t = pa.table({"x": pa.array(rng.normal(0.001, 100.0, size=30_000))})
+        out = SA.progressive_sample(rd.from_arrow(t).repartition(4),
+                                    initial_size=1000, max_size=8_000)
+        assert out.num_rows == 8_000
+
+    def test_progressive_no_numeric_columns_runs_to_max(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"s": pa.array([f"v{i}" for i in range(20_000)])})
+        out = SA.progressive_sample(rd.from_arrow(t), initial_size=100,
+                                    max_size=5_000)
+        assert out.num_rows == 5_000  # no measurable precision -> max_size
 
 
 class TestStopConditions:
