@@ -146,6 +146,14 @@ class Profiler:
             }
         return self._profile_ds(ds, data_source=data_source)
 
+    def analyze_structure(self, path: str, sample_rows: int = 1000):
+        """Cheap structure scan: format, quick row count (Parquet footer /
+        line sampling), per-column schema from a bounded sample — no full
+        profile (dataprof-partial/src/lib.rs:26-120)."""
+        from dataprof_ray.sources.structure import analyze_structure
+
+        return analyze_structure(path, sample_rows)
+
     def analyze_dataset(self, ds, data_source: Optional[dict] = None) -> ProfileReport:
         return self._profile_ds(ds, data_source or {"type": "Dataset"})
 
