@@ -369,6 +369,82 @@ def _topk_cosine(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _revenue_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Large-large join: lineitem x orders via the hash-partitioned cogroup
+    (both sides shuffle once), then the pre-aggregated groupby."""
+    import pyarrow.compute as pc
+
+    from dataprof_ray.pipelines.aggregate import preagg_groupby
+    from dataprof_ray.pipelines.join import hash_join
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"),
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "price_cents": cents})
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"]) \
+        .map_batches(add_cents, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, left_key="l_orderkey",
+                       right_key="o_orderkey", partitions=32)
+    df = preagg_groupby(joined, ["o_orderpriority"], [
+        ("cnt", None, "count"),
+        ("sum_cents", "price_cents", "sum"),
+    ])
+    df["sum_cents"] = df["sum_cents"].astype(np.int64)
+    return df
+
+
+def _session_events(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.window import session_window
+
+    return session_window(
+        _read(sf_dir, "events", columns=["ts", "user_id"]),
+        "ts", "user_id", gap_seconds=1800.0,
+    )
+
+
+def _quantiles_lineitem(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.aggregate import group_quantiles
+
+    return group_quantiles(
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"]),
+        ["l_returnflag"], "l_quantity",
+    )
+
+
+def _top_terms_documents(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines import textstats as T
+
+    return T.top_terms(_read(sf_dir, "documents", columns=["text"]), k=20)
+
+
+def _doc_quality_documents(sf_dir: str):
+    from dataprof_ray.pipelines import textstats as T
+
+    return T.doc_quality(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _embedding_stats(sf_dir: str):
+    """Per-vector order-free stats (dim / min / max — exact floats, no
+    summation-order hazard) over the zero-copy matrix extraction."""
+    from dataprof_ray.pipelines.similarity import _to_matrix
+
+    def stage(b: pa.Table) -> pa.Table:
+        m = _to_matrix(b.column("embedding"))
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "dim": pa.array(np.full(len(m), m.shape[1] if len(m) else 0,
+                                    dtype=np.int64)),
+            "vmin": pa.array(m.min(axis=1) if len(m) else [], pa.float64()),
+            "vmax": pa.array(m.max(axis=1) if len(m) else [], pa.float64()),
+        })
+
+    return _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(stage, batch_format="pyarrow")
+
+
 # ----- rows-only (model / sketch based; no SQL equivalent) -----
 
 
@@ -553,6 +629,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_duplicates_documents": _row_duplicates_documents,
         "sales_by_segment": _sales_by_segment,
         "top_expensive_orders": _top_expensive_orders,
+        "revenue_by_priority": _revenue_by_priority,
+        "session_events": _session_events,
+        "quantiles_lineitem": _quantiles_lineitem,
+        "top_terms_documents": _top_terms_documents,
+        "doc_quality_documents": _doc_quality_documents,
+        "embedding_stats": _embedding_stats,
         # rows-only (no oracle_sql entry):
         "langid_documents": _langid_documents,
         "quality_filter_documents": _quality_filter_documents,
@@ -694,6 +776,62 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) - COUNT(DISTINCT COALESCE(lang, '') || '\x1f' || "
             "COALESCE(source, '')) AS duplicate_rows "
             "FROM documents"
+        ),
+        "revenue_by_priority": (
+            "SELECT o_orderpriority, COUNT(*) AS cnt, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "session_events": (
+            "WITH e AS (SELECT user_id, ts FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "d AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) IS NULL "
+            "OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+            "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM e), "
+            "s AS (SELECT user_id, ts, SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id "
+            "FROM d) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "MIN(ts) AS session_start, MAX(ts) AS session_end, "
+            "COUNT(*) AS n_events FROM s GROUP BY user_id, session_id"
+        ),
+        "quantiles_lineitem": (
+            "SELECT l_returnflag, "
+            "ROUND(QUANTILE_CONT(l_quantity, 0.25), 4) AS q25, "
+            "ROUND(QUANTILE_CONT(l_quantity, 0.50), 4) AS q50, "
+            "ROUND(QUANTILE_CONT(l_quantity, 0.75), 4) AS q75 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "top_terms_documents": (
+            "SELECT term, COUNT(*) AS term_count FROM ("
+            "SELECT LOWER(UNNEST(REGEXP_SPLIT_TO_ARRAY("
+            "TRIM(text, ' \t\n\r'), '\\s+'))) AS term FROM documents "
+            "WHERE TRIM(text, ' \t\n\r') != '') "
+            "GROUP BY term ORDER BY term_count DESC, term LIMIT 20"
+        ),
+        "doc_quality_documents": (
+            "SELECT doc_id, LENGTH(text) AS n_chars, "
+            "CASE WHEN TRIM(text, ' \t\n\r') = '' THEN 0 "
+            "ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text, ' \t\n\r'), '\\s+')) END AS n_tokens, "
+            "CASE WHEN TRIM(text, ' \t\n\r') = '' THEN 0.0 "
+            "ELSE ROUND(LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0 "
+            "/ LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text, ' \t\n\r'), '\\s+')), 4) END "
+            "AS avg_token_len, "
+            "CASE WHEN LENGTH(text) = 0 THEN 0.0 "
+            "ELSE ROUND(LEN(REGEXP_EXTRACT_ALL(text, '[A-Z]')) * 1.0 "
+            "/ LENGTH(text), 4) END AS uppercase_ratio, "
+            "CASE WHEN LENGTH(text) = 0 THEN 0.0 "
+            "ELSE ROUND(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) * 1.0 "
+            "/ LENGTH(text), 4) END AS digit_ratio "
+            "FROM documents"
+        ),
+        "embedding_stats": (
+            "SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS dim, "
+            "LIST_MIN(CAST(embedding AS DOUBLE[])) AS vmin, "
+            "LIST_MAX(CAST(embedding AS DOUBLE[])) AS vmax "
+            "FROM embeddings"
         ),
         "topk_cosine": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "

@@ -78,3 +78,47 @@ def preagg_groupby(
         .aggregate(*final_aggs)
     )
     return agg.to_pandas().sort_values(keys).reset_index(drop=True)
+
+
+def group_quantiles(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    decimals: int = 4,
+) -> pd.DataFrame:
+    """Exact per-group quantiles with type-7 linear interpolation — the
+    same formula as SQL QUANTILE_CONT, computed by the shared
+    ``kernels.quantile_type7`` so the Ray result and the DuckDB oracle
+    agree bit-for-bit before rounding. Null values are excluded (SQL
+    aggregate semantics).
+
+    Scale note: this shuffles the value column grouped by key — exact
+    quantiles fundamentally need each group's values together. Use it for
+    moderate per-group cardinality (up to ~10^8 values per group per
+    worker); the streaming approximation for bigger groups is the
+    profiler's sampled percentiles."""
+    from dataprof_ray.functions.kernels import quantile_type7
+
+    keys = list(keys)
+    qnames = [f"q{int(round(q * 100)):02d}" for q in qs]
+
+    def per_group(group: pd.DataFrame) -> pd.DataFrame:
+        vals = group[value_col].dropna().to_numpy(dtype=np.float64)
+        row = {k: [group[k].iloc[0]] for k in keys}
+        if len(vals) == 0:
+            for name in qnames:
+                row[name] = [np.nan]
+        else:
+            sv = np.sort(vals)
+            for q, name in zip(qs, qnames):
+                row[name] = [float(round_away(quantile_type7(sv, q), decimals))]
+        return pd.DataFrame(row)
+
+    out = (
+        ds.select_columns(keys + [value_col])
+        .groupby(keys)
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(keys).reset_index(drop=True)

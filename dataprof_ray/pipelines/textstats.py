@@ -185,7 +185,11 @@ def langid(ds, concurrency=(1, 8)):
 
 
 def doc_quality(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Per-document heuristic quality metrics (SQL-checkable subset)."""
+    """Per-document heuristic quality metrics (SQL-checkable: classes are
+    the same ASCII regex sets as char_classes — unicode predicates like
+    str.isupper would silently diverge from the oracle — and rounding is
+    half-away like SQL ROUND)."""
+    from dataprof_ray.pipelines.aggregate import round_away
 
     def stage(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -202,15 +206,15 @@ def doc_quality(ds, id_col: str = "doc_id", text_col: str = "text"):
             n_tokens[i] = len(toks)
             avg_token_len[i] = (sum(len(w) for w in toks) / len(toks)) if toks else 0.0
             if t:
-                uppercase_ratio[i] = sum(1 for c in t if c.isupper()) / len(t)
-                digit_ratio[i] = sum(1 for c in t if c.isdigit()) / len(t)
+                uppercase_ratio[i] = len(_UPPER.findall(t)) / len(t)
+                digit_ratio[i] = len(_DIGIT.findall(t)) / len(t)
         return pa.table({
             id_col: batch.column(id_col),
             "n_chars": pa.array(n_chars, pa.int64()),
             "n_tokens": pa.array(n_tokens, pa.int64()),
-            "avg_token_len": pa.array(np.round(avg_token_len, 4), pa.float64()),
-            "uppercase_ratio": pa.array(np.round(uppercase_ratio, 4), pa.float64()),
-            "digit_ratio": pa.array(np.round(digit_ratio, 4), pa.float64()),
+            "avg_token_len": pa.array(round_away(avg_token_len, 4), pa.float64()),
+            "uppercase_ratio": pa.array(round_away(uppercase_ratio, 4), pa.float64()),
+            "digit_ratio": pa.array(round_away(digit_ratio, 4), pa.float64()),
         })
 
     return ds.map_batches(stage, batch_format="pyarrow")

@@ -8,9 +8,12 @@ windowing a training-data/event pipeline needs, Ray-Data-first:
 - tumbling windows: assign window = floor(ts / width) per batch (stateless,
   vectorized), then the pre-aggregated groupby from pipelines.aggregate —
   the shuffle moves (key, window) partials, never events.
-- session windows / watermarks are intentionally NOT claimed: they need
-  ordered per-key state (an actor-pool stage keyed by a hash partition);
-  documented as the extension point.
+- session windows: per-key inactivity-gap sessionization as
+  ``groupby(key).map_groups`` over time-sorted events. Partitioning
+  assumption: ONE KEY'S events fit in a single group (the standard keyed-
+  state contract — at 100 TB a single user's events are MBs, not the
+  corpus). Watermark-style late-data handling is not claimed: sessions are
+  computed over the complete keyed group, which batch pipelines have.
 """
 
 from __future__ import annotations
@@ -65,3 +68,55 @@ def tumbling_window(
     if value_col is not None:
         out["sum_value"] = round_away(out["sum_value"], 2)
     return out
+
+
+def session_window(
+    ds,
+    ts_col: str,
+    key: str,
+    gap_seconds: float = 1800.0,
+) -> pd.DataFrame:
+    """Session windows: consecutive events of one ``key`` belong to the same
+    session while the time since the previous event is <= ``gap_seconds``;
+    a STRICTLY larger gap starts a new session (matches the SQL oracle's
+    ``ts - LAG(ts) > INTERVAL`` predicate).
+
+    Rows with a null key or timestamp are excluded (SQL window PARTITION
+    semantics over the same filter). Returns one row per session:
+    (key, session_id 1-based per key, session_start, session_end,
+    n_events). Session assignment is tie-stable: equal timestamps have a
+    zero gap regardless of sort order, so ordering ties cannot move a
+    session boundary."""
+    import pyarrow.compute as pc
+
+    gap = np.timedelta64(int(gap_seconds * 1_000_000), "us")
+
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(batch.column(key)),
+                       pc.is_valid(batch.column(ts_col)))
+        return batch.select([key, ts_col]).filter(mask)
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts_col)
+        ts = g[ts_col].to_numpy()
+        new_s = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_s[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sid = np.cumsum(new_s)
+        out = pd.DataFrame({key: g[key].to_numpy(), "session_id": sid, ts_col: ts})
+        agg = out.groupby([key, "session_id"], sort=True).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"),
+        ).reset_index()
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        return agg
+
+    return (
+        ds.map_batches(drop_nulls, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+        .sort_values([key, "session_id"])
+        .reset_index(drop=True)
+    )
