@@ -546,6 +546,29 @@ def _ivf_topk(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """Measured IVF recall vs the in-repo brute-force oracle (recall@10,
+    nprobe=4 of 8 cells): approximate operators report their accuracy
+    instead of asserting it."""
+    from dataprof_ray.pipelines.similarity import brute_force_topk, ivf_topk
+
+    queries, qids = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = brute_force_topk(ds, queries, k=10, concurrency=(1, 4))
+    approx = ivf_topk(ds, queries, k=10, n_cells=8, nprobe=4, concurrency=(1, 4))
+    recalls = []
+    for qi in range(len(qids)):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id) if not approx.empty else set()
+        recalls.append(len(e & a) / len(e) if e else 1.0)
+    return pd.DataFrame([{
+        "n_queries": len(qids),
+        "k": 10,
+        "mean_recall": float(np.mean(recalls)),
+        "min_recall": float(np.min(recalls)),
+    }])
+
+
 def _domain_rollup(sf_dir: str) -> pd.DataFrame:
     """Salted per-domain rollup over the filtered corpus (the north rule's
     skew-handled groupby)."""
@@ -635,8 +658,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_documents": _top_terms_documents,
         "doc_quality_documents": _doc_quality_documents,
         "embedding_stats": _embedding_stats,
-        # rows-only (no oracle_sql entry):
         "langid_documents": _langid_documents,
+        # rows-only (no oracle_sql entry):
         "quality_filter_documents": _quality_filter_documents,
         "minhash_duplicate_groups": _minhash_duplicate_groups,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
@@ -644,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         "embedding_neardup_recall": _embedding_neardup_recall,
         "ivf_topk": _ivf_topk,
+        "ivf_recall": _ivf_recall,
         "profile_report_documents": _profile_report_documents,
         "domain_rollup": _domain_rollup,
         "image_features": _image_features,
@@ -681,6 +705,36 @@ def _null_stats_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _langid_sql() -> str:
+    """DuckDB replica of LangIdModel: stopword-hit counting with the same
+    (hits DESC, lang ASC) argmax tie-break and hits/total confidence. The
+    word regex is [A-Za-z]+ — equal to the model's unicode \\w-class on
+    this corpus, which is pure ASCII (verified; a non-ASCII corpus would
+    need the model's exact class)."""
+    from dataprof_ray.functions.docquality import _STOPWORDS
+
+    values = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in sorted(_STOPWORDS) for w in sorted(_STOPWORDS[lang])
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "LOWER(UNNEST(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+'))) AS w "
+        "FROM documents), "
+        f"sw(lang, w) AS (SELECT * FROM (VALUES {values})), "
+        "hits AS (SELECT t.doc_id, s.lang, COUNT(*) AS h "
+        "FROM toks t JOIN sw s ON t.w = s.w GROUP BY t.doc_id, s.lang), "
+        "tot AS (SELECT doc_id, SUM(h) AS total FROM hits GROUP BY doc_id), "
+        "best AS (SELECT doc_id, lang, h, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY h DESC, lang) AS rn FROM hits) "
+        "SELECT d.doc_id, COALESCE(b.lang, 'und') AS langid, "
+        "CASE WHEN b.lang IS NULL THEN 0.0 ELSE b.h / t.total END AS langid_conf "
+        "FROM documents d "
+        "LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id "
+        "LEFT JOIN tot t ON d.doc_id = t.doc_id"
+    )
+
+
 def _distinct_counts_sql() -> str:
     parts = []
     for c, stringy in _DOC_COLS:
@@ -707,6 +761,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_numeric_lineitem": _profile_numeric_sql(),
         "null_stats_events": _null_stats_sql(),
         "distinct_counts_documents": _distinct_counts_sql(),
+        "langid_documents": _langid_sql(),
         "value_counts_source": (
             "SELECT source, COUNT(*) AS cnt FROM documents "
             "GROUP BY source ORDER BY cnt DESC, source LIMIT 10"

@@ -67,9 +67,9 @@ def read_csv(
 ):
     """``ray.data.read_csv`` with driver-side delimiter sniffing and a
     ragged-row policy. ``flexible=True`` SKIPS rows whose field count Arrow
-    cannot reconcile (this diverges from the reference's pad/truncate,
-    robust_csv.rs:52-97 — Arrow's reader has no padding hook; skipped rows
-    are COUNTED instead); ``flexible=False`` raises on the first ragged row
+    cannot reconcile (Arrow's reader has no padding hook; skipped rows are
+    COUNTED — use ``read_csv_padded`` for the reference's full pad/truncate
+    semantics, robust_csv.rs:52-97); ``flexible=False`` raises on the first ragged row
     like the strict engine. With ``count_ragged=True`` returns
     ``(dataset, ragged_counter)`` where the counter reads the skipped-row
     total once the dataset has been consumed (execution.rs:43-51
@@ -96,6 +96,76 @@ def read_csv(
     )
     convert = pacsv.ConvertOptions(include_columns=columns) if columns else None
     ds = rd.read_csv(path, parse_options=parse, convert_options=convert, **kwargs)
+    if count_ragged:
+        return ds, _pending_errors(counter)
+    return ds
+
+
+def read_csv_padded(
+    path: str,
+    *,
+    delimiter: Optional[str] = None,
+    columns: Optional[list] = None,
+    count_ragged: bool = False,
+    **kwargs,
+):
+    """CSV reader with the reference's FULL flexible semantics
+    (robust_csv.rs:52-97): short rows are PADDED with empty fields (null
+    after type conversion) and long rows TRUNCATED to the header width —
+    unlike ``read_csv(flexible=True)``, which can only skip what Arrow's
+    reader rejects. Every adjusted row is counted.
+
+    Built on ``read_binary_files`` + the csv module per file, re-serialized
+    through pyarrow.csv so type inference matches the fast path. Each FILE
+    is one task — use the fast path for a single giant CSV; this one is for
+    many-file corpora with dirty rows. With ``count_ragged=True`` returns
+    ``(dataset, adjusted_counter)``."""
+    import pyarrow.csv as pacsv
+    import ray.data as rd
+
+    if delimiter is None:
+        first = _first_file(path)
+        with open(first, "rb") as f:
+            delimiter = sniff_delimiter(f.read(SNIFF_BYTES))
+    delim = delimiter
+    counter = _ErrorCounter.remote() if count_ragged else None
+    convert = pacsv.ConvertOptions(include_columns=columns) if columns else None
+
+    def parse_pad(batch: dict) -> pa.Table:
+        tables = []
+        adjusted = 0
+        for payload in batch["bytes"]:
+            text = bytes(payload).decode("utf-8", errors="replace")
+            rows = list(_csv.reader(io.StringIO(text), delimiter=delim))
+            if not rows:
+                continue
+            header = rows[0]
+            width = len(header)
+            fixed = []
+            for r in rows[1:]:
+                if not r:
+                    continue
+                if len(r) != width:
+                    adjusted += 1
+                    r = (r + [""] * width)[:width]
+                fixed.append(r)
+            buf = io.StringIO()
+            w = _csv.writer(buf, delimiter=delim, lineterminator="\n")
+            w.writerow(header)
+            w.writerows(fixed)
+            tables.append(pacsv.read_csv(
+                io.BytesIO(buf.getvalue().encode("utf-8")),
+                parse_options=pacsv.ParseOptions(delimiter=delim),
+                convert_options=convert,
+            ))
+        if adjusted and counter is not None:
+            counter.add.remote(adjusted)
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables, promote_options="permissive")
+
+    ds = rd.read_binary_files(path, **kwargs).map_batches(
+        parse_pad, batch_format="numpy")
     if count_ragged:
         return ds, _pending_errors(counter)
     return ds

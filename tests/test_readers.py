@@ -195,6 +195,27 @@ class TestReadSql:
 
 
 class TestRaggedRows:
+    def test_padded_mode_keeps_all_rows(self, ray_session, tmp_path):
+        """robust_csv.rs flexible semantics: short rows padded with nulls,
+        long rows truncated — nothing dropped, adjustments counted."""
+        p = tmp_path / "ragged.csv"
+        p.write_text("a,b,c\n1,2,3\n4,5\n6,7,8\n9,10,11,12\n13,14,15\n")
+        ds, adjusted = RD.read_csv_padded(str(p), count_ragged=True)
+        df = ds.to_pandas().sort_values("a").reset_index(drop=True)
+        assert len(df) == 5  # all rows kept
+        assert int(adjusted) == 2  # one short (padded), one long (truncated)
+        short = df[df["a"] == 4].iloc[0]
+        assert pd.isna(short["c"])  # padded field is null
+        long_ = df[df["a"] == 9].iloc[0]
+        assert long_["c"] == 11  # truncated to header width
+
+    def test_padded_mode_clean_file_matches_fast_path(self, ray_session, tmp_path):
+        p = tmp_path / "clean.csv"
+        p.write_text("x,y\n1,a\n2,b\n3,c\n")
+        fast = RD.read_csv(str(p)).to_pandas().sort_values("x").reset_index(drop=True)
+        padded = RD.read_csv_padded(str(p)).to_pandas().sort_values("x").reset_index(drop=True)
+        pd.testing.assert_frame_equal(fast, padded)
+
     def test_ragged_counted_and_skipped(self, ray_session, tmp_path):
         p = tmp_path / "ragged.csv"
         p.write_text("a,b,c\n1,2,3\n4,5\n6,7,8\n9,10,11,12\n13,14,15\n")
