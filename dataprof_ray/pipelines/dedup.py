@@ -14,10 +14,11 @@ Scale design: every mode is (vectorized per-batch sketch) -> (groupby over
 *small* derived keys, never raw documents) -> (pair verify on candidates
 only). The all-to-all exchange moves signatures (bytes per doc), not text.
 Candidate-pair graphs are clustered with iterative min-label propagation
-(``connected_components``: symmetrize -> per-round hash-join + groupby-min
-to the fixpoint), so the driver never materializes the edge list; only the
-final (id, canonical_id) membership table — bounded by the duplicate-doc
-count — comes back.
+expressed as groupbys (``connected_components``: hash-to-min local
+contraction, one coarse-partitioned groupby per round to the label-sum
+fixpoint), so the driver never materializes the edge list; only the final
+(id, canonical_id) membership table — bounded by the duplicate-doc count —
+comes back.
 
 The reference counts duplicates but never materializes deduped output
 (streaming_stats.rs:428-482, uniqueness.rs:73-122); these operators extend
@@ -312,99 +313,224 @@ def _lsh_candidate_edges(ds, text_col, id_col, num_perm, bands, shingle_k,
 def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
                          partitions: int = _EDGE_PARTITIONS,
                          max_rounds: int = 50):
-    """Connected components by iterative min-label propagation — groupbys
-    and hash-partitioned joins only; the driver never materializes the edge
-    list (the fix for the round-1 driver union-find, VERDICT item 2).
+    """Connected components by iterative min-label propagation expressed as
+    groupbys — the driver never materializes the edge list (the fix for
+    the round-1 driver union-find, VERDICT item 2).
 
-    Algorithm: symmetrize edges once; label(v) starts at min(v, min
-    neighbor); each round every vertex takes the min of its own label and
-    its neighbors' labels (one ``hash_join`` of edges against labels plus
-    one ``groupby(node).min``), until the label-sum fixpoint. Converges in
-    O(component diameter) rounds — LSH candidate graphs are star-like
-    (edges point at bucket minima), so 2-4 rounds in practice. Per round
-    the exchange is O(|edges| + |nodes|) small int64 rows.
+    Algorithm (hash-to-min local contraction): the state is a star-edge
+    set (node, label). Each round hash-partitions it by node, runs a
+    union-find INSIDE each partition (all rows of one node co-locate, so
+    its labels merge; label-side nodes join transitively), and emits one
+    (node -> local component min) row per node seen in the partition. No
+    joins: one shuffle per round, output block count pinned at
+    ``partitions`` (a join-based variant measured here compounded block
+    counts ~2.3x per round and went superlinear). Stars from different
+    partitions sharing a node merge in later rounds; pointer-jumping
+    through relabeled roots converges in O(log n) rounds — 2-4 on LSH
+    candidate graphs. The driver sees one (row-count, label-sum) pair per
+    round; labels are monotone non-increasing, so a stable pair is the
+    fixpoint.
 
     Returns a MATERIALIZED Dataset (node, label) where label is the
     component's minimum node id."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Min
+    import pandas as pd
 
-    from dataprof_ray.pipelines.join import hash_join
-
-    def symmetrize(batch: pa.Table) -> pa.Table:
-        s = batch.column(src_col).to_numpy(zero_copy_only=False)
-        d = batch.column(dst_col).to_numpy(zero_copy_only=False)
+    def init_pairs(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "node": pa.array(np.concatenate([s, d]), pa.int64()),
-            "nbr": pa.array(np.concatenate([d, s]), pa.int64()),
+            "a": pa.array(np.minimum(s, d), pa.int64()),
+            "b": pa.array(np.maximum(s, d), pa.int64()),
         })
 
-    und = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
-
-    def fold_self(batch: pa.Table) -> pa.Table:
+    def add_part(batch: pa.Table) -> pa.Table:
+        # each star edge goes to BOTH endpoints' partitions: node-side rows
+        # merge a node's labels, label-side rows let a relabeled root pull
+        # its dependents along (without this, a chain's labels stall one
+        # hop from home — the partition of (12 -> 11) never sees 11 -> 10)
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        pa_part = (a % np.int64(partitions)).astype(np.int32)
+        pb_part = (b % np.int64(partitions)).astype(np.int32)
+        dup = pa_part != pb_part
         return pa.table({
-            "node": batch.column("node"),
-            "label": pc.min_element_wise(batch.column("node"),
-                                         batch.column("label")),
+            "a": pa.array(np.concatenate([a, a[dup]]), pa.int64()),
+            "b": pa.array(np.concatenate([b, b[dup]]), pa.int64()),
+            "part": pa.array(np.concatenate([pa_part, pb_part[dup]]),
+                             pa.int32()),
         })
 
-    labels = (
-        und.groupby("node").aggregate(Min("nbr", alias_name="label"))
-        .map_batches(fold_self, batch_format="pyarrow")
-        .materialize()
-    )
-    # label sums are monotone non-increasing per node, so the total strictly
-    # decreases until the fixpoint — one cheap scalar per round instead of a
-    # change-count join
-    prev_sum = labels.sum("label")
-    for _ in range(max_rounds):
-        prop = hash_join(und, labels, left_key="nbr", right_key="node",
-                         partitions=partitions)
+    def contract(df: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
 
-        def project(batch: pa.Table) -> pa.Table:
-            return pa.table({"node": batch.column("node").cast(pa.int64()),
-                             "label": batch.column("label").cast(pa.int64())})
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent.get(root, root)
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent.get(x, x)
+            return root
 
-        cand = prop.map_batches(project, batch_format="pyarrow")
-        labels = (
-            cand.union(labels)
-            .groupby("node").aggregate(Min("label", alias_name="label"))
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        for s, d in zip(a, b):
+            rs, rd_ = find(int(s)), find(int(d))
+            if rs != rd_:
+                parent[max(rs, rd_)] = min(rs, rd_)
+        nodes = np.unique(np.concatenate([a, b]))
+        roots = np.fromiter((find(int(n)) for n in nodes),
+                            dtype=np.int64, count=len(nodes))
+        # every node keeps a row (roots carry a self row) so no node ever
+        # drops out of the propagation
+        return pd.DataFrame({"a": nodes, "b": roots})
+
+    import os as _os
+    import time as _t
+    _dbg = _os.environ.get("DATAPROF_CC_DEBUG")
+    # the star-edge state; orientation normalized so labels only decrease
+    _t0 = _t.perf_counter()
+    cur = edges.map_batches(init_pairs, batch_format="pyarrow").materialize()
+    if _dbg: print("cc init", round(_t.perf_counter()-_t0,2), flush=True)
+    if partitions <= 1:
+        # one partition holds the whole (small) edge set: a single remote
+        # contract task IS the fixpoint — skip the round loop and the final
+        # dedup (contract already emits one row per node)
+        def contract_all(df: pd.DataFrame) -> pd.DataFrame:
+            out = contract(df)
+            return out.rename(columns={"a": "node", "b": "label"})
+
+        def one_part(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "part", pa.array(np.zeros(batch.num_rows, dtype=np.int32)))
+
+        return (
+            cur.map_batches(one_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(contract_all, batch_format="pandas")
             .materialize()
         )
-        s = labels.sum("label")
-        if s == prev_sum:
+    prev = None
+    for _r in range(max_rounds):
+        _t0 = _t.perf_counter()
+        cur = (
+            cur.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(contract, batch_format="pandas")
+            .materialize()
+        )
+        _t1 = _t.perf_counter()
+        sig = (cur.count(), cur.sum("b"))
+        if _dbg: print("cc round", _r, "rows", sig[0], "contract", round(_t1-_t0,2), "sig", round(_t.perf_counter()-_t1,2), flush=True)
+        if sig == prev:
             break
-        prev_sum = s
-    return labels
+        prev = sig
+
+    # final dedup to one (node, label) row: coarse-partitioned pandas min —
+    # ray's sort-aggregate over one tiny group per node measured 9s on 9k
+    # keys where this takes under a second
+    def part_by_node(batch: pa.Table) -> pa.Table:
+        part = (batch.column("a").to_numpy(zero_copy_only=False)
+                % np.int64(partitions)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("a", as_index=False, sort=False)["b"].min()
+        return out.rename(columns={"a": "node", "b": "label"})
+
+    _t0 = _t.perf_counter()
+    out = (
+        cur.map_batches(part_by_node, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(finalize, batch_format="pandas")
+        .materialize()
+    )
+    if _dbg: print("cc final groupby", round(_t.perf_counter()-_t0,2), flush=True)
+    return out
 
 
-class _JaccardVerifyStage:
-    """Actor-pool edge filter: keeps (src, dst) whose exact shingle Jaccard
-    meets the threshold. The candidate shingle-set dict ships ONCE via
-    ray.put; actors dereference it in __init__."""
+# per-worker-process cache for the broadcast shingle dict, so the verify
+# filter can run as STATELESS tasks (no actor-pool spin-up) while still
+# reading the dict from the object store once per worker, not per batch
+_VERIFY_SHINGLE_CACHE: dict = {}
 
-    def __init__(self, shingles_ref, threshold: float) -> None:
-        import ray
 
-        self.shs = ray.get(shingles_ref) if not isinstance(shingles_ref, dict) \
-            else shingles_ref
-        self.threshold = threshold
+def _verify_edges(batch: pa.Table, shingles_ref, threshold: float) -> pa.Table:
+    """Edge filter: keep (src, dst) whose exact shingle Jaccard meets the
+    threshold. ``shingles_ref`` is a ``ray.put`` handle to the candidate
+    shingle-set dict (O(candidate docs) — the operator's documented memory
+    contract)."""
+    import ray
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        src = batch.column("src").to_numpy(zero_copy_only=False)
-        dst = batch.column("dst").to_numpy(zero_copy_only=False)
-        keep = np.empty(len(src), dtype=bool)
-        for i, (s, d) in enumerate(zip(src, dst)):
-            sa = self.shs.get(int(s), frozenset())
-            sb = self.shs.get(int(d), frozenset())
-            if not sa and not sb:
-                j = 1.0
-            elif not sa or not sb:
-                j = 0.0
-            else:
-                j = len(sa & sb) / len(sa | sb)
-            keep[i] = j >= self.threshold
-        return batch.filter(pa.array(keep))
+    key = shingles_ref.hex()
+    shs = _VERIFY_SHINGLE_CACHE.get(key)
+    if shs is None:
+        shs = ray.get(shingles_ref)
+        _VERIFY_SHINGLE_CACHE.clear()  # one live broadcast per worker
+        _VERIFY_SHINGLE_CACHE[key] = shs
+    src = batch.column("src").to_numpy(zero_copy_only=False)
+    dst = batch.column("dst").to_numpy(zero_copy_only=False)
+    empty_arr = np.empty(0, dtype=np.uint64)
+    keep = np.empty(len(src), dtype=bool)
+    for i, (s, d) in enumerate(zip(src, dst)):
+        sa = shs.get(int(s), empty_arr)
+        sb = shs.get(int(d), empty_arr)
+        if not len(sa) and not len(sb):
+            j = 1.0
+        elif not len(sa) or not len(sb):
+            j = 0.0
+        else:
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            j = inter / (len(sa) + len(sb) - inter)
+        keep[i] = j >= threshold
+    return batch.filter(pa.array(keep))
+
+
+def _fetch_shingle_sets(ds, ids: set, text_col: str, id_col: str,
+                        shingle_k: int) -> dict:
+    """{id -> sorted unique np.uint64 shingle hashes} for a bounded
+    candidate id set. The hashing runs DISTRIBUTED inside the fetch (one
+    polars hash call per batch); the driver only assembles the dict.
+    Numpy arrays (not python sets) keep the broadcast's pickle/unpickle a
+    memcpy — deserializing millions of boxed ints per worker was the
+    verify stage's hidden cost."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    wanted = pa.array(sorted(int(i) for i in ids), pa.int64())
+
+    def fetch_hash(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col), value_set=wanted)
+        batch = batch.filter(pc.fill_null(mask, False))
+        texts = batch.column(text_col).to_pylist()
+        all_shingles: list = []
+        offsets = [0]
+        for t in texts:
+            all_shingles.extend(_shingles(t, shingle_k))
+            offsets.append(len(all_shingles))
+        hashes = (
+            pl.Series(all_shingles).hash(seed=0).to_numpy().astype(np.uint64)
+            if all_shingles else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table({
+            id_col: batch.column(id_col),
+            "shingle_hashes": pa.array(
+                [hashes[offsets[i]: offsets[i + 1]].tolist()
+                 for i in range(len(texts))],
+                pa.list_(pa.uint64())),
+        })
+
+    out: dict = {}
+    for batch in (ds.select_columns([id_col, text_col])
+                  .map_batches(fetch_hash, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+        ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
+        col = batch.column("shingle_hashes").combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.uint64)
+        offs = np.asarray(col.offsets)
+        for k, i in enumerate(ids_np):
+            # unique+sort once here so the verify can intersect presorted
+            out[int(i)] = np.unique(flat[offs[k]: offs[k + 1]])
+    return out
 
 
 def ngram_jaccard_duplicate_pairs(
@@ -527,16 +653,14 @@ def minhash_lsh_duplicate_groups(
                        .unique("id"))
         if not cand_ids:
             return empty
-        texts = _fetch_texts(ds, cand_ids, text_col, id_col)
-        # shingle-hash each candidate doc ONCE; pair verify is then set ops
-        shs = {i: frozenset(_token_hashes(t, shingle_k).tolist())
-               for i, t in texts.items()}
+        # shingle sets are hashed distributed in the fetch; the driver only
+        # assembles the broadcast dict (O(candidate docs))
+        shs = _fetch_shingle_sets(ds, cand_ids, text_col, id_col, shingle_k)
         shingles_ref = ray.put(shs)
+        thr = verify_threshold
         edges = edges.map_batches(
-            _JaccardVerifyStage, batch_format="pyarrow",
-            fn_constructor_kwargs=dict(shingles_ref=shingles_ref,
-                                       threshold=verify_threshold),
-            concurrency=concurrency,
+            lambda b: _verify_edges(b, shingles_ref, thr),
+            batch_format="pyarrow",
         )
     if clustering == "driver":
         edge_df = edges.to_pandas()
@@ -547,10 +671,10 @@ def minhash_lsh_duplicate_groups(
     n_edges = edges.count()
     if n_edges == 0:
         return empty
-    # scale the per-round join fan-out to the edge count: tiny candidate
-    # graphs don't pay 64-partition scheduling overhead, huge ones still
-    # spread across the full width
-    parts = int(min(_EDGE_PARTITIONS, max(4, n_edges // 5000 + 1)))
+    # scale the contraction fan-out to the edge count: below ~100k edges a
+    # single remote contract task beats multi-round propagation (pure fixed
+    # overhead at that size); huge graphs spread across the full width
+    parts = int(min(_EDGE_PARTITIONS, max(1, n_edges // 100_000)))
     labels = connected_components(edges, partitions=parts)
     out = labels.to_pandas().rename(columns={"node": "id",
                                              "label": "canonical_id"})
