@@ -127,6 +127,63 @@ def train_centroids(ds, n_cells: int = 16, sample_rows: int = 4096,
     return centroids
 
 
+def train_centroids_distributed(ds, n_cells: int = 16, iters: int = 10,
+                                vec_col: str = "embedding", seed: int = 5,
+                                init_sample_rows: int = 4096) -> np.ndarray:
+    """Distributed mini-batch k-means: centroids seed from a driver sample,
+    then each Lloyd iteration is one streaming pass — every batch computes
+    its per-cell (vector sum, count) partials against the broadcast
+    centroids, and the driver folds the tiny (n_cells x d) partials. The
+    data never shuffles and the driver holds only centroids; this is the
+    scale path over ``train_centroids`` (whose model fits only the sampled
+    rows)."""
+    import ray
+
+    sample = ds.limit(init_sample_rows).to_pandas()
+    x0 = _normalize_rows(np.stack(sample[vec_col].map(np.asarray)))
+    rng = np.random.default_rng(seed)
+    centroids = x0[rng.choice(len(x0), size=min(n_cells, len(x0)),
+                              replace=False)].copy()
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            c = _ray.get(cref)
+            vecs = _normalize_rows(_to_matrix(batch.column(vec_col)))
+            if not len(vecs):
+                return pa.table({"cell": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+            assign = (vecs @ c.T).argmax(axis=1)
+            cells, counts = np.unique(assign, return_counts=True)
+            sums = np.zeros((len(cells), vecs.shape[1]), dtype=np.float64)
+            for k, cell in enumerate(cells):
+                sums[k] = vecs[assign == cell].sum(axis=0)
+            return pa.table({
+                "cell": pa.array(cells.astype(np.int64), pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+                "vsum": pa.array([s.tolist() for s in sums],
+                                 pa.list_(pa.float64())),
+            })
+
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for b in (ds.map_batches(partials, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            for cell, cnt, vsum in zip(b.column("cell").to_pylist(),
+                                       b.column("cnt").to_pylist(),
+                                       b.column("vsum").to_pylist()):
+                sums[cell] += np.asarray(vsum)
+                counts[cell] += cnt
+        nonzero = counts > 0
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+        centroids = _normalize_rows(centroids)
+    return centroids
+
+
 class IVFScorer:
     """Actor-pool stage: score only rows whose nearest centroid is one of the
     query's nprobe cells."""
@@ -172,12 +229,20 @@ class IVFScorer:
 
 
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16, nprobe: int = 4,
-             vec_col: str = "embedding", id_col: str = "vec_id", concurrency=(1, 8)):
+             vec_col: str = "embedding", id_col: str = "vec_id", concurrency=(1, 8),
+             distributed_training: bool = False):
     """Approximate (IVF-pruned) cosine top-k. Same output shape as
-    brute_force_topk; recall grows with nprobe/n_cells."""
+    brute_force_topk; recall grows with nprobe/n_cells.
+    ``distributed_training=True`` trains centroids with full-data Lloyd
+    passes (``train_centroids_distributed``) instead of the driver
+    sample — use when the corpus's structure isn't captured by 4k rows."""
     import ray
 
-    centroids = train_centroids(ds, n_cells=n_cells, vec_col=vec_col)
+    if distributed_training:
+        centroids = train_centroids_distributed(ds, n_cells=n_cells,
+                                                vec_col=vec_col)
+    else:
+        centroids = train_centroids(ds, n_cells=n_cells, vec_col=vec_col)
     query_ref = ray.put(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     centroid_ref = ray.put(centroids)
     candidates = ds.map_batches(

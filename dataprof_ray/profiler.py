@@ -146,6 +146,48 @@ class Profiler:
             }
         return self._profile_ds(ds, data_source=data_source)
 
+    def profile_stream(self, source, *, format: str = "csv", **kwargs):
+        """Profile an incrementally-arriving byte stream (socket, pipe,
+        HTTP body) chunk-by-chunk with this builder's config
+        (profiler.rs:929 ``profile_stream``)."""
+        from dataprof_ray.sources.streams import profile_stream
+
+        cfg = self.config
+        return profile_stream(
+            source, format=format,
+            delimiter=cfg.csv_delimiter,
+            json_error_policy=cfg.json_error_policy,
+            stop_condition=cfg.stop_condition,
+            sample_capacity=cfg.sample_capacity,
+            locale=cfg.locale,
+            compute_quality=("quality" in cfg.metric_packs
+                             and len(cfg.quality_dimensions) > 0),
+            skip_patterns="patterns" not in cfg.metric_packs,
+            quality_dimensions=cfg.quality_dimensions,
+            identifier_columns=cfg.hints.identifier_columns,
+            positive_columns=cfg.hints.positive_columns,
+            temporal_columns=cfg.hints.temporal_columns,
+            **kwargs,
+        )
+
+    def profile_url(self, url: str, **kwargs):
+        """Fetch + stream-profile a URL (profiler.rs:1096 ``profile_url``;
+        ``file://`` works offline)."""
+        from dataprof_ray.sources.streams import profile_url
+
+        fmt = kwargs.pop("format", None)
+        if fmt is None and self._format_override in ("csv", "json"):
+            fmt = self._format_override
+        cfg = self.config
+        return profile_url(
+            url, format=fmt,
+            delimiter=cfg.csv_delimiter,
+            json_error_policy=cfg.json_error_policy,
+            stop_condition=cfg.stop_condition,
+            sample_capacity=cfg.sample_capacity,
+            **kwargs,
+        )
+
     def analyze_structure(self, path: str, sample_rows: int = 1000):
         """Cheap structure scan: format, quick row count (Parquet footer /
         line sampling), per-column schema from a bounded sample — no full

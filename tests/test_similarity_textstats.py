@@ -51,6 +51,24 @@ class TestSimilarity:
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 cells
 
+    def test_distributed_centroids_match_quality(self, ray_session, embeddings):
+        """Full-data Lloyd passes produce centroids at least as good as the
+        sample-trained ones (measured by mean max-cosine assignment)."""
+        import ray.data as rd
+
+        from dataprof_ray.pipelines.similarity import (
+            _normalize_rows, _to_matrix, train_centroids,
+            train_centroids_distributed)
+
+        ds = rd.from_arrow(embeddings).repartition(4)
+        c_s = train_centroids(ds, n_cells=8)
+        c_d = train_centroids_distributed(ds, n_cells=8, iters=5)
+        assert c_d.shape == c_s.shape
+        vecs = _normalize_rows(_to_matrix(embeddings.column("embedding")))
+        fit_s = (vecs @ c_s.T).max(axis=1).mean()
+        fit_d = (vecs @ c_d.T).max(axis=1).mean()
+        assert fit_d >= fit_s - 0.02
+
 
 class TestTextStats:
     def test_token_count_definition(self):
