@@ -588,6 +588,25 @@ def ngram_jaccard_duplicate_pairs(
     )
 
 
+def _dedup_edges(edges):
+    """Distributed (src, dst) dedup: coarse-partition by src, pandas
+    drop_duplicates within each partition (an edge's two endpoints pin it
+    to one partition, so cross-partition duplicates can't survive)."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch.column("src").to_numpy(zero_copy_only=False)
+                % np.int64(_EDGE_PARTITIONS)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["src", "dst"])[["src", "dst"]]
+
+    return (
+        edges.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dd, batch_format="pandas")
+    )
+
+
 def _driver_union_find(edges: "pd.DataFrame") -> "pd.DataFrame":
     """Small-scale clustering oracle: union-find over a collected edge list.
     Kept for golden-testing the distributed path; not the scale path."""
@@ -642,6 +661,14 @@ def minhash_lsh_duplicate_groups(
                                  shingle_k, concurrency)
     empty = pd.DataFrame({"id": [], "canonical_id": []}).astype(np.int64)
     if verify_threshold is not None:
+        # dedup first: an edge co-occurring in k of the bands would get its
+        # exact Jaccard computed k times by the verify filter
+        edges = _dedup_edges(edges)
+    # ONE execution of the signature + shuffle pipeline; everything below
+    # (candidate-id collection, verify filter, clustering) re-reads the
+    # materialized edge blocks instead of re-running the actor pool
+    edges = edges.materialize()
+    if verify_threshold is not None:
         import ray
 
         def edge_ids(batch: pa.Table) -> pa.Table:
@@ -661,13 +688,12 @@ def minhash_lsh_duplicate_groups(
         edges = edges.map_batches(
             lambda b: _verify_edges(b, shingles_ref, thr),
             batch_format="pyarrow",
-        )
+        ).materialize()
     if clustering == "driver":
         edge_df = edges.to_pandas()
         if edge_df.empty:
             return empty
         return _driver_union_find(edge_df)
-    edges = edges.materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return empty
@@ -769,7 +795,7 @@ def _lsh_recall(threshold: float, bands: int, planes_per_band: int) -> float:
 def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                             threshold: float = 0.95, bands: int = 16,
                             planes_per_band: int = 16, seed: int = 11,
-                            bucket_pair_cap: int = 64):
+                            bucket_pair_cap: int = 256):
     """Cosine near-dup via BANDED random-hyperplane LSH + exact verify.
 
     Construction (MinHash-style OR-of-ANDs): ``bands`` independent sets of
@@ -786,7 +812,13 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
     Dense buckets (an all-near-dup cluster) are capped: a bucket larger than
     ``bucket_pair_cap`` emits only (member -> bucket-min) star edges instead
     of the O(|bucket|^2) clique, so pathological buckets stay linear. The
-    verify step restores precision to exactly 1.0 in all cases."""
+    verify step restores precision to exactly 1.0 in all cases — but note
+    the cap's PAIR-recall cost: in an over-cap bucket, a member whose
+    cosine to the bucket-min is below threshold drops out even if it has a
+    true near-dup elsewhere in the bucket (the candidate connectivity is
+    star-shaped, the verified PAIR set is not transitive). Raise the cap,
+    or use MinHash-style clustering (``connected_components`` over these
+    edges) when dense near-dup clusters are expected."""
     import pandas as pd
 
     from dataprof_ray.pipelines.similarity import _normalize_rows, _to_matrix

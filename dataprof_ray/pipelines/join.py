@@ -162,33 +162,45 @@ def hash_join(
     rows are dropped; left NULL-key rows are dropped for ``inner`` and
     null-filled for ``left``). Duplicate keys multiply rows, as in SQL.
     ``left`` joins null-fill right columns via pandas, so nullable ints
-    surface as float64 — exact-dtype consumers should use ``inner``."""
+    surface as float64 across ALL partitions (a per-partition restore
+    would leave blocks schema-inconsistent) — exact-dtype consumers
+    should use ``inner``.
+
+    The right key is CAST to the left key's Arrow type before both
+    hashing and matching: hashes are dtype-sensitive (hash(1: int64) !=
+    hash(1.0: float64)), so hashing the raw columns would silently drop
+    every cross-typed match. A lossy cast raises instead."""
     import pandas as pd
 
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how}")
-    left_cols = list(left.schema().names)
+    left_schema = left.schema().base_schema
     right_schema = right.schema().base_schema
+    left_cols = list(left_schema.names)
+    # plain dicts of Arrow types: capturing the Dataset objects themselves
+    # in the tag closures would serialize whole execution plans into every
+    # task
+    left_types = {c: left_schema.field(c).type for c in left_cols}
     keep_right = [c for c in right_schema.names if c != right_key] \
         + ([right_key] if right_key != left_key else [])
+    right_types = {c: right_schema.field(c).type for c in keep_right}
     rename_right = {
         c: (c + right_suffix if c in left_cols else c) for c in keep_right
     }
-    key_type = left.schema().base_schema.field(left_key).type
+    key_type = left_types[left_key]
     out_cols = left_cols + [rename_right[c] for c in keep_right]
 
     # pandas launders null-padded int64 columns to float64 inside the
-    # cogroup; restore integer dtypes wherever the merged column has no
-    # nulls so inner-join output keeps exact dtypes (oracle hash contract)
+    # cogroup; restore integer dtypes for INNER joins (no nulls can be
+    # introduced, so the restore is globally consistent across blocks)
     _int_targets = {}
-    for c in left_cols:
-        t = left.schema().base_schema.field(c).type
-        if pa.types.is_integer(t):
-            _int_targets[c] = t.to_pandas_dtype()
-    for c in keep_right:
-        t = right_schema.field(c).type
-        if pa.types.is_integer(t):
-            _int_targets[rename_right[c]] = t.to_pandas_dtype()
+    if how == "inner":
+        for c in left_cols:
+            if pa.types.is_integer(left_types[c]):
+                _int_targets[c] = left_types[c].to_pandas_dtype()
+        for c in keep_right:
+            if pa.types.is_integer(right_types[c]):
+                _int_targets[rename_right[c]] = right_types[c].to_pandas_dtype()
 
     def tag_left(batch: pa.Table) -> pa.Table:
         part = _key_parts(batch.column(left_key), partitions)
@@ -196,21 +208,23 @@ def hash_join(
         cols["__part"] = pa.array(part, pa.int32())
         cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
         for c in keep_right:
-            cols["__r_" + c] = pa.nulls(batch.num_rows, right_schema.field(c).type)
+            cols["__r_" + c] = pa.nulls(batch.num_rows, right_types[c])
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
-        # right rows ride with their join key cast into the LEFT key slot so
-        # the cogroup merges both sides on one column; all other left
-        # columns are null padding (required for Dataset.union's one schema)
-        part = _key_parts(batch.column(right_key), partitions)
+        # right rows ride with their join key cast into the LEFT key slot
+        # (and key TYPE — see docstring) so the cogroup merges both sides
+        # on one column; all other left columns are null padding (required
+        # for Dataset.union's one schema)
+        key_col = batch.column(right_key).cast(key_type)
+        part = _key_parts(key_col, partitions)
         n = batch.num_rows
         cols = {}
         for c in left_cols:
             if c == left_key:
-                cols[c] = batch.column(right_key).cast(key_type)
+                cols[c] = key_col
             else:
-                cols[c] = pa.nulls(n, left.schema().base_schema.field(c).type)
+                cols[c] = pa.nulls(n, left_types[c])
         cols["__part"] = pa.array(part, pa.int32())
         cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
         for c in keep_right:

@@ -99,6 +99,21 @@ def systematic_by_key(ds, key: str, every_n: int, offset: int = 0):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def systematic_by_hash(ds, every_n: int):
+    """Order-free systematic stand-in for distributed sources: keep rows
+    whose full-row signature hash % N == 0. Positional every-Nth semantics
+    need a total row order an unordered Dataset doesn't have; the hash
+    variant keeps the same ~1/N deterministic thinning while streaming
+    (used by the adaptive chooser's multi-stage recommendation)."""
+    from dataprof_ray.state.accumulators import row_signature_hashes
+
+    def pick(batch: pa.Table) -> pa.Table:
+        h = row_signature_hashes(batch)
+        return batch.filter(pa.array(h % np.uint64(every_n) == 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def stratified_sample(ds, keys: Sequence[str], per_key: int,
                       order_col: Optional[str] = None):
     """At most ``per_key`` rows per distinct key combination; rows with a
@@ -153,6 +168,8 @@ def multi_stage_sample(ds, stages: Sequence[tuple]):
             out = importance_sample(out, spec[1], spec[2])
         elif kind == "systematic_key":
             out = systematic_by_key(out, spec[1], spec[2])
+        elif kind == "systematic_hash":
+            out = systematic_by_hash(out, spec[1])
         elif kind == "random":
             out = random_sample(out, spec[1])
         elif kind == "reservoir":
@@ -255,7 +272,28 @@ def choose_strategy(total_rows: Optional[int], total_mb: float) -> dict:
                 "confidence_level": 0.95, "max_size": 50_000}
     if total_mb > 1000.0:
         return {"kind": "multi_stage", "stages": [
-            ("systematic", 100),
+            ("systematic_hash", 100),
             ("progressive", 5_000, 0.99, 25_000),
         ]}
     return {"kind": "reservoir", "size": 100_000}
+
+
+def apply_strategy(ds, spec: dict):
+    """Execute a ``choose_strategy`` recommendation — every shape the
+    chooser emits maps onto a sampler here (a recommendation that can't
+    be executed is a bug; tested exhaustively). Fixed-size strategies
+    return a pyarrow.Table (the sample is final only at end-of-stream);
+    streaming ones return a Dataset."""
+    kind = spec["kind"]
+    if kind == "none":
+        return ds
+    if kind in ("random", "reservoir"):
+        # reference semantics: Random over an unknown-length source IS
+        # reservoir sampling (strategies.rs:17-34)
+        return reservoir_sample(ds, spec["size"])
+    if kind == "progressive":
+        return progressive_sample(ds, spec["initial_size"],
+                                  spec["confidence_level"], spec["max_size"])
+    if kind == "multi_stage":
+        return multi_stage_sample(ds, spec["stages"])
+    raise ValueError(f"unknown strategy kind: {kind}")

@@ -172,21 +172,21 @@ class Profiler:
 
     def profile_url(self, url: str, **kwargs):
         """Fetch + stream-profile a URL (profiler.rs:1096 ``profile_url``;
-        ``file://`` works offline)."""
-        from dataprof_ray.sources.streams import profile_url
+        ``file://`` works offline). Routes through ``profile_stream`` so
+        EVERY builder setting (metric packs, quality dimensions, locale,
+        hints, stop condition) applies identically to URL bodies."""
+        import urllib.request
+        from urllib.parse import urlparse
 
         fmt = kwargs.pop("format", None)
         if fmt is None and self._format_override in ("csv", "json"):
             fmt = self._format_override
-        cfg = self.config
-        return profile_url(
-            url, format=fmt,
-            delimiter=cfg.csv_delimiter,
-            json_error_policy=cfg.json_error_policy,
-            stop_condition=cfg.stop_condition,
-            sample_capacity=cfg.sample_capacity,
-            **kwargs,
-        )
+        if fmt is None:
+            path = urlparse(url).path.lower()
+            fmt = "json" if path.endswith((".json", ".jsonl", ".ndjson")) \
+                else "csv"
+        with urllib.request.urlopen(url) as resp:  # noqa: S310 — caller's URL
+            return self.profile_stream(resp, format=fmt, **kwargs)
 
     def analyze_structure(self, path: str, sample_rows: int = 1000):
         """Cheap structure scan: format, quick row count (Parquet footer /

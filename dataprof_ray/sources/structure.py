@@ -122,12 +122,35 @@ def _sample_table(path: str, fmt: str, sample_rows: int) -> pa.Table:
     if fmt == "csv":
         import pyarrow.csv as pacsv
 
-        # read a bounded byte prefix, then trim to sample_rows
-        t = pacsv.read_csv(path, read_options=pacsv.ReadOptions(block_size=1 << 20))
-        return t.slice(0, sample_rows)
+        # incremental reader: only the first batch(es) are pulled — a
+        # plain read_csv would eagerly parse the WHOLE file, breaking the
+        # module's O(sample)-bytes contract on a 50 GB input
+        batches = []
+        rows = 0
+        with pacsv.open_csv(
+                path, read_options=pacsv.ReadOptions(block_size=1 << 20)) as r:
+            for batch in r:
+                batches.append(batch)
+                rows += batch.num_rows
+                if rows >= sample_rows:
+                    break
+        if not batches:
+            return pa.table({})
+        return pa.Table.from_batches(batches).slice(0, sample_rows)
+    import io
+
     import pyarrow.json as pajson
 
-    t = pajson.read_json(path)
+    # bounded byte prefix, cut at the last complete line (pyarrow.json has
+    # no incremental reader)
+    budget = max(1 << 20, sample_rows * 4096)
+    with open(path, "rb") as f:
+        prefix = f.read(budget)
+    if len(prefix) == budget:
+        cut = prefix.rfind(b"\n")
+        if cut > 0:
+            prefix = prefix[: cut + 1]
+    t = pajson.read_json(io.BytesIO(prefix))
     return t.slice(0, sample_rows)
 
 

@@ -92,3 +92,49 @@ def test_nullable_int_small_side(ray_session):
     assert out.sort_values("k")["num"].tolist()[0] == 7
     assert pa.Table.from_pandas(out).schema.field("num").type in (
         pa.int64(), pa.float64())  # null survived as null, not NaN-poisoned crash
+
+
+def test_hash_join_cross_dtype_keys(ray_session):
+    """Equal key VALUES with different Arrow dtypes must still join: the
+    right key is cast to the left key's type before hashing (hashes are
+    dtype-sensitive — the unconverted columns landed equal keys in
+    different partitions and silently returned 0 rows)."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import hash_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                                   "a": ["x", "y", "z"]}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "b": pa.array([10, 20, 30], pa.int64()),
+    }))
+    out = hash_join(left, right, left_key="k", right_key="rk",
+                    partitions=8).to_pandas().sort_values("k")
+    assert out["b"].tolist() == [10, 20, 30]
+
+    # a lossy cast must raise, not silently mis-join
+    bad = rd.from_arrow(pa.table({"rk": pa.array([1.5], pa.float64()),
+                                  "b": pa.array([1], pa.int64())}))
+    with pytest.raises(Exception):
+        hash_join(left, bad, left_key="k", right_key="rk",
+                  partitions=4).to_pandas()
+
+
+def test_hash_join_left_consistent_dtypes(ray_session):
+    """Left joins keep ONE dtype for a null-fillable right column across
+    all partitions (a per-partition int restore left blocks disagreeing
+    with the reported schema)."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import hash_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array(list(range(20)), pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([0, 1, 2], pa.int64()),
+        "v": pa.array([10, 11, 12], pa.int64()),
+    }))
+    out = hash_join(left, right, left_key="k", right_key="k", how="left",
+                    partitions=8).to_pandas()
+    assert len(out) == 20
+    assert str(out["v"].dtype) == "float64"  # uniformly nullable-promoted

@@ -95,6 +95,32 @@ class TestSampling:
         assert SA.choose_strategy(50_000_000, 500)["kind"] == "reservoir"
         assert SA.choose_strategy(None, 500)["kind"] == "reservoir"
 
+    def test_every_chooser_recommendation_is_executable(self, ray_session):
+        """code-review r2 finding: the chooser once emitted stage kinds the
+        samplers rejected. Every shape it can emit must run end to end."""
+        import ray.data as rd
+
+        t = pa.table({"x": pa.array(np.linspace(0, 1, 3000)),
+                      "s": pa.array([f"v{i}" for i in range(3000)])})
+        ds = rd.from_arrow(t).repartition(4)
+        cases = [(1000, 1.0), (50_000, 100.0), (1_000_000, 100.0),
+                 (50_000_000, 9000.0), (50_000_000, 500.0), (None, 500.0)]
+        for rows, mb in cases:
+            spec = SA.choose_strategy(rows, mb)
+            out = SA.apply_strategy(ds, spec)
+            n = out.count() if hasattr(out, "count") and not isinstance(
+                out, pa.Table) else out.num_rows
+            assert 0 < n <= 3000, (spec, n)
+
+    def test_systematic_by_hash_deterministic(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"x": pa.array(list(range(5000)))})
+        a = SA.systematic_by_hash(rd.from_arrow(t), 10).to_pandas()
+        b = SA.systematic_by_hash(rd.from_arrow(t).repartition(7), 10).to_pandas()
+        assert sorted(a.x) == sorted(b.x)  # partition-layout independent
+        assert 250 <= len(a) <= 750  # ~1/10
+
     def test_progressive_low_variance_stops_early(self, ray_session):
         import ray.data as rd
 
