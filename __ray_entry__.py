@@ -420,6 +420,12 @@ def _top_terms_documents(sf_dir: str) -> pd.DataFrame:
     return T.top_terms(_read(sf_dir, "documents", columns=["text"]), k=20)
 
 
+def _top_bigrams_documents(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines import textstats as T
+
+    return T.top_ngrams(_read(sf_dir, "documents", columns=["text"]), n=2, k=20)
+
+
 def _doc_quality_documents(sf_dir: str):
     from dataprof_ray.pipelines import textstats as T
 
@@ -656,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_events": _session_events,
         "quantiles_lineitem": _quantiles_lineitem,
         "top_terms_documents": _top_terms_documents,
+        "top_bigrams_documents": _top_bigrams_documents,
         "doc_quality_documents": _doc_quality_documents,
         "embedding_stats": _embedding_stats,
         "langid_documents": _langid_documents,
@@ -864,6 +871,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT LOWER(UNNEST(REGEXP_SPLIT_TO_ARRAY("
             "TRIM(text, ' \t\n\r'), '\\s+'))) AS term FROM documents "
             "WHERE TRIM(text, ' \t\n\r') != '') "
+            "GROUP BY term ORDER BY term_count DESC, term LIMIT 20"
+        ),
+        "top_bigrams_documents": (
+            "WITH d AS (SELECT REGEXP_SPLIT_TO_ARRAY("
+            "LOWER(TRIM(text, ' \t\n\r')), '\\s+') AS arr FROM documents "
+            "WHERE text IS NOT NULL AND TRIM(text, ' \t\n\r') != ''), "
+            "g AS (SELECT arr[i] || ' ' || arr[i+1] AS term "
+            "FROM d, UNNEST(RANGE(1, LEN(arr))) AS t(i)) "
+            "SELECT term, COUNT(*) AS term_count FROM g "
             "GROUP BY term ORDER BY term_count DESC, term LIMIT 20"
         ),
         "doc_quality_documents": (

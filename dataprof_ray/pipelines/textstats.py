@@ -118,6 +118,45 @@ def top_terms(ds, k: int = 20, text_col: str = "text", min_len: int = 1):
     )
 
 
+def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
+    """Corpus-wide word n-gram frequency top-k (``top_terms`` generalized:
+    n=1 is unigrams). Same scale pattern: per-batch partial Counter ->
+    groupby(term).sum over partials -> driver sorts the small aggregate;
+    the shuffle moves n-gram partials, never documents. N-grams are
+    space-joined lowercase tokens, matching the DuckDB oracle's
+    ``arr[i] || ' ' || arr[i+1]`` construction."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = _WS_SPLIT.split((t or "").lower().strip())
+            if toks == [""]:
+                continue
+            for i in range(len(toks) - n + 1):
+                counts[" ".join(toks[i: i + n])] += 1
+        if not counts:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        terms, values = zip(*counts.items())
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "cnt": pa.array(values, pa.int64())})
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="term_count"))
+        .to_pandas()
+    )
+    return (
+        agg.sort_values(["term_count", "term"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 _UPPER = re.compile(r"[A-Z]")
 _DIGIT = re.compile(r"[0-9]")
 _ALPHA = re.compile(r"[A-Za-z]")

@@ -134,6 +134,51 @@ class FrameSampleStage:
         })
 
 
+class AudioFeatureStage:
+    """Actor-pool stage: audio payload -> duration estimate + level stats.
+
+    STUB decode: payload bytes are treated as 16-bit PCM mono at
+    ``sample_rate`` (a real implementation would call soundfile/librosa —
+    absent in this container); the Ray plumbing (typed schema, actor
+    signature, batch sizing) is real. Emits (media_id, duration_ms, rms,
+    peak, clipped_ratio)."""
+
+    def __init__(self, sample_rate: int = 16_000) -> None:
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id")
+        dur = np.zeros(batch.num_rows, dtype=np.float64)
+        rms = np.zeros(batch.num_rows, dtype=np.float64)
+        peak = np.zeros(batch.num_rows, dtype=np.float64)
+        clipped = np.zeros(batch.num_rows, dtype=np.float64)
+        for i, p in enumerate(batch.column("payload").to_pylist()):
+            raw = (p or b"")[: len(p or b"") // 2 * 2]
+            if not raw:
+                continue
+            pcm = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+            dur[i] = len(pcm) / self.sample_rate * 1000.0
+            rms[i] = float(np.sqrt(np.mean(pcm * pcm)))
+            peak[i] = float(np.abs(pcm).max())
+            clipped[i] = float(np.mean(np.abs(pcm) >= 0.999))
+        return pa.table({
+            "media_id": ids,
+            "duration_ms": pa.array(dur, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+            "peak": pa.array(peak, pa.float64()),
+            "clipped_ratio": pa.array(clipped, pa.float64()),
+        })
+
+
+def extract_audio_features(ds, sample_rate: int = 16_000, concurrency=(1, 4),
+                           batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
+    return ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"sample_rate": sample_rate},
+    )
+
+
 def decode_images(ds, concurrency=(1, 4), batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
     return ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)

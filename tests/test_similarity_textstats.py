@@ -172,6 +172,23 @@ class TestMultimodal:
         out = MM.sample_frames(rd.from_arrow(t), every_n=5).to_pandas()
         assert (out.frame_offset % (5 * 4096) == 0).all()
 
+    def test_audio_features(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.stages import multimodal as MM
+
+        t = MM.synthetic_media_table(8)
+        out = MM.extract_audio_features(rd.from_arrow(t),
+                                        concurrency=(1, 2)).to_pandas()
+        assert len(out) == 8
+        assert (out.duration_ms > 0).all()
+        assert ((out.rms >= 0) & (out.rms <= 1)).all()
+        assert (out.peak >= out.rms).all()
+        # deterministic: same payloads -> same features
+        out2 = MM.extract_audio_features(rd.from_arrow(t)).to_pandas()
+        assert out.sort_values("media_id").rms.tolist() == \
+            out2.sort_values("media_id").rms.tolist()
+
     def test_strict_mode_raises_without_libs(self):
         from dataprof_ray.stages import multimodal as MM
 
