@@ -396,6 +396,29 @@ def _revenue_by_priority(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _asof_click_view(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each click event picks the same user's latest view at or
+    before it (backward as-of). Left-join semantics: clicks with no prior
+    view null-fill."""
+    import pyarrow.dataset as pds
+
+    from dataprof_ray.pipelines.join import asof_join
+
+    valid = pds.field("user_id").is_valid() & pds.field("ts").is_valid()
+    clicks = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"],
+                   filter=((pds.field("event_type") == "click") & valid))
+    views = _read(sf_dir, "events", columns=["user_id", "ts"],
+                  filter=((pds.field("event_type") == "view") & valid))
+    out = asof_join(clicks, views, key="user_id", left_ts="ts",
+                    right_ts="ts", right_columns=[], partitions=16)
+    df = out.to_pandas().rename(columns={"ts_right": "last_view_ts"})
+    # the cogroup's null-padded union launders ints to float64 in pandas
+    # blocks; the filters above guarantee no nulls, so restore exactly
+    df["event_id"] = df["event_id"].astype(np.int64)
+    df["user_id"] = df["user_id"].astype(np.int64)
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _session_events(sf_dir: str) -> pd.DataFrame:
     from dataprof_ray.pipelines.window import session_window
 
@@ -660,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_expensive_orders": _top_expensive_orders,
         "revenue_by_priority": _revenue_by_priority,
         "session_events": _session_events,
+        "asof_click_view": _asof_click_view,
         "quantiles_lineitem": _quantiles_lineitem,
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
@@ -858,6 +882,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
             "MIN(ts) AS session_start, MAX(ts) AS session_end, "
             "COUNT(*) AS n_events FROM s GROUP BY user_id, session_id"
+        ),
+        "asof_click_view": (
+            "WITH c AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click' AND user_id IS NOT NULL "
+            "AND ts IS NOT NULL), "
+            "v AS (SELECT user_id, ts AS view_ts FROM events "
+            "WHERE event_type = 'view' AND user_id IS NOT NULL "
+            "AND ts IS NOT NULL) "
+            "SELECT c.event_id, c.user_id, c.ts, MAX(v.view_ts) AS last_view_ts "
+            "FROM c LEFT JOIN v ON c.user_id = v.user_id AND v.view_ts <= c.ts "
+            "GROUP BY c.event_id, c.user_id, c.ts"
         ),
         "quantiles_lineitem": (
             "SELECT l_returnflag, "

@@ -255,3 +255,110 @@ def hash_join(
         tagged.groupby("__part")
         .map_groups(cogroup, batch_format="pandas")
     )
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_columns=None,
+    direction: str = "backward",
+    partitions: int = _JOIN_PARTITIONS,
+    right_suffix: str = "_right",
+):
+    """As-of join: each left row picks the right row of the SAME key whose
+    timestamp is the latest at-or-before (``backward``), earliest
+    at-or-after (``forward``), or closest (``nearest``) to its own.
+    Left-join semantics: every left row survives; no-match rows null-fill.
+
+    Scale design: both sides hash-partition by key (one shuffle each), and
+    each partition runs ONE vectorized ``pandas.merge_asof(by=key)`` over
+    its time-sorted rows — per-key state never round-trips the driver, and
+    a partition holds all rows of its keys (the standard keyed-state
+    contract, as in ``window.session_window``). Null keys or timestamps on
+    the left pass through unmatched; on the right they are dropped.
+    """
+    import pandas as pd
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction}")
+    left_schema = left.schema().base_schema
+    right_schema = right.schema().base_schema
+    left_cols = list(left_schema.names)
+    right_columns = list(right_columns) if right_columns is not None else \
+        [c for c in right_schema.names if c not in (key, right_ts)]
+    carry_right = [right_ts] + [c for c in right_columns if c != right_ts]
+    rename_right = {
+        c: (c + right_suffix if c in left_cols else c) for c in carry_right
+    }
+    left_types = {c: left_schema.field(c).type for c in left_cols}
+    right_types = {c: right_schema.field(c).type for c in carry_right}
+    key_type = left_types[key]
+    out_cols = left_cols + [rename_right[c] for c in carry_right]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        part = _key_parts(batch.column(key), partitions)
+        cols = {c: batch.column(c) for c in left_cols}
+        cols["__part"] = pa.array(part, pa.int32())
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        for c in carry_right:
+            cols["__r_" + c] = pa.nulls(batch.num_rows, right_types[c])
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        valid = pc.and_(pc.is_valid(batch.column(key)),
+                        pc.is_valid(batch.column(right_ts)))
+        batch = batch.filter(valid)
+        key_col = batch.column(key).cast(key_type)
+        part = _key_parts(key_col, partitions)
+        n = batch.num_rows
+        cols = {}
+        for c in left_cols:
+            cols[c] = key_col if c == key else pa.nulls(n, left_types[c])
+        cols["__part"] = pa.array(part, pa.int32())
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        for c in carry_right:
+            cols["__r_" + c] = batch.column(c)
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        part = int(df["__part"].iloc[0])
+        ldf = df[df["__side"] == 0][left_cols]
+        rdf = df[df["__side"] == 1]
+        r = rdf[[key] + ["__r_" + c for c in carry_right]].rename(
+            columns={"__r_" + c: rename_right[c] for c in carry_right})
+        matchable = ldf[ldf[left_ts].notna()] if part >= 0 else ldf.iloc[0:0]
+        passthrough = ldf.drop(matchable.index)
+        if len(matchable) and len(r):
+            merged = pd.merge_asof(
+                matchable.sort_values(left_ts),
+                r.sort_values(rename_right[right_ts]),
+                left_on=left_ts, right_on=rename_right[right_ts],
+                by=key, direction=direction,
+            )
+        else:
+            merged = matchable.copy()
+            for c in carry_right:
+                merged[rename_right[c]] = pd.NaT \
+                    if pa.types.is_temporal(right_types[c]) else None
+        if len(passthrough):
+            for c in carry_right:
+                passthrough = passthrough.copy()
+                passthrough[rename_right[c]] = pd.NaT \
+                    if pa.types.is_temporal(right_types[c]) else None
+            merged = pd.concat([merged, passthrough], ignore_index=True)
+        return merged[out_cols]
+
+    return (
+        tagged.groupby("__part")
+        .map_groups(cogroup, batch_format="pandas")
+    )

@@ -138,3 +138,52 @@ def test_hash_join_left_consistent_dtypes(ray_session):
                     partitions=8).to_pandas()
     assert len(out) == 20
     assert str(out["v"].dtype) == "float64"  # uniformly nullable-promoted
+
+
+def test_asof_join_backward(ray_session):
+    """Each left row picks the latest right row at-or-before its ts for
+    the same key; no-match rows and NULL-key rows null-fill."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import asof_join
+
+    def ts(s):
+        return np.datetime64(f"2024-01-01T{s}", "us")
+
+    left = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "u": pa.array([10, 10, 20, None], pa.int64()),
+        "t": pa.array([ts("10:00"), ts("12:00"), ts("09:00"), ts("11:00")],
+                      pa.timestamp("us")),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "u": pa.array([10, 10, 10, 20], pa.int64()),
+        "t": pa.array([ts("09:30"), ts("11:30"), ts("13:00"), ts("09:30")],
+                      pa.timestamp("us")),
+        "v": pa.array([1.0, 2.0, 3.0, 9.0], pa.float64()),
+    })).repartition(2)
+    out = asof_join(left, right, key="u", left_ts="t", right_ts="t",
+                    partitions=4).to_pandas().sort_values("id")
+    assert out["v"].tolist()[:2] == [1.0, 2.0]  # latest at-or-before each
+    assert np.isnan(out["v"].tolist()[2])  # u=20: view at 09:30 > 09:00 -> none
+    assert np.isnan(out["v"].tolist()[3])  # NULL key never matches
+    assert len(out) == 4  # left-join semantics: every left row survives
+
+
+def test_asof_join_forward(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "t": pa.array([10, 30], pa.int64()).cast(pa.timestamp("us")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "t": pa.array([20, 40], pa.int64()).cast(pa.timestamp("us")),
+        "x": pa.array([100, 200], pa.int64()),
+    }))
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="t",
+                    direction="forward", partitions=2).to_pandas()
+    assert sorted(out["x"].tolist()) == [100, 200]
