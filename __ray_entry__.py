@@ -640,14 +640,18 @@ def _approx_distinct_lineitem(sf_dir: str) -> pd.DataFrame:
 
 def _profile_report_documents(sf_dir: str) -> pd.DataFrame:
     """Full ProfileReport (patterns + 7 quality dimensions) flattened to one
-    row per column; the report-level quality score repeats per row."""
+    row per column; report-level values (overall score + the seven
+    dimension scores) repeat per row so the rows-only check pins every
+    dimension, not just the weighted total."""
     from dataprof_ray.pipelines.profile import profile_dataset
+    from dataprof_ray.report import quality_summary
 
     report = profile_dataset(_read(sf_dir, "documents"))
     score = report.quality_score()
+    dims = quality_summary(report)["dimensions"]
     rows = []
     for p in report.column_profiles:
-        rows.append({
+        row = {
             "column_name": p.name,
             "data_type": p.data_type,
             "total_count": p.total_count,
@@ -655,7 +659,10 @@ def _profile_report_documents(sf_dir: str) -> pd.DataFrame:
             "unique_count": p.unique_count if p.unique_count is not None else -1,
             "n_patterns": len(p.patterns) if p.patterns is not None else -1,
             "overall_quality_score": round(score, 2) if score is not None else -1.0,
-        })
+        }
+        for d, v in sorted(dims.items()):
+            row[f"score_{d}"] = round(v, 2) if v is not None else -1.0
+        rows.append(row)
     return pd.DataFrame(rows)
 
 

@@ -201,6 +201,31 @@ def test_connected_components_chain(ray_session):
     assert got[2] == 2 and got[7] == 2
 
 
+def test_connected_components_random_graphs_match_union_find(ray_session):
+    """Adversarial check of the multi-partition contraction on random
+    graphs (mixed components, chains, cliques) against the union-find
+    oracle — not just the star-shaped LSH case."""
+    import pandas as pd
+    import ray.data as rd
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n_nodes = 400
+        n_edges = 300
+        src = rng.integers(0, n_nodes, size=n_edges)
+        dst = rng.integers(0, n_nodes, size=n_edges)
+        keep = src != dst
+        edges_df = pd.DataFrame({"src": src[keep].astype(np.int64),
+                                 "dst": dst[keep].astype(np.int64)})
+        edges = rd.from_arrow(pa.Table.from_pandas(edges_df)).repartition(3)
+        got = (D.connected_components(edges, partitions=8)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        want = (D._driver_union_find(edges_df)
+                .rename(columns={"id": "node", "canonical_id": "label"})
+                .sort_values("node").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+
 def test_minhash_deterministic(ray_session, doc_table):
     import ray.data as rd
 
