@@ -396,6 +396,58 @@ def _revenue_by_priority(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _revenue_by_region(sf_dir: str) -> pd.DataFrame:
+    """Chained broadcast joins (orders -> customer -> nation -> region; each
+    small side ships once via ray.put, the orders stream never shuffles)
+    feeding the pre-aggregated groupby — the TPC-H Q5 shape without the
+    lineitem leg."""
+    import pyarrow.compute as pc
+
+    from dataprof_ray.pipelines.aggregate import preagg_groupby
+    from dataprof_ray.pipelines.join import broadcast_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    j = broadcast_join(orders, customer, big_key="o_custkey",
+                       small_key="c_custkey", columns=["c_nationkey"],
+                       how="inner", concurrency=(1, 4))
+    j = broadcast_join(j, nation, big_key="c_nationkey",
+                       small_key="n_nationkey", columns=["n_regionkey"],
+                       how="inner", concurrency=(1, 4))
+    j = broadcast_join(j, region, big_key="n_regionkey",
+                       small_key="r_regionkey", columns=["r_name"],
+                       how="inner", concurrency=(1, 4))
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"),
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({"r_name": b.column("r_name"), "price_cents": cents})
+
+    df = preagg_groupby(j.map_batches(add_cents, batch_format="pyarrow"),
+                        ["r_name"], [
+        ("cnt", None, "count"),
+        ("sum_cents", "price_cents", "sum"),
+    ])
+    df["sum_cents"] = df["sum_cents"].astype(np.int64)
+    return df
+
+
+def _parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.aggregate import preagg_groupby, round_away
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
+    df = preagg_groupby(ds, ["p_brand"], [
+        ("cnt", None, "count"),
+        ("sum_size", "p_size", "sum"),
+        ("max_price", "p_retailprice", "max"),
+    ])
+    df["avg_size"] = round_away(df["sum_size"] / df["cnt"], 4)
+    df["sum_size"] = df["sum_size"].astype(np.int64)
+    return df
+
+
 def _asof_click_view(sf_dir: str) -> pd.DataFrame:
     """As-of join: each click event picks the same user's latest view at or
     before it (backward as-of). Left-join semantics: clicks with no prior
@@ -691,6 +743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": _revenue_by_priority,
         "session_events": _session_events,
         "asof_click_view": _asof_click_view,
+        "revenue_by_region": _revenue_by_region,
+        "parts_by_brand": _parts_by_brand,
         "quantiles_lineitem": _quantiles_lineitem,
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
@@ -889,6 +943,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
             "MIN(ts) AS session_start, MAX(ts) AS session_end, "
             "COUNT(*) AS n_events FROM s GROUP BY user_id, session_id"
+        ),
+        "revenue_by_region": (
+            "SELECT r_name, COUNT(*) AS cnt, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name"
+        ),
+        "parts_by_brand": (
+            "SELECT p_brand, COUNT(*) AS cnt, "
+            "CAST(SUM(p_size) AS BIGINT) AS sum_size, "
+            "MAX(p_retailprice) AS max_price, "
+            "ROUND(SUM(p_size) * 1.0 / COUNT(*), 4) AS avg_size "
+            "FROM part GROUP BY p_brand"
         ),
         "asof_click_view": (
             "WITH c AS (SELECT event_id, user_id, ts FROM events "
