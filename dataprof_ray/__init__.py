@@ -18,8 +18,42 @@ by bench.py / test fixtures / the driver.
 __version__ = "0.1.0"
 
 from dataprof_ray.config import PipelineConfig, SemanticHints  # noqa: F401
+from dataprof_ray.functions.patterns import list_patterns  # noqa: F401
 from dataprof_ray.profiler import Profiler, profile  # noqa: F401
 from dataprof_ray.schema import ProfileReport  # noqa: F401
+from dataprof_ray.sources.structure import (  # noqa: F401
+    analyze_structure,
+    infer_schema,
+    quick_row_count,
+)
+
+
+def capabilities() -> dict:
+    """Feature availability introspection (the reference's
+    ``dataprof.capabilities``, python/dataprof/__init__.py:104-177). All
+    core features are always on in this build; optional integrations
+    report whether their import succeeds."""
+    def _has(mod: str) -> bool:
+        import importlib.util
+
+        return importlib.util.find_spec(mod) is not None
+
+    return {
+        "version": __version__,
+        "engine": "ray-data",
+        "profiling": True,
+        "quality": True,
+        "patterns": True,
+        "sampling": True,
+        "streaming": True,
+        "database": True,
+        "dedup": True,
+        "similarity": True,
+        "pandas": _has("pandas"),
+        "polars": _has("polars"),
+        "duckdb": _has("duckdb"),
+        "pillow": _has("PIL"),
+    }
 from dataprof_ray.state.accumulators import (  # noqa: F401
     WelfordAccumulator,
     HyperLogLog,

@@ -442,3 +442,26 @@ def scrub_series(texts) -> tuple[list[str], np.ndarray]:
         else:
             out.append(t)
     return out, counts
+
+
+def list_patterns(locale: Optional[str] = None) -> list:
+    """List supported pattern detectors in detector order — the reference's
+    public ``dataprof.list_patterns`` (python/dataprof/__init__.py:514).
+    With a locale, returns universal patterns plus locale-specific ones
+    matching it case-insensitively; each entry carries name, regex,
+    category, locale, and min_threshold."""
+    norm = locale.strip().upper() if locale and locale.strip() else None
+    out = []
+    for d in PATTERN_DEFS:
+        if norm is not None and d.locale is not None \
+                and d.locale.upper() != norm:
+            continue
+        if norm is None or d.locale is None or d.locale.upper() == norm:
+            out.append({
+                "name": d.name,
+                "regex": d.regex,
+                "category": d.category,
+                "locale": d.locale,
+                "min_threshold": d.min_threshold,
+            })
+    return out

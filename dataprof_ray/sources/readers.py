@@ -544,3 +544,71 @@ def from_any(obj, **kwargs):
     if hasattr(obj, "__arrow_c_stream__"):
         return rd.from_arrow(pa.table(obj))
     raise TypeError(f"unsupported in-memory input: {type(obj)}")
+
+
+# ---------------------------------------------------------- DB introspection
+
+
+def test_connection(connection_factory, retry: Optional["RetryConfig"] = None) -> bool:
+    """True if a connection can be opened and runs ``SELECT 1`` (the
+    reference's ``test_connection_async``, sync here — Ray tasks provide
+    the concurrency). Retries with backoff when a RetryConfig is given;
+    returns False instead of raising on final failure."""
+    def attempt() -> bool:
+        con = connection_factory()
+        try:
+            con.execute("SELECT 1").fetchone()
+            return True
+        finally:
+            con.close()
+
+    try:
+        if retry is not None:
+            return retry_database_operation(attempt, retry,
+                                            operation_name="test_connection")
+        return attempt()
+    except Exception:
+        return False
+
+
+def count_table_rows(table: str, connection_factory,
+                     retry: Optional["RetryConfig"] = None) -> int:
+    """Exact row count of a table (``count_table_rows_async`` equivalent).
+    The table name is validated as an identifier — it cannot be bound as a
+    parameter, and interpolating arbitrary text would be injection."""
+    if not table.replace("_", "").replace(".", "").isalnum():
+        raise ValueError(f"invalid table name: {table!r}")
+
+    def attempt() -> int:
+        con = connection_factory()
+        try:
+            return int(con.execute(f"SELECT COUNT(*) FROM {table}").fetchone()[0])
+        finally:
+            con.close()
+
+    if retry is not None:
+        return retry_database_operation(attempt, retry,
+                                        operation_name="count_table_rows")
+    return attempt()
+
+
+def get_table_schema(table: str, connection_factory,
+                     retry: Optional["RetryConfig"] = None) -> list:
+    """[(column_name, declared_type)] for a table
+    (``get_table_schema_async`` equivalent), via a zero-row SELECT so it
+    works on any DBAPI connection, not just sqlite PRAGMA."""
+    if not table.replace("_", "").replace(".", "").isalnum():
+        raise ValueError(f"invalid table name: {table!r}")
+
+    def attempt() -> list:
+        con = connection_factory()
+        try:
+            cur = con.execute(f"SELECT * FROM {table} WHERE 1 = 0")
+            return [(d[0], d[1]) for d in cur.description]
+        finally:
+            con.close()
+
+    if retry is not None:
+        return retry_database_operation(attempt, retry,
+                                        operation_name="get_table_schema")
+    return attempt()

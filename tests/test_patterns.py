@@ -176,3 +176,24 @@ class TestScrub:
     def test_scrub_deterministic(self):
         t = "mix a@b.com 550e8400-e29b-41d4-a716-446655440000 10.1.2.3"
         assert P.scrub_text(t) == P.scrub_text(t)
+
+
+def test_list_patterns_surface():
+    import dataprof_ray as dp
+
+    allp = dp.list_patterns()
+    assert len(allp) == 35
+    assert {"name", "regex", "category", "locale", "min_threshold"} <= set(allp[0])
+    it = dp.list_patterns("it")
+    names = {p["name"] for p in it}
+    assert "Codice Fiscale (IT)" in names
+    assert "SSN (US)" not in names  # other locales suppressed
+    assert "Email" in names  # universal patterns always included
+
+
+def test_capabilities():
+    import dataprof_ray as dp
+
+    caps = dp.capabilities()
+    assert caps["profiling"] and caps["patterns"] and caps["dedup"]
+    assert caps["pandas"] is True and caps["duckdb"] is True

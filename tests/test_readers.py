@@ -236,3 +236,25 @@ class TestRaggedRows:
         res = RD.read_jsonl(str(p), policy="skip")
         df = res.dataset.to_pandas()
         assert df["a"].tolist() == [1, 2]  # objects survive the stray array line
+
+
+class TestDbIntrospection:
+    def test_connection_ok_and_fail(self, ray_session, tmp_path):
+        f = TestReadSql._factory(self, tmp_path)
+        assert RD.test_connection(f) is True
+
+        def broken():
+            raise ConnectionError("refused")
+
+        assert RD.test_connection(broken) is False
+
+    def test_count_and_schema(self, ray_session, tmp_path):
+        f = TestReadSql._factory(self, tmp_path)
+        assert RD.count_table_rows("t", f) == 1000
+        cols = [name for name, _type in RD.get_table_schema("t", f)]
+        assert cols == ["id", "v"]
+
+    def test_table_name_validated(self, tmp_path):
+        f = TestReadSql._factory(self, tmp_path)
+        with pytest.raises(ValueError, match="invalid table name"):
+            RD.count_table_rows("t; DROP TABLE t", f)
