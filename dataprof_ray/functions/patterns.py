@@ -455,13 +455,12 @@ def list_patterns(locale: Optional[str] = None) -> list:
     for d in PATTERN_DEFS:
         if norm is not None and d.locale is not None \
                 and d.locale.upper() != norm:
-            continue
-        if norm is None or d.locale is None or d.locale.upper() == norm:
-            out.append({
-                "name": d.name,
-                "regex": d.regex,
-                "category": d.category,
-                "locale": d.locale,
-                "min_threshold": d.min_threshold,
-            })
+            continue  # foreign-locale pattern suppressed
+        out.append({
+            "name": d.name,
+            "regex": d.regex,
+            "category": d.category,
+            "locale": d.locale,
+            "min_threshold": d.min_threshold,
+        })
     return out

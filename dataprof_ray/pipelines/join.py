@@ -330,6 +330,34 @@ def asof_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
+    def _null_fill(frame: pd.DataFrame) -> pd.DataFrame:
+        # typed nulls matching what merge_asof would produce, so matched
+        # and unmatched partitions emit ONE consistent block schema
+        # (scalar pd.NaT / None gave datetime64[ns] / object blocks that
+        # disagreed with the merged partitions' [us] / float64)
+        frame = frame.copy()
+        for c in carry_right:
+            t = right_types[c]
+            if pa.types.is_timestamp(t):
+                dt = np.dtype(f"datetime64[{t.unit}]")
+            elif pa.types.is_temporal(t):
+                dt = np.dtype("datetime64[s]")
+            elif pa.types.is_integer(t) or pa.types.is_floating(t):
+                dt = np.dtype("float64")  # pandas nullable promotion
+            else:
+                dt = np.dtype("object")
+            frame[rename_right[c]] = pd.Series(
+                pd.NaT if dt.kind == "M" else
+                (np.nan if dt.kind == "f" else None),
+                index=frame.index, dtype=dt)
+        return frame
+
+    # deterministic tie-break: equal right timestamps within a key are
+    # ordered by the carried payload columns (stable sort), so repeated
+    # runs and different partition layouts pick the same tied row
+    r_sort_cols_extra = [rename_right[c] for c in carry_right
+                         if c != right_ts]
+
     def cogroup(df: pd.DataFrame) -> pd.DataFrame:
         part = int(df["__part"].iloc[0])
         ldf = df[df["__side"] == 0][left_cols]
@@ -340,22 +368,17 @@ def asof_join(
         passthrough = ldf.drop(matchable.index)
         if len(matchable) and len(r):
             merged = pd.merge_asof(
-                matchable.sort_values(left_ts),
-                r.sort_values(rename_right[right_ts]),
+                matchable.sort_values(left_ts, kind="stable"),
+                r.sort_values([rename_right[right_ts]] + r_sort_cols_extra,
+                              kind="stable"),
                 left_on=left_ts, right_on=rename_right[right_ts],
                 by=key, direction=direction,
             )
         else:
-            merged = matchable.copy()
-            for c in carry_right:
-                merged[rename_right[c]] = pd.NaT \
-                    if pa.types.is_temporal(right_types[c]) else None
+            merged = _null_fill(matchable)
         if len(passthrough):
-            for c in carry_right:
-                passthrough = passthrough.copy()
-                passthrough[rename_right[c]] = pd.NaT \
-                    if pa.types.is_temporal(right_types[c]) else None
-            merged = pd.concat([merged, passthrough], ignore_index=True)
+            merged = pd.concat([merged, _null_fill(passthrough)],
+                               ignore_index=True)
         return merged[out_cols]
 
     return (

@@ -83,48 +83,20 @@ def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def top_terms(ds, k: int = 20, text_col: str = "text", min_len: int = 1):
-    """Corpus-wide term frequency top-k.
-
-    Scale pattern: per-batch partial Counter (one row per term per batch) ->
-    groupby(term).sum -> driver sorts the small aggregate. The shuffle moves
-    term partials, not documents."""
-    from collections import Counter
-
-    from ray.data.aggregate import Sum
-
-    def partials(batch: pa.Table) -> pa.Table:
-        counts: Counter = Counter()
-        for t in batch.column(text_col).to_pylist():
-            for w in _WS_SPLIT.split((t or "").strip()):
-                if len(w) >= min_len:
-                    counts[w.lower()] += 1
-        if not counts:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        terms, values = zip(*counts.items())
-        return pa.table({"term": pa.array(terms, pa.string()),
-                         "cnt": pa.array(values, pa.int64())})
-
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("cnt", alias_name="term_count"))
-        .to_pandas()
-    )
-    return (
-        agg.sort_values(["term_count", "term"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
+    """Corpus-wide term frequency top-k — ``top_ngrams`` with n=1.
+    ``min_len`` drops tokens shorter than the bound before counting."""
+    return top_ngrams(ds, n=1, k=k, text_col=text_col, min_len=min_len)
 
 
-def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
-    """Corpus-wide word n-gram frequency top-k (``top_terms`` generalized:
-    n=1 is unigrams). Same scale pattern: per-batch partial Counter ->
-    groupby(term).sum over partials -> driver sorts the small aggregate;
-    the shuffle moves n-gram partials, never documents. N-grams are
-    space-joined lowercase tokens, matching the DuckDB oracle's
-    ``arr[i] || ' ' || arr[i+1]`` construction."""
+def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text",
+               min_len: int = 1):
+    """Corpus-wide word n-gram frequency top-k (n=1 is ``top_terms``).
+    Scale pattern: per-batch partial Counter -> groupby(term).sum over
+    partials -> driver sorts the small aggregate; the shuffle moves n-gram
+    partials, never documents. N-grams are space-joined lowercase tokens,
+    matching the DuckDB oracle's ``arr[i] || ' ' || arr[i+1]``
+    construction. ``min_len`` filters tokens BEFORE gram assembly (for
+    n>1 this changes adjacency; leave it at 1 for oracle-aligned runs)."""
     from collections import Counter
 
     from ray.data.aggregate import Sum
@@ -135,6 +107,8 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
             toks = _WS_SPLIT.split((t or "").lower().strip())
             if toks == [""]:
                 continue
+            if min_len > 1:
+                toks = [w for w in toks if len(w) >= min_len]
             for i in range(len(toks) - n + 1):
                 counts[" ".join(toks[i: i + n])] += 1
         if not counts:

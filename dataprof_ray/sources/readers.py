@@ -571,13 +571,18 @@ def test_connection(connection_factory, retry: Optional["RetryConfig"] = None) -
         return False
 
 
-def count_table_rows(table: str, connection_factory,
-                     retry: Optional["RetryConfig"] = None) -> int:
-    """Exact row count of a table (``count_table_rows_async`` equivalent).
-    The table name is validated as an identifier — it cannot be bound as a
-    parameter, and interpolating arbitrary text would be injection."""
+def _validate_table_name(table: str) -> None:
+    """Identifier guard shared by every helper that must interpolate a
+    table name (it cannot be bound as a parameter; arbitrary text would be
+    injection)."""
     if not table.replace("_", "").replace(".", "").isalnum():
         raise ValueError(f"invalid table name: {table!r}")
+
+
+def count_table_rows(table: str, connection_factory,
+                     retry: Optional["RetryConfig"] = None) -> int:
+    """Exact row count of a table (``count_table_rows_async`` equivalent)."""
+    _validate_table_name(table)
 
     def attempt() -> int:
         con = connection_factory()
@@ -595,14 +600,19 @@ def count_table_rows(table: str, connection_factory,
 def get_table_schema(table: str, connection_factory,
                      retry: Optional["RetryConfig"] = None) -> list:
     """[(column_name, declared_type)] for a table
-    (``get_table_schema_async`` equivalent), via a zero-row SELECT so it
-    works on any DBAPI connection, not just sqlite PRAGMA."""
-    if not table.replace("_", "").replace(".", "").isalnum():
-        raise ValueError(f"invalid table name: {table!r}")
+    (``get_table_schema_async`` equivalent). SQLite connections use
+    ``PRAGMA table_info`` — cursor.description[1] is always None on
+    sqlite3, so the zero-row-SELECT trick could never deliver the declared
+    type there; other DBAPI drivers fall back to the description row
+    (whose type slot is the driver's type_code)."""
+    _validate_table_name(table)
 
     def attempt() -> list:
         con = connection_factory()
         try:
+            if type(con).__module__.split(".")[0] == "sqlite3":
+                rows = con.execute(f"PRAGMA table_info({table})").fetchall()
+                return [(r[1], r[2]) for r in rows]
             cur = con.execute(f"SELECT * FROM {table} WHERE 1 = 0")
             return [(d[0], d[1]) for d in cur.description]
         finally:

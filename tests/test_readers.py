@@ -251,8 +251,11 @@ class TestDbIntrospection:
     def test_count_and_schema(self, ray_session, tmp_path):
         f = TestReadSql._factory(self, tmp_path)
         assert RD.count_table_rows("t", f) == 1000
-        cols = [name for name, _type in RD.get_table_schema("t", f)]
-        assert cols == ["id", "v"]
+        schema = RD.get_table_schema("t", f)
+        assert [name for name, _t in schema] == ["id", "v"]
+        # declared types actually delivered (PRAGMA path; the zero-row
+        # SELECT trick returns None for every sqlite type — review r2)
+        assert [t for _n, t in schema] == ["INTEGER", "REAL"]
 
     def test_table_name_validated(self, tmp_path):
         f = TestReadSql._factory(self, tmp_path)
