@@ -77,6 +77,8 @@ def bench_queries() -> dict[str, float]:
         "q1_pricing", "profile_numeric_lineitem", "profile_report_documents",
         "token_stats_documents", "dedup_exact_documents",
         "minhash_duplicate_groups", "topk_cosine", "langid_documents",
+        # round 2 additions: large-large hash join + keyed session windows
+        "revenue_by_priority", "session_events",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
