@@ -396,6 +396,26 @@ def _revenue_by_priority(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _drift_price_bins(sf_dir: str) -> pd.DataFrame:
+    """Numeric drift histogram: lineitem split into even/odd order keys,
+    l_extendedprice binned over 10 shared equal-width bins. Bucket
+    arithmetic (min(floor((x-lo)/w), bins-1)) matches the SQL oracle
+    exactly, so counts are integer-exact."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+
+    from dataprof_ray.pipelines.drift import numeric_drift_bins
+
+    # Expression algebra lacks %; bit_wise_and is % 2 for non-negative keys
+    parity = pc.bit_wise_and(pds.field("l_orderkey"), 1)
+    even = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"],
+                 filter=(parity == 0))
+    odd = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"],
+                filter=(parity == 1))
+    out = numeric_drift_bins(even, odd, "l_extendedprice", bins=10)
+    return out[["bin_id", "cnt_a", "cnt_b"]]
+
+
 def _revenue_by_region(sf_dir: str) -> pd.DataFrame:
     """Chained broadcast joins (orders -> customer -> nation -> region; each
     small side ships once via ray.put, the orders stream never shuffles)
@@ -744,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_events": _session_events,
         "asof_click_view": _asof_click_view,
         "revenue_by_region": _revenue_by_region,
+        "drift_price_bins": _drift_price_bins,
         "parts_by_brand": _parts_by_brand,
         "quantiles_lineitem": _quantiles_lineitem,
         "top_terms_documents": _top_terms_documents,
@@ -943,6 +964,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
             "MIN(ts) AS session_start, MAX(ts) AS session_end, "
             "COUNT(*) AS n_events FROM s GROUP BY user_id, session_id"
+        ),
+        "drift_price_bins": (
+            "WITH bounds AS (SELECT MIN(l_extendedprice) AS lo, "
+            "MAX(l_extendedprice) AS hi FROM lineitem), "
+            "buck AS (SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / "
+            "((hi - lo) / 10.0)) AS BIGINT), 9) AS bin_id, "
+            "l_orderkey % 2 AS side FROM lineitem, bounds) "
+            "SELECT r.range AS bin_id, "
+            "COUNT(*) FILTER (WHERE side = 0) AS cnt_a, "
+            "COUNT(*) FILTER (WHERE side = 1) AS cnt_b "
+            "FROM RANGE(0, 10) r LEFT JOIN buck ON r.range = buck.bin_id "
+            "GROUP BY r.range"
         ),
         "revenue_by_region": (
             "SELECT r_name, COUNT(*) AS cnt, "

@@ -1,0 +1,139 @@
+"""Distribution drift between two datasets (training-data monitoring).
+
+The reference compares two PROFILES structurally (``report.compare``,
+python/dataprof/__init__.py:2277); a 100-TB training pipeline also needs
+VALUE-distribution drift between corpus versions. Operators:
+
+- ``numeric_drift_bins``: shared-bounds equal-width histogram of a numeric
+  column on both datasets. Scale pattern: one min/max aggregate per side
+  (column stats, no shuffle), then per-batch bincount partials folded on
+  the driver — the exchange is ``bins`` integers per batch. Bucket
+  assignment is ``min(floor((x - lo) / w), bins-1)`` with w =
+  (hi - lo)/bins, the exact arithmetic the DuckDB oracle uses, so bin
+  counts are integer-exact.
+- ``population_stability_index`` (PSI) over the bin table: the standard
+  drift score (<0.1 stable, 0.1-0.25 moderate, >0.25 major).
+- ``categorical_drift``: per-value frequency deltas + PSI over the top-N
+  categories (tail folded into ``__other__``), built on the partial-
+  combiner groupby.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _min_max(ds, col: str) -> tuple[float, float]:
+    from ray.data.aggregate import Max, Min
+
+    row = ds.aggregate(Min(col), Max(col))
+    return float(row[f"min({col})"]), float(row[f"max({col})"])
+
+
+def numeric_drift_bins(ds_a, ds_b, col: str, bins: int = 10) -> pd.DataFrame:
+    """(bin_id, bin_lo, bin_hi, cnt_a, cnt_b) over shared equal-width bins
+    spanning min/max of BOTH datasets. Null values are excluded; all
+    ``bins`` rows are emitted even when empty on both sides."""
+    lo_a, hi_a = _min_max(ds_a, col)
+    lo_b, hi_b = _min_max(ds_b, col)
+    lo, hi = min(lo_a, lo_b), max(hi_a, hi_b)
+    if not np.isfinite(lo) or not np.isfinite(hi) or hi <= lo:
+        # degenerate range: everything lands in bin 0
+        hi = lo + 1.0
+    w = (hi - lo) / bins
+
+    def hist(ds):
+        def partial(batch: pa.Table) -> pa.Table:
+            x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            x = x[np.isfinite(x)]
+            if not len(x):
+                counts = np.zeros(bins, dtype=np.int64)
+            else:
+                b = np.minimum(np.floor((x - lo) / w).astype(np.int64),
+                               bins - 1)
+                counts = np.bincount(b, minlength=bins).astype(np.int64)
+            return pa.table({"counts": pa.array([counts.tolist()],
+                                                pa.list_(pa.int64()))})
+
+        total = np.zeros(bins, dtype=np.int64)
+        for batch in (ds.select_columns([col])
+                      .map_batches(partial, batch_format="pyarrow")
+                      .iter_batches(batch_format="pyarrow")):
+            for row in batch.column("counts").to_pylist():
+                total += np.asarray(row, dtype=np.int64)
+        return total
+
+    cnt_a = hist(ds_a)
+    cnt_b = hist(ds_b)
+    edges = lo + w * np.arange(bins + 1)
+    return pd.DataFrame({
+        "bin_id": np.arange(bins, dtype=np.int64),
+        "bin_lo": edges[:-1],
+        "bin_hi": edges[1:],
+        "cnt_a": cnt_a,
+        "cnt_b": cnt_b,
+    })
+
+
+def population_stability_index(cnt_a, cnt_b, epsilon: float = 1e-6) -> float:
+    """PSI = sum((pa - pb) * ln(pa / pb)) with epsilon-smoothed
+    proportions (the standard guard against empty bins)."""
+    a = np.asarray(cnt_a, dtype=np.float64)
+    b = np.asarray(cnt_b, dtype=np.float64)
+    pa_ = np.maximum(a / max(a.sum(), 1.0), epsilon)
+    pb_ = np.maximum(b / max(b.sum(), 1.0), epsilon)
+    return float(np.sum((pa_ - pb_) * np.log(pa_ / pb_)))
+
+
+def numeric_drift(ds_a, ds_b, col: str, bins: int = 10) -> dict:
+    """Convenience: bin table + PSI + verdict."""
+    table = numeric_drift_bins(ds_a, ds_b, col, bins)
+    psi = population_stability_index(table["cnt_a"], table["cnt_b"])
+    return {
+        "column": col,
+        "psi": psi,
+        "verdict": ("stable" if psi < 0.1
+                    else "moderate_drift" if psi < 0.25 else "major_drift"),
+        "bins": table,
+    }
+
+
+def categorical_drift(ds_a, ds_b, col: str, top_n: int = 50) -> dict:
+    """Frequency comparison of a categorical column: top-N categories by
+    combined count (tail folded into ``__other__``, nulls into
+    ``__null__``), with per-category proportions and PSI."""
+    from dataprof_ray.pipelines.aggregate import preagg_groupby
+
+    def counts(ds) -> pd.DataFrame:
+        df = preagg_groupby(ds.select_columns([col]), [col],
+                            [("cnt", None, "count")])
+        df[col] = df[col].fillna("__null__")
+        return df
+
+    ca = counts(ds_a).rename(columns={"cnt": "cnt_a"})
+    cb = counts(ds_b).rename(columns={"cnt": "cnt_b"})
+    merged = ca.merge(cb, how="outer", on=col).fillna(0)
+    merged["total"] = merged["cnt_a"] + merged["cnt_b"]
+    merged = merged.sort_values(["total", col], ascending=[False, True])
+    head = merged.head(top_n).drop(columns=["total"])
+    tail = merged.iloc[top_n:]
+    if len(tail):
+        head = pd.concat([head, pd.DataFrame({
+            col: ["__other__"],
+            "cnt_a": [int(tail["cnt_a"].sum())],
+            "cnt_b": [int(tail["cnt_b"].sum())],
+        })], ignore_index=True)
+    head["cnt_a"] = head["cnt_a"].astype(np.int64)
+    head["cnt_b"] = head["cnt_b"].astype(np.int64)
+    psi = population_stability_index(head["cnt_a"], head["cnt_b"])
+    return {
+        "column": col,
+        "psi": psi,
+        "verdict": ("stable" if psi < 0.1
+                    else "moderate_drift" if psi < 0.25 else "major_drift"),
+        "categories": head.reset_index(drop=True),
+    }

@@ -1,0 +1,94 @@
+"""Distribution drift: shared-bin histograms, PSI, categorical deltas."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dataprof_ray.pipelines import drift as DR
+
+
+def _ds(table):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(3)
+
+
+class TestNumericDrift:
+    def test_identical_distributions_stable(self, ray_session):
+        rng = np.random.default_rng(0)
+        x = rng.normal(50, 10, size=20_000)
+        a = _ds(pa.table({"x": pa.array(x[::2])}))
+        b = _ds(pa.table({"x": pa.array(x[1::2])}))
+        out = DR.numeric_drift(a, b, "x")
+        assert out["verdict"] == "stable"
+        assert out["psi"] < 0.05
+        bins = out["bins"]
+        assert len(bins) == 10
+        assert bins["cnt_a"].sum() == 10_000 and bins["cnt_b"].sum() == 10_000
+
+    def test_shifted_distribution_flagged(self, ray_session):
+        rng = np.random.default_rng(1)
+        a = _ds(pa.table({"x": pa.array(rng.normal(0, 1, size=5000))}))
+        b = _ds(pa.table({"x": pa.array(rng.normal(2.5, 1, size=5000))}))
+        out = DR.numeric_drift(a, b, "x")
+        assert out["verdict"] == "major_drift"
+        assert out["psi"] > 0.25
+
+    def test_shared_bounds_span_both_sides(self, ray_session):
+        a = _ds(pa.table({"x": pa.array([0.0, 1.0, 2.0])}))
+        b = _ds(pa.table({"x": pa.array([8.0, 9.0, 10.0])}))
+        bins = DR.numeric_drift_bins(a, b, "x", bins=5)
+        assert bins["bin_lo"].iloc[0] == 0.0
+        assert bins["bin_hi"].iloc[-1] == pytest.approx(10.0)
+        # a lands in low bins, b in high bins, max value clamped into last
+        assert bins["cnt_a"].iloc[0] > 0 and bins["cnt_b"].iloc[-1] > 0
+
+    def test_degenerate_constant_column(self, ray_session):
+        a = _ds(pa.table({"x": pa.array([5.0] * 100)}))
+        b = _ds(pa.table({"x": pa.array([5.0] * 50)}))
+        bins = DR.numeric_drift_bins(a, b, "x", bins=4)
+        assert bins["cnt_a"].sum() == 100 and bins["cnt_b"].sum() == 50
+        assert bins["cnt_a"].iloc[0] == 100  # everything in bin 0
+
+
+class TestPsi:
+    def test_zero_for_identical(self):
+        assert DR.population_stability_index([10, 20, 30], [10, 20, 30]) == \
+            pytest.approx(0.0, abs=1e-12)
+
+    def test_known_value(self):
+        # hand-computed: p=(0.5,0.5), q=(0.9,0.1)
+        want = (0.5 - 0.9) * np.log(0.5 / 0.9) + (0.5 - 0.1) * np.log(0.5 / 0.1)
+        got = DR.population_stability_index([50, 50], [90, 10])
+        assert got == pytest.approx(want, rel=1e-9)
+
+    def test_empty_bin_smoothed_not_inf(self):
+        psi = DR.population_stability_index([100, 0], [50, 50])
+        assert np.isfinite(psi) and psi > 0
+
+
+class TestCategoricalDrift:
+    def test_frequency_shift(self, ray_session):
+        a = _ds(pa.table({"c": pa.array(["x"] * 90 + ["y"] * 10)}))
+        b = _ds(pa.table({"c": pa.array(["x"] * 10 + ["y"] * 90)}))
+        out = DR.categorical_drift(a, b, "c")
+        assert out["verdict"] == "major_drift"
+        cats = out["categories"].set_index("c")
+        assert cats.loc["x", "cnt_a"] == 90 and cats.loc["x", "cnt_b"] == 10
+
+    def test_tail_folds_into_other(self, ray_session):
+        vals = [f"v{i}" for i in range(30)]
+        a = _ds(pa.table({"c": pa.array(vals * 2)}))
+        b = _ds(pa.table({"c": pa.array(vals)}))
+        out = DR.categorical_drift(a, b, "c", top_n=5)
+        cats = out["categories"]
+        assert "__other__" in set(cats["c"])
+        assert cats["cnt_a"].sum() == 60 and cats["cnt_b"].sum() == 30
+
+    def test_nulls_tracked(self, ray_session):
+        a = _ds(pa.table({"c": pa.array(["x", None, "x", None])}))
+        b = _ds(pa.table({"c": pa.array(["x", "x", "x", "x"])}))
+        out = DR.categorical_drift(a, b, "c")
+        cats = out["categories"].set_index("c")
+        assert cats.loc["__null__", "cnt_a"] == 2
+        assert cats.loc["__null__", "cnt_b"] == 0
