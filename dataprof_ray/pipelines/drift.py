@@ -31,7 +31,10 @@ def _min_max(ds, col: str) -> tuple[float, float]:
     from ray.data.aggregate import Max, Min
 
     row = ds.aggregate(Min(col), Max(col))
-    return float(row[f"min({col})"]), float(row[f"max({col})"])
+    lo, hi = row.get(f"min({col})"), row.get(f"max({col})")
+    # empty/all-null side: neutral bounds that defer to the other side
+    return (float(lo) if lo is not None else np.inf,
+            float(hi) if hi is not None else -np.inf)
 
 
 def numeric_drift_bins(ds_a, ds_b, col: str, bins: int = 10) -> pd.DataFrame:

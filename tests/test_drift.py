@@ -92,3 +92,12 @@ class TestCategoricalDrift:
         cats = out["categories"].set_index("c")
         assert cats.loc["__null__", "cnt_a"] == 2
         assert cats.loc["__null__", "cnt_b"] == 0
+
+
+def test_empty_side_does_not_crash(ray_session):
+    import ray.data as rd
+
+    a = rd.from_arrow(pa.table({"x": pa.array([1.0, 2.0, 3.0])}))
+    b = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    bins = DR.numeric_drift_bins(a, b, "x", bins=4)
+    assert bins["cnt_a"].sum() == 3 and bins["cnt_b"].sum() == 0
