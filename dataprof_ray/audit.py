@@ -21,6 +21,11 @@ import pandas as pd
 _STAGE_RE = re.compile(
     r"Operator (\d+) (.+?): (\d+) tasks executed, "
     r"(\d+) blocks produced in (\d+(?:\.\d+)?)s")
+# AllToAll operators (Repartition/Sort/Aggregate shuffles) print a shorter
+# header with no task/block counts — the shuffle that DOMINATES a pipeline
+# must not vanish from the audit table
+_ALL2ALL_RE = re.compile(
+    r"Operator (\d+) (.+?): executed in (\d+(?:\.\d+)?)s")
 _ROWS_RE = re.compile(r"Output num rows per block: .*?, (\d+) total")
 _BYTES_RE = re.compile(r"Output size bytes per block: .*?, (\d+) total")
 _UDF_RE = re.compile(r"UDF time: .*?, (\d+(?:\.\d+)?)(us|ms|s) total")
@@ -38,18 +43,19 @@ def stage_summary(ds_or_stats) -> pd.DataFrame:
     sections = re.split(r"(?=Operator \d+ )", stats)
     for sec in sections:
         m = _STAGE_RE.search(sec)
-        if not m:
+        a = _ALL2ALL_RE.search(sec) if not m else None
+        if not m and not a:
             continue
         out_rows = _ROWS_RE.search(sec)
         out_bytes = _BYTES_RE.search(sec)
         udf = _UDF_RE.search(sec)
         rows.append({
-            "operator": f"{m.group(1)}:{m.group(2)}",
-            "wall_sec": float(m.group(5)),
+            "operator": f"{(m or a).group(1)}:{(m or a).group(2)}",
+            "wall_sec": float(m.group(5)) if m else float(a.group(3)),
             "udf_sec": (float(udf.group(1)) * _TIME_UNIT[udf.group(2)]
                         if udf else None),
-            "tasks": int(m.group(3)),
-            "blocks": int(m.group(4)),
+            "tasks": int(m.group(3)) if m else None,
+            "blocks": int(m.group(4)) if m else None,
             "output_rows": int(out_rows.group(1)) if out_rows else None,
             "output_bytes": int(out_bytes.group(1)) if out_bytes else None,
         })

@@ -4,6 +4,7 @@
 from dataprof_ray.pipelines import (  # noqa: F401
     aggregate,
     dedup,
+    drift,
     join,
     profile,
     quality_filter,

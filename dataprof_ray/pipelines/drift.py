@@ -27,25 +27,40 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _min_max(ds, col: str) -> tuple[float, float]:
-    from ray.data.aggregate import Max, Min
+def _finite_min_max(ds, col: str) -> tuple[float, float]:
+    """Min/max over FINITE values only — a raw Min/Max aggregate passes
+    ±inf through and a single -inf poisoned the bin width into NaN.
+    Returns (+inf, -inf) when the side has no finite values (neutral
+    bounds that defer to the other side)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[np.isfinite(x)]
+        if not len(x):
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"lo": pa.array([float(x.min())]),
+                         "hi": pa.array([float(x.max())])})
 
-    row = ds.aggregate(Min(col), Max(col))
-    lo, hi = row.get(f"min({col})"), row.get(f"max({col})")
-    # empty/all-null side: neutral bounds that defer to the other side
-    return (float(lo) if lo is not None else np.inf,
-            float(hi) if hi is not None else -np.inf)
+    lo, hi = np.inf, -np.inf
+    for batch in (ds.select_columns([col])
+                  .map_batches(partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+        for l_, h_ in zip(batch.column("lo").to_pylist(),
+                          batch.column("hi").to_pylist()):
+            lo, hi = min(lo, l_), max(hi, h_)
+    return lo, hi
 
 
 def numeric_drift_bins(ds_a, ds_b, col: str, bins: int = 10) -> pd.DataFrame:
     """(bin_id, bin_lo, bin_hi, cnt_a, cnt_b) over shared equal-width bins
     spanning min/max of BOTH datasets. Null values are excluded; all
     ``bins`` rows are emitted even when empty on both sides."""
-    lo_a, hi_a = _min_max(ds_a, col)
-    lo_b, hi_b = _min_max(ds_b, col)
+    lo_a, hi_a = _finite_min_max(ds_a, col)
+    lo_b, hi_b = _finite_min_max(ds_b, col)
     lo, hi = min(lo_a, lo_b), max(hi_a, hi_b)
-    if not np.isfinite(lo) or not np.isfinite(hi) or hi <= lo:
-        # degenerate range: everything lands in bin 0
+    if not np.isfinite(lo):  # neither side has any finite value
+        lo, hi = 0.0, 1.0
+    elif hi <= lo:  # constant column: everything lands in bin 0
         hi = lo + 1.0
     w = (hi - lo) / bins
 
@@ -93,8 +108,13 @@ def population_stability_index(cnt_a, cnt_b, epsilon: float = 1e-6) -> float:
 
 
 def numeric_drift(ds_a, ds_b, col: str, bins: int = 10) -> dict:
-    """Convenience: bin table + PSI + verdict."""
+    """Convenience: bin table + PSI + verdict. A side with no finite data
+    is a monitoring failure, not stability — verdict ``no_data`` (a
+    vanished input must not read as healthy)."""
     table = numeric_drift_bins(ds_a, ds_b, col, bins)
+    if table["cnt_a"].sum() == 0 or table["cnt_b"].sum() == 0:
+        return {"column": col, "psi": float("nan"), "verdict": "no_data",
+                "bins": table}
     psi = population_stability_index(table["cnt_a"], table["cnt_b"])
     return {
         "column": col,

@@ -36,3 +36,18 @@ def test_stage_summary_accepts_string():
     assert df.iloc[0]["wall_sec"] == 0.5
     assert df.iloc[0]["output_rows"] == 30
     assert df.iloc[0]["output_bytes"] == 300
+
+
+def test_stage_summary_includes_shuffle_operators(ray_session):
+    """AllToAll operators (the ones that usually dominate) use a different
+    stats header and must still appear — review r2 finding."""
+    import ray.data as rd
+
+    from dataprof_ray.audit import stage_summary
+
+    ds = (rd.from_arrow(pa.table({"x": list(range(5000))}))
+          .repartition(4)
+          .sort("x")
+          .materialize())
+    ops = " ".join(stage_summary(ds)["operator"])
+    assert "Sort" in ops or "Repartition" in ops

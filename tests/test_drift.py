@@ -101,3 +101,26 @@ def test_empty_side_does_not_crash(ray_session):
     b = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
     bins = DR.numeric_drift_bins(a, b, "x", bins=4)
     assert bins["cnt_a"].sum() == 3 and bins["cnt_b"].sum() == 0
+
+
+def test_infinite_values_do_not_poison_bins(ray_session):
+    import ray.data as rd
+
+    a = rd.from_arrow(pa.table({"x": pa.array([1.0, float("-inf"), 3.0])}))
+    b = rd.from_arrow(pa.table({"x": pa.array([2.0, float("inf"), 4.0])}))
+    bins = DR.numeric_drift_bins(a, b, "x", bins=4)
+    # finite values binned over finite bounds [1, 4]; infs excluded
+    assert bins["cnt_a"].sum() == 2 and bins["cnt_b"].sum() == 2
+    assert np.isfinite(bins["bin_lo"]).all() and np.isfinite(bins["bin_hi"]).all()
+
+
+def test_no_data_verdict(ray_session):
+    import ray.data as rd
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    full = rd.from_arrow(pa.table({"x": pa.array([1.0, 2.0])}))
+    out = DR.numeric_drift(empty, full, "x")
+    assert out["verdict"] == "no_data"  # vanished input must not read healthy
+    out2 = DR.numeric_drift(empty, empty, "x")
+    assert out2["verdict"] == "no_data"
+    assert np.isfinite(out2["bins"]["bin_lo"]).all()
