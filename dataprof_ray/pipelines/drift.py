@@ -160,3 +160,27 @@ def categorical_drift(ds_a, ds_b, col: str, top_n: int = 50) -> dict:
                     else "moderate_drift" if psi < 0.25 else "major_drift"),
         "categories": head.reset_index(drop=True),
     }
+
+
+def drift_report(ds_a, ds_b, columns: Optional[list] = None,
+                 bins: int = 10, top_n: int = 50) -> pd.DataFrame:
+    """Whole-table drift: one row per column with PSI + verdict. Numeric
+    columns use shared-bin histograms, string columns categorical
+    frequencies; other types are skipped. ``columns`` restricts the scan
+    (recommended at scale: each column costs an extra pass per side)."""
+    schema = ds_a.schema().base_schema
+    names = columns if columns is not None else schema.names
+    rows = []
+    for name in names:
+        t = schema.field(name).type
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            out = numeric_drift(ds_a, ds_b, name, bins=bins)
+            kind = "numeric"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            out = categorical_drift(ds_a, ds_b, name, top_n=top_n)
+            kind = "categorical"
+        else:
+            continue
+        rows.append({"column": name, "kind": kind,
+                     "psi": out["psi"], "verdict": out["verdict"]})
+    return pd.DataFrame(rows)

@@ -124,3 +124,24 @@ def test_no_data_verdict(ray_session):
     out2 = DR.numeric_drift(empty, empty, "x")
     assert out2["verdict"] == "no_data"
     assert np.isfinite(out2["bins"]["bin_lo"]).all()
+
+
+def test_drift_report_whole_table(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    a = rd.from_arrow(pa.table({
+        "num": pa.array(rng.normal(0, 1, n)),
+        "cat": pa.array(rng.choice(["p", "q"], n).tolist()),
+        "ts": pa.array(np.full(n, np.datetime64("2024-01-01", "us"))),
+    }))
+    b = rd.from_arrow(pa.table({
+        "num": pa.array(rng.normal(3, 1, n)),  # shifted
+        "cat": pa.array(rng.choice(["p", "q"], n).tolist()),  # same
+        "ts": pa.array(np.full(n, np.datetime64("2024-01-01", "us"))),
+    }))
+    rep = DR.drift_report(a, b).set_index("column")
+    assert rep.loc["num", "verdict"] == "major_drift"
+    assert rep.loc["cat", "verdict"] == "stable"
+    assert "ts" not in rep.index  # non-numeric/string skipped
