@@ -1,5 +1,6 @@
 """Broadcast join (no-shuffle small-side join)."""
 
+import pandas as pd
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -187,3 +188,43 @@ def test_asof_join_forward(ray_session):
     out = asof_join(left, right, key="k", left_ts="t", right_ts="t",
                     direction="forward", partitions=2).to_pandas()
     assert sorted(out["x"].tolist()) == [100, 200]
+
+
+def test_hash_join_random_tables_match_pandas(ray_session):
+    """Randomized oracle: hash_join == pandas merge on random tables with
+    duplicate keys, unmatched keys, and NULLs, for inner and left."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import hash_join
+
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        n_l, n_r = 300, 120
+        lk = rng.integers(0, 60, size=n_l).astype(float)
+        lk[rng.random(n_l) < 0.05] = np.nan
+        rk = rng.integers(0, 80, size=n_r).astype(float)
+        rk[rng.random(n_r) < 0.05] = np.nan
+        ldf = pd.DataFrame({"k": lk, "a": rng.integers(0, 1000, n_l)})
+        rdf = pd.DataFrame({"rk": rk, "b": rng.normal(size=n_r)})
+        got = hash_join(
+            rd.from_arrow(pa.Table.from_pandas(ldf)).repartition(3),
+            rd.from_arrow(pa.Table.from_pandas(rdf)).repartition(2),
+            left_key="k", right_key="rk", partitions=8,
+        ).to_pandas()
+        want = ldf.dropna(subset=["k"]).merge(
+            rdf.dropna(subset=["rk"]), left_on="k", right_on="rk")
+        srt = ["k", "a", "b", "rk"]
+        got_s = got[srt].sort_values(srt).reset_index(drop=True)
+        want_s = want[srt].sort_values(srt).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+        # left join: every non-null-key left row appears >= once, and
+        # null-key rows pass through exactly once
+        lj = hash_join(
+            rd.from_arrow(pa.Table.from_pandas(ldf)).repartition(3),
+            rd.from_arrow(pa.Table.from_pandas(rdf)).repartition(2),
+            left_key="k", right_key="rk", how="left", partitions=8,
+        ).to_pandas()
+        want_lj = ldf.merge(rdf.dropna(subset=["rk"]), how="left",
+                            left_on="k", right_on="rk")
+        assert len(lj) == len(want_lj)
+        assert lj["k"].isna().sum() == ldf["k"].isna().sum()
