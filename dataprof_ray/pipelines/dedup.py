@@ -15,8 +15,9 @@ Scale design: every mode is (vectorized per-batch sketch) -> (groupby over
 only). The all-to-all exchange moves signatures (bytes per doc), not text.
 Candidate-pair graphs are clustered with iterative min-label propagation
 expressed as groupbys (``connected_components``: hash-to-min local
-contraction, one coarse-partitioned groupby per round to the label-sum
-fixpoint), so the driver never materializes the edge list; only the final
+contraction, one coarse-partitioned groupby per round until the state's
+order-independent hash stabilizes), so the driver never materializes the
+edge list; only the final
 (id, canonical_id) membership table — bounded by the duplicate-doc count —
 comes back.
 
@@ -27,12 +28,15 @@ that capability to actual dedup, as required for corpus curation.
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Optional
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+logger = logging.getLogger(__name__)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -327,9 +331,13 @@ def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
     counts ~2.3x per round and went superlinear). Stars from different
     partitions sharing a node merge in later rounds; pointer-jumping
     through relabeled roots converges in O(log n) rounds — 2-4 on LSH
-    candidate graphs. The driver sees one (row-count, label-sum) pair per
-    round; labels are monotone non-increasing, so a stable pair is the
-    fixpoint.
+    candidate graphs. Convergence is detected by an order-independent
+    64-bit mix hash over the (node, label) multiset (plus the row count),
+    computed as per-batch partial sums — the driver sees two ints per
+    round. A repeated (count, hash) pair means the state is unchanged
+    (collision odds ~2^-64); the previous (count, sum(label)) checksum
+    could collide across distinct states because the label multiset is
+    not monotone between rounds.
 
     Returns a MATERIALIZED Dataset (node, label) where label is the
     component's minimum node id."""
@@ -384,13 +392,35 @@ def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
         # drops out of the propagation
         return pd.DataFrame({"a": nodes, "b": roots})
 
-    import os as _os
-    import time as _t
-    _dbg = _os.environ.get("DATAPROF_CC_DEBUG")
+    def state_sig(ds) -> tuple:
+        """(row count, order-independent 64-bit hash) of the (node, label)
+        multiset — splitmix64-style mixing per row, summed with uint64
+        wraparound per batch, then one driver-side sum over batch partials."""
+        M1 = np.uint64(0x9E3779B97F4A7C15)
+        M2 = np.uint64(0xBF58476D1CE4E5B9)
+        M3 = np.uint64(0x94D049BB133111EB)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                z = a * M1 + b * M2
+                z ^= z >> np.uint64(30)
+                z *= M3
+                z ^= z >> np.uint64(27)
+                h = int(z.sum()) & 0xFFFFFFFFFFFFFFFF
+            return pa.table({"n": pa.array([batch.num_rows], pa.int64()),
+                             "h": pa.array([h], pa.uint64())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+        with np.errstate(over="ignore"):
+            h_total = parts["h"].to_numpy().astype(np.uint64).sum()
+        return (int(parts["n"].sum()), int(h_total))
+
     # the star-edge state; orientation normalized so labels only decrease
-    _t0 = _t.perf_counter()
     cur = edges.map_batches(init_pairs, batch_format="pyarrow").materialize()
-    if _dbg: print("cc init", round(_t.perf_counter()-_t0,2), flush=True)
+    logger.debug("cc init done")
     if partitions <= 1:
         # one partition holds the whole (small) edge set: a single remote
         # contract task IS the fixpoint — skip the round loop and the final
@@ -411,16 +441,14 @@ def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
         )
     prev = None
     for _r in range(max_rounds):
-        _t0 = _t.perf_counter()
         cur = (
             cur.map_batches(add_part, batch_format="pyarrow")
             .groupby("part")
             .map_groups(contract, batch_format="pandas")
             .materialize()
         )
-        _t1 = _t.perf_counter()
-        sig = (cur.count(), cur.sum("b"))
-        if _dbg: print("cc round", _r, "rows", sig[0], "contract", round(_t1-_t0,2), "sig", round(_t.perf_counter()-_t1,2), flush=True)
+        sig = state_sig(cur)
+        logger.debug("cc round %d: rows=%d hash=%d", _r, sig[0], sig[1])
         if sig == prev:
             break
         prev = sig
@@ -437,15 +465,12 @@ def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
         out = df.groupby("a", as_index=False, sort=False)["b"].min()
         return out.rename(columns={"a": "node", "b": "label"})
 
-    _t0 = _t.perf_counter()
-    out = (
+    return (
         cur.map_batches(part_by_node, batch_format="pyarrow")
         .groupby("part")
         .map_groups(finalize, batch_format="pandas")
         .materialize()
     )
-    if _dbg: print("cc final groupby", round(_t.perf_counter()-_t0,2), flush=True)
-    return out
 
 
 # per-worker-process cache for the broadcast shingle dict, so the verify
@@ -474,9 +499,12 @@ def _verify_edges(batch: pa.Table, shingles_ref, threshold: float) -> pa.Table:
     for i, (s, d) in enumerate(zip(src, dst)):
         sa = shs.get(int(s), empty_arr)
         sb = shs.get(int(d), empty_arr)
-        if not len(sa) and not len(sb):
-            j = 1.0
-        elif not len(sa) or not len(sb):
+        if not len(sa) or not len(sb):
+            # _shingles pads, so a genuinely empty set is impossible: an
+            # empty entry means the fetch missed this id. Defaulting a fetch
+            # gap to "confirmed duplicate" is the unsafe direction — treat
+            # it as non-matching so gaps surface as missing pairs, not
+            # manufactured ones.
             j = 0.0
         else:
             inter = np.intersect1d(sa, sb, assume_unique=True).size
@@ -823,6 +851,16 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
 
     from dataprof_ray.pipelines.similarity import _normalize_rows, _to_matrix
 
+    # the band id is folded into the key bits above the signature: validate
+    # the parameters so signature bits can never overlap the band id and the
+    # shift can never exceed uint64 (ADVICE r2: planes_per_band > 48
+    # overlapped the fixed 48-bit fold; >= 64 was a shift overflow)
+    band_bits = max(int(bands) - 1, 1).bit_length()
+    if planes_per_band < 1 or bands < 1 or planes_per_band + band_bits > 64:
+        raise ValueError(
+            f"planes_per_band ({planes_per_band}) + bits for bands "
+            f"({band_bits} for {bands} bands) must fit in 64")
+
     empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                           "id_b": pd.Series(dtype=np.int64),
                           "cosine": pd.Series(dtype=np.float64)})
@@ -846,9 +884,10 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
         for bnd in range(bands):
             seg = bits[:, bnd * planes_per_band: (bnd + 1) * planes_per_band]
             # disambiguate bands: same bit pattern in different bands must
-            # not collide, so the band id is folded into the key's high bits
+            # not collide, so the band id goes in the bits directly above
+            # the signature (validated to fit at function entry)
             keys[bnd::bands] = (seg.astype(np.uint64) @ weights) \
-                | (np.uint64(bnd) << np.uint64(48))
+                | (np.uint64(bnd) << np.uint64(planes_per_band))
         part = (keys % np.uint64(_EDGE_PARTITIONS)).astype(np.int32)
         return pa.table({
             "band_key": pa.array(keys, pa.uint64()),

@@ -123,13 +123,20 @@ def read_csv_padded(
     import pyarrow.csv as pacsv
     import ray.data as rd
 
+    first = _first_file(path)
     if delimiter is None:
-        first = _first_file(path)
         with open(first, "rb") as f:
             delimiter = sniff_delimiter(f.read(SNIFF_BYTES))
     delim = delimiter
     counter = _ErrorCounter.remote() if count_ragged else None
     convert = pacsv.ConvertOptions(include_columns=columns) if columns else None
+    # header of the first file, so a batch of only-empty files can emit a
+    # zero-ROW block carrying the corpus schema instead of a zero-COLUMN
+    # pa.table({}) (which fails Ray's schema unification against real blocks)
+    with open(first, "rb") as f:
+        _hdr_line = f.readline().decode("utf-8", errors="replace")
+    fallback_header = next(_csv.reader(io.StringIO(_hdr_line), delimiter=delim),
+                           [])
 
     def parse_pad(batch: dict) -> pa.Table:
         tables = []
@@ -161,7 +168,16 @@ def read_csv_padded(
         if adjusted and counter is not None:
             counter.add.remote(adjusted)
         if not tables:
-            return pa.table({})
+            if not fallback_header:
+                return pa.table({})
+            buf = io.StringIO()
+            _csv.writer(buf, delimiter=delim,
+                        lineterminator="\n").writerow(fallback_header)
+            return pacsv.read_csv(
+                io.BytesIO(buf.getvalue().encode("utf-8")),
+                parse_options=pacsv.ParseOptions(delimiter=delim),
+                convert_options=convert,
+            )
         return pa.concat_tables(tables, promote_options="permissive")
 
     ds = rd.read_binary_files(path, **kwargs).map_batches(

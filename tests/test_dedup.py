@@ -147,6 +147,39 @@ def test_embedding_neardup_recall_measured(ray_session):
     assert row.analytic_recall >= 0.95
 
 
+def test_embedding_neardup_rejects_overflowing_band_params(ray_session):
+    """ADVICE r2: planes_per_band + band-id bits must fit in the uint64 key;
+    out-of-range parameters must fail loudly, not silently collide."""
+    import ray.data as rd
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError):
+        D.embedding_neardup_pairs(ds, bands=4, planes_per_band=64)
+    with pytest.raises(ValueError):
+        D.embedding_neardup_pairs(ds, bands=2 ** 17, planes_per_band=48)
+    # boundary case is fine: 60 planes + 4 band-id bits = 64
+    D.embedding_neardup_pairs(ds, bands=16, planes_per_band=60)
+
+
+def test_verify_edges_fetch_gap_is_nonmatching(ray_session):
+    """ADVICE r2: a candidate edge whose BOTH endpoints are missing from the
+    broadcast shingle dict is a fetch failure — it must be dropped, not
+    confirmed with Jaccard 1.0."""
+    import ray
+
+    batch = pa.table({"src": pa.array([1, 5], pa.int64()),
+                      "dst": pa.array([2, 6], pa.int64())})
+    shs = {1: np.array([10, 11, 12], dtype=np.uint64),
+           2: np.array([10, 11, 12], dtype=np.uint64)}  # ids 5,6 missing
+    ref = ray.put(shs)
+    out = D._verify_edges(batch, ref, threshold=0.5)
+    assert out.column("src").to_pylist() == [1]
+
+
 def test_embedding_neardup_dense_bucket_star_edges(ray_session):
     """A bucket over the pair cap degrades to star edges: components stay
     connected (every member pairs with the bucket min) without O(n^2)."""

@@ -216,6 +216,18 @@ class TestRaggedRows:
         padded = RD.read_csv_padded(str(p)).to_pandas().sort_values("x").reset_index(drop=True)
         pd.testing.assert_frame_equal(fast, padded)
 
+    def test_padded_mode_empty_file_keeps_schema(self, ray_session, tmp_path):
+        """ADVICE r2: a batch of only-empty files must emit a zero-ROW block
+        with the corpus schema, not a zero-COLUMN pa.table({}) that breaks
+        Ray's schema unification against real blocks."""
+        d = tmp_path / "mix"
+        d.mkdir()
+        (d / "a_real.csv").write_text("x,y\n1,a\n2,b\n")
+        (d / "b_empty.csv").write_text("")
+        df = RD.read_csv_padded(str(d)).to_pandas()
+        assert sorted(df.columns) == ["x", "y"]
+        assert len(df) == 2
+
     def test_ragged_counted_and_skipped(self, ray_session, tmp_path):
         p = tmp_path / "ragged.csv"
         p.write_text("a,b,c\n1,2,3\n4,5\n6,7,8\n9,10,11,12\n13,14,15\n")
