@@ -608,16 +608,13 @@ def _embedding_neardup(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def _embedding_neardup_recall(sf_dir: str) -> pd.DataFrame:
-    """Measured LSH recall vs brute force. The driver testdata embeddings
-    contain NO cosine>=0.95 pairs (max observed ~0.6), so near-duplicates
-    are PLANTED deterministically: every 5th vector gets a perturbed clone
-    at cosine ~0.97, and the audit reports recall/precision of the banded
-    hyperplane LSH against the brute-force ground truth on that corpus."""
+def _planted_embeddings(sf_dir: str) -> pa.Table:
+    """The testdata embeddings contain NO cosine>=0.95 pairs (max observed
+    ~0.6), so near-duplicates are PLANTED deterministically: every 5th
+    vector gets a perturbed clone at cosine ~0.97. Used by the recall audit
+    and the clustering query so both exercise non-trivial output."""
     import pyarrow.parquet as pq
-    import ray.data as rd
 
-    from dataprof_ray.pipelines import dedup as D
     from dataprof_ray.pipelines.similarity import _to_matrix
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -633,13 +630,37 @@ def _embedding_neardup_recall(sf_dir: str) -> pd.DataFrame:
     noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True), 1e-12)
     clones = (unit + 0.25 * noise) * norms  # cosine ~0.97 to the original
     clone_ids = ids.max() + 1 + np.arange(len(clones), dtype=np.int64)
-    planted = pa.table({
+    return pa.table({
         "vec_id": pa.array(np.concatenate([ids, clone_ids]), pa.int64()),
         "embedding": pa.array(
             [list(map(float, v)) for v in np.vstack([vecs, clones])],
             pa.list_(pa.float64())),
     })
+
+
+def _embedding_neardup_recall(sf_dir: str) -> pd.DataFrame:
+    """Measured LSH recall vs brute force on the planted-clone corpus: the
+    audit reports recall/precision of the banded hyperplane LSH against the
+    brute-force ground truth."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines import dedup as D
+
+    planted = _planted_embeddings(sf_dir)
     return D.embedding_neardup_recall(rd.from_arrow(planted).repartition(4),
+                                      threshold=0.95)
+
+
+def _embedding_neardup_groups(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTER membership over the planted-clone corpus: every
+    (original, clone) family collapses to the original's id via distributed
+    cosine verify + connected_components."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines import dedup as D
+
+    planted = _planted_embeddings(sf_dir)
+    return D.embedding_neardup_groups(rd.from_arrow(planted).repartition(4),
                                       threshold=0.95)
 
 
@@ -786,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _simhash_signatures,
         "embedding_neardup": _embedding_neardup,
         "embedding_neardup_recall": _embedding_neardup_recall,
+        "embedding_neardup_groups": _embedding_neardup_groups,
         "ivf_topk": _ivf_topk,
         "ivf_recall": _ivf_recall,
         "profile_report_documents": _profile_report_documents,

@@ -147,6 +147,33 @@ def test_embedding_neardup_recall_measured(ray_session):
     assert row.analytic_recall >= 0.95
 
 
+def test_embedding_neardup_groups_clusters_transitively(ray_session):
+    """Cluster output via distributed verify + connected_components: the
+    planted clone family {0, 100, 101} collapses to canonical id 0."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    d = 24
+    base = rng.normal(size=(30, d))
+    vecs = [v for v in base]
+    ids = list(range(30))
+    for j, nid in ((0, 100), (0, 101), (5, 102)):
+        vecs.append(base[j] + rng.normal(scale=1e-4, size=d))
+        ids.append(nid)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    out = D.embedding_neardup_groups(rd.from_arrow(t).repartition(2),
+                                     threshold=0.99)
+    got = dict(zip(out.id, out.canonical_id))
+    assert got[100] == 0 and got[101] == 0 and got[0] == 0
+    assert got[102] == 5 and got[5] == 5
+    # members of >=2-clusters only
+    assert set(out.id) == {0, 100, 101, 5, 102}
+
+
 def test_embedding_neardup_rejects_overflowing_band_params(ray_session):
     """ADVICE r2: planes_per_band + band-id bits must fit in the uint64 key;
     out-of-range parameters must fail loudly, not silently collide."""
