@@ -40,9 +40,9 @@ _DOC_COLS = [
 
 
 def _read(sf_dir: str, table: str, columns=None, **kwargs):
-    import ray.data as rd
+    from dataprof_ray.sources.readers import read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kwargs)
+    return read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kwargs)
 
 
 def _docs_as_corpus_stage(batch: pa.Table) -> pa.Table:

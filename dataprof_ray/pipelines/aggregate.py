@@ -86,6 +86,7 @@ def group_quantiles(
     value_col: str,
     qs: Sequence[float] = (0.25, 0.5, 0.75),
     decimals: int = 4,
+    partitions: int = None,
 ) -> pd.DataFrame:
     """Exact per-group quantiles with type-7 linear interpolation — the
     same formula as SQL QUANTILE_CONT, computed by the shared
@@ -93,32 +94,48 @@ def group_quantiles(
     agree bit-for-bit before rounding. Null values are excluded (SQL
     aggregate semantics).
 
-    Scale note: this shuffles the value column grouped by key — exact
-    quantiles fundamentally need each group's values together. Use it for
-    moderate per-group cardinality (up to ~10^8 values per group per
-    worker); the streaming approximation for bigger groups is the
-    profiler's sampled percentiles."""
+    Scale design: groups are COARSE-partitioned by ``hash(keys) %
+    partitions`` and each partition computes ALL of its groups' quantiles
+    inside one task (a single in-process pandas groupby), so Ray schedules
+    64 groups regardless of key cardinality (per-key Ray groups are the
+    measured per-tiny-group hotspot; see pipelines.partitioning). Exact
+    quantiles still need each group's
+    values co-located: per-group cardinality is bounded by worker memory
+    (the streaming approximation for bigger groups is the profiler's
+    sampled percentiles)."""
     from dataprof_ray.functions.kernels import quantile_type7
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column)
 
     keys = list(keys)
+    parts = partitions or DEFAULT_PARTITIONS
     qnames = [f"q{int(round(q * 100)):02d}" for q in qs]
 
-    def per_group(group: pd.DataFrame) -> pd.DataFrame:
-        vals = group[value_col].dropna().to_numpy(dtype=np.float64)
-        row = {k: [group[k].iloc[0]] for k in keys}
-        if len(vals) == 0:
-            for name in qnames:
-                row[name] = [np.nan]
-        else:
-            sv = np.sort(vals)
-            for q, name in zip(qs, qnames):
-                row[name] = [float(round_away(quantile_type7(sv, q), decimals))]
-        return pd.DataFrame(row)
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict = {k: [] for k in keys}
+        for name in qnames:
+            rows[name] = []
+        for kv, g in df.groupby(keys, sort=False, dropna=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            vals = g[value_col].dropna().to_numpy(dtype=np.float64)
+            for k, v in zip(keys, kv):
+                rows[k].append(v)
+            if len(vals) == 0:
+                for name in qnames:
+                    rows[name].append(np.nan)
+            else:
+                sv = np.sort(vals)
+                for q, name in zip(qs, qnames):
+                    rows[name].append(
+                        float(round_away(quantile_type7(sv, q), decimals)))
+        return pd.DataFrame(rows)
 
     out = (
         ds.select_columns(keys + [value_col])
-        .groupby(keys)
-        .map_groups(per_group, batch_format="pandas")
+        .map_batches(lambda b: add_part_column(b, keys, parts),
+                     batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(keys).reset_index(drop=True)

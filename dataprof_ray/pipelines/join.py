@@ -10,9 +10,10 @@ training-data engine needs both join shapes:
 - ``hash_join``: both sides are partitioned by a hash of the join key and
   cogrouped (union with a side tag -> coarse ``groupby(part)`` -> one
   vectorized pandas merge per partition). Every row of BOTH sides moves
-  exactly once; skewed keys concentrate in their partition, so pick
-  ``partitions`` >= cluster parallelism and salt hot keys upstream if one
-  key dominates.
+  exactly once; pick ``partitions`` >= cluster parallelism. Skewed keys
+  are handled IN the operator: pass ``hot_keys`` (or use
+  ``detect_hot_keys``) and hot rows are salted across ``salt_factor``
+  partitions with build-side replication.
 """
 
 from __future__ import annotations
@@ -142,6 +143,61 @@ def _key_parts(column: pa.ChunkedArray | pa.Array, partitions: int) -> np.ndarra
     return part
 
 
+# Arrow -> pandas NULLABLE dtype mapping for the cogroup: the union's null
+# padding would otherwise launder int columns to float64 (and silently lose
+# precision above 2^53). Applied via to_pandas(types_mapper=...), so exact
+# integer values survive the pandas round-trip and the output Arrow schema
+# keeps the input integer types for BOTH join kinds.
+_NULLABLE_DTYPES = {
+    "int8": "Int8", "int16": "Int16", "int32": "Int32", "int64": "Int64",
+    "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32",
+    "uint64": "UInt64", "bool": "boolean",
+}
+
+
+def _nullable_mapper(t: pa.DataType):
+    import pandas as pd
+
+    name = _NULLABLE_DTYPES.get(str(t))
+    return pd.api.types.pandas_dtype(name) if name else None
+
+
+def _salt_parts(table: pa.Table, key_col: str, hot_values: pa.Array,
+                salt_factor: int, partitions: int,
+                replicate: bool) -> pa.Table:
+    """Skew guard: rows whose key is in ``hot_values`` get their partition
+    spread over ``salt_factor`` consecutive partitions. Probe-side rows
+    (``replicate=False``) each pick ONE salted partition (round-robin within
+    the batch); build-side rows (``replicate=True``) are REPLICATED to all
+    ``salt_factor`` partitions so every salted probe row still finds its
+    matches. Null-key rows (partition -1) are never salted."""
+    import pyarrow.compute as pc
+
+    part = table.column("__part").to_numpy(zero_copy_only=False)
+    hot = np.asarray(
+        pc.fill_null(pc.is_in(table.column(key_col), value_set=hot_values),
+                     False))
+    hot &= part >= 0
+    if not hot.any() or salt_factor <= 1:
+        return table
+    if not replicate:
+        offs = np.arange(int(hot.sum()), dtype=np.int32) % salt_factor
+        part = part.copy()
+        part[hot] = (part[hot] + offs) % partitions
+        return table.set_column(table.schema.get_field_index("__part"),
+                                "__part", pa.array(part, pa.int32()))
+    cold = table.filter(pa.array(~hot))
+    hot_t = table.filter(pa.array(hot))
+    hot_part = hot_t.column("__part").to_numpy(zero_copy_only=False)
+    idx = table.schema.get_field_index("__part")
+    copies = [
+        hot_t.set_column(idx, "__part",
+                         pa.array((hot_part + j) % partitions, pa.int32()))
+        for j in range(salt_factor)
+    ]
+    return pa.concat_tables([cold] + copies)
+
+
 def hash_join(
     left,
     right,
@@ -151,6 +207,8 @@ def hash_join(
     how: str = "inner",
     partitions: int = _JOIN_PARTITIONS,
     right_suffix: str = "_right",
+    hot_keys: Sequence = (),
+    salt_factor: int = 16,
 ):
     """Large-large equi-join as a hash-partitioned cogroup. Returns a lazy
     Dataset with all left columns plus the right side's non-key columns
@@ -161,15 +219,21 @@ def hash_join(
     Semantics pinned to SQL: NULL keys never match (right-side NULL-key
     rows are dropped; left NULL-key rows are dropped for ``inner`` and
     null-filled for ``left``). Duplicate keys multiply rows, as in SQL.
-    ``left`` joins null-fill right columns via pandas, so nullable ints
-    surface as float64 across ALL partitions (a per-partition restore
-    would leave blocks schema-inconsistent) — exact-dtype consumers
-    should use ``inner``.
+    Integer/bool columns keep their types for BOTH join kinds: the cogroup
+    converts Arrow blocks with pandas NULLABLE dtypes (Int64/boolean), so
+    a ``left`` join null-fills with NA instead of laundering ints to
+    float64 (and >2^53 values survive exactly).
 
     The right key is CAST to the left key's Arrow type before both
     hashing and matching: hashes are dtype-sensitive (hash(1: int64) !=
     hash(1.0: float64)), so hashing the raw columns would silently drop
-    every cross-typed match. A lossy cast raises instead."""
+    every cross-typed match. A lossy cast raises instead.
+
+    Skew guard: pass the dominant key values as ``hot_keys`` (find them
+    with ``detect_hot_keys``) and each hot key's rows are salted across
+    ``salt_factor`` partitions — probe rows spread round-robin, build rows
+    replicated — so one hot key no longer serializes into a single
+    partition task."""
     import pandas as pd
 
     if how not in ("inner", "left"):
@@ -189,18 +253,8 @@ def hash_join(
     }
     key_type = left_types[left_key]
     out_cols = left_cols + [rename_right[c] for c in keep_right]
-
-    # pandas launders null-padded int64 columns to float64 inside the
-    # cogroup; restore integer dtypes for INNER joins (no nulls can be
-    # introduced, so the restore is globally consistent across blocks)
-    _int_targets = {}
-    if how == "inner":
-        for c in left_cols:
-            if pa.types.is_integer(left_types[c]):
-                _int_targets[c] = left_types[c].to_pandas_dtype()
-        for c in keep_right:
-            if pa.types.is_integer(right_types[c]):
-                _int_targets[rename_right[c]] = right_types[c].to_pandas_dtype()
+    hot_values = pa.array(list(hot_keys), key_type) if len(hot_keys) else None
+    salt = max(int(salt_factor), 1)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         part = _key_parts(batch.column(left_key), partitions)
@@ -209,7 +263,11 @@ def hash_join(
         cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
         for c in keep_right:
             cols["__r_" + c] = pa.nulls(batch.num_rows, right_types[c])
-        return pa.table(cols)
+        t = pa.table(cols)
+        if hot_values is not None:
+            t = _salt_parts(t, left_key, hot_values, salt, partitions,
+                            replicate=False)
+        return t
 
     def tag_right(batch: pa.Table) -> pa.Table:
         # right rows ride with their join key cast into the LEFT key slot
@@ -229,13 +287,18 @@ def hash_join(
         cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
         for c in keep_right:
             cols["__r_" + c] = batch.column(c)
-        return pa.table(cols)
+        t = pa.table(cols)
+        if hot_values is not None:
+            t = _salt_parts(t, left_key, hot_values, salt, partitions,
+                            replicate=True)
+        return t
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+    def cogroup(tbl: pa.Table) -> pd.DataFrame:
+        df = tbl.to_pandas(types_mapper=_nullable_mapper)
         part = int(df["__part"].iloc[0])
         ldf = df[df["__side"] == 0]
         rdf = df[df["__side"] == 1]
@@ -245,16 +308,34 @@ def hash_join(
         if part < 0:  # NULL join keys never match (SQL semantics): merging
             r = r.iloc[0:0]  # against an emptied right drops (inner) or
         merged = l.merge(r, how=how, on=left_key)[out_cols]  # null-fills (left)
-        for c, dt in _int_targets.items():
-            col = merged[c]
-            if col.dtype != dt and not col.isna().any():
-                merged[c] = col.astype(dt)
-        return merged
+        # back to Arrow here (nullable Int64 -> int64 with nulls) so output
+        # blocks are Arrow-typed, not pandas-extension blocks; the pandas
+        # schema metadata is stripped or to_pandas would re-promote to Int64
+        return pa.Table.from_pandas(
+            merged, preserve_index=False).replace_schema_metadata(None)
 
     return (
         tagged.groupby("__part")
-        .map_groups(cogroup, batch_format="pandas")
+        .map_groups(cogroup, batch_format="pyarrow")
     )
+
+
+def detect_hot_keys(ds, key: str, min_fraction: float = 0.05,
+                    top_n: int = 16) -> list:
+    """One pre-aggregated counting pass over ``ds``: returns up to ``top_n``
+    key values that each hold >= ``min_fraction`` of the rows — feed the
+    result to ``hash_join(hot_keys=...)``. Costs one extra read of the key
+    column; use when a skewed key distribution is suspected."""
+    from dataprof_ray.pipelines.aggregate import preagg_groupby
+
+    counts = preagg_groupby(ds.select_columns([key]), [key],
+                            [("n", None, "count")])
+    total = counts["n"].sum()
+    if total == 0:
+        return []
+    hot = counts[counts["n"] >= min_fraction * total]
+    hot = hot.dropna(subset=[key]).sort_values("n", ascending=False)
+    return hot[key].head(top_n).tolist()
 
 
 def asof_join(

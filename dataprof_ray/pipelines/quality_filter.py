@@ -262,12 +262,12 @@ def run_quality_filter(
 def read_corpus(path: str, include_html: bool = True):
     """Column-pruned corpus read (html is by far the widest column; callers
     that already have extracted text should pass include_html=False)."""
-    import ray.data as rd
+    from dataprof_ray.sources.readers import read_parquet
 
     columns = ["url", "warc_ts", "html", "text", "lang"] if include_html else [
         "url", "warc_ts", "text", "lang"
     ]
-    return rd.read_parquet(path, columns=columns)
+    return read_parquet(path, columns=columns)
 
 
 # ------------------------------------------------------------------ oracle

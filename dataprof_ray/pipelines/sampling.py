@@ -115,31 +115,43 @@ def systematic_by_hash(ds, every_n: int):
 
 
 def stratified_sample(ds, keys: Sequence[str], per_key: int,
-                      order_col: Optional[str] = None):
+                      order_col: Optional[str] = None,
+                      partitions: int = None):
     """At most ``per_key`` rows per distinct key combination; rows with a
     null in any key column are EXCLUDED (strategies.rs:121-149 multi-key
-    semantics). Deterministic when ``order_col`` is given (smallest first);
-    the groupby shuffles only rows, keyed by the stratum."""
+    semantics). Deterministic when ``order_col`` is given (smallest first).
+
+    Scale design: strata are COARSE-partitioned by ``hash(keys) %
+    partitions`` and each partition caps ALL of its strata in one
+    vectorized pandas pass (sort + ``groupby(keys).head``), so Ray
+    schedules 64 groups regardless of stratum cardinality (per-stratum Ray
+    groups are the measured per-tiny-group hotspot; see
+    pipelines.partitioning)."""
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column)
+
     keys = list(keys)
+    parts = partitions or DEFAULT_PARTITIONS
 
-    def cap(group: pd.DataFrame) -> pd.DataFrame:
+    def cap_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__part")
         if order_col is not None:
-            group = group.sort_values(order_col)
-        return group.head(per_key)
+            df = df.sort_values(order_col, kind="mergesort")
+        return df.groupby(keys, sort=False).head(per_key)
 
-    def drop_null_keys(batch: pa.Table) -> pa.Table:
+    def drop_null_keys_add_part(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         mask = None
         for k in keys:
             valid = pc.is_valid(batch.column(k))
             mask = valid if mask is None else pc.and_(mask, valid)
-        return batch.filter(mask)
+        return add_part_column(batch.filter(mask), keys, parts)
 
     return (
-        ds.map_batches(drop_null_keys, batch_format="pyarrow")
-        .groupby(keys)
-        .map_groups(cap, batch_format="pandas")
+        ds.map_batches(drop_null_keys_add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(cap_partition, batch_format="pandas")
     )
 
 

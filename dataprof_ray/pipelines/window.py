@@ -8,12 +8,14 @@ windowing a training-data/event pipeline needs, Ray-Data-first:
 - tumbling windows: assign window = floor(ts / width) per batch (stateless,
   vectorized), then the pre-aggregated groupby from pipelines.aggregate —
   the shuffle moves (key, window) partials, never events.
-- session windows: per-key inactivity-gap sessionization as
-  ``groupby(key).map_groups`` over time-sorted events. Partitioning
-  assumption: ONE KEY'S events fit in a single group (the standard keyed-
-  state contract — at 100 TB a single user's events are MBs, not the
-  corpus). Watermark-style late-data handling is not claimed: sessions are
-  computed over the complete keyed group, which batch pipelines have.
+- session windows: inactivity-gap sessionization over COARSE hash(key)
+  partitions — all keys of a partition sessionized in one vectorized
+  pandas pass (per-key Ray groups measured 9s on 9k keys; see
+  pipelines.partitioning). Partitioning assumption: ONE KEY'S events fit
+  in a single worker (the standard keyed-state contract — at 100 TB a
+  single user's events are MBs, not the corpus). Watermark-style late-data
+  handling is not claimed: sessions are computed over the complete keyed
+  group, which batch pipelines have.
 """
 
 from __future__ import annotations
@@ -75,6 +77,7 @@ def session_window(
     ts_col: str,
     key: str,
     gap_seconds: float = 1800.0,
+    partitions: int = None,
 ) -> pd.DataFrame:
     """Session windows: consecutive events of one ``key`` belong to the same
     session while the time since the previous event is <= ``gap_seconds``;
@@ -86,25 +89,48 @@ def session_window(
     (key, session_id 1-based per key, session_start, session_end,
     n_events). Session assignment is tie-stable: equal timestamps have a
     zero gap regardless of sort order, so ordering ties cannot move a
-    session boundary."""
+    session boundary.
+
+    Scale design: events are COARSE-partitioned by ``hash(key) %
+    partitions`` (64 groups regardless of key cardinality) and every
+    partition sessionizes ALL of its keys in one vectorized pandas pass —
+    one sort by (key, ts) + one cumsum over key-change/gap breaks — instead
+    of one Ray group invocation per key (the measured per-tiny-group
+    hotspot). Partitioning assumption: one KEY's events fit in a worker
+    (the standard keyed-state contract)."""
     import pyarrow.compute as pc
 
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column)
+
+    parts = partitions or DEFAULT_PARTITIONS
     gap = np.timedelta64(int(gap_seconds * 1_000_000), "us")
 
-    def drop_nulls(batch: pa.Table) -> pa.Table:
+    def drop_nulls_add_part(batch: pa.Table) -> pa.Table:
         mask = pc.and_(pc.is_valid(batch.column(key)),
                        pc.is_valid(batch.column(ts_col)))
-        return batch.select([key, ts_col]).filter(mask)
+        return add_part_column(batch.select([key, ts_col]).filter(mask),
+                               [key], parts)
 
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col)
+    def sessionize_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values([key, ts_col], kind="mergesort")
         ts = g[ts_col].to_numpy()
-        new_s = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_s[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sid = np.cumsum(new_s)
-        out = pd.DataFrame({key: g[key].to_numpy(), "session_id": sid, ts_col: ts})
-        agg = out.groupby([key, "session_id"], sort=True).agg(
+        k = g[key].to_numpy()
+        n = len(g)
+        new_key = np.ones(n, dtype=bool)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            new_key[1:] = k[1:] != k[:-1]
+            brk[1:] = np.diff(ts) > gap
+        new_s = new_key | brk
+        s_global = np.cumsum(new_s)
+        # 1-based session id per key: subtract the global counter's value
+        # just before each key's first session
+        key_starts = np.flatnonzero(new_key)
+        run_lengths = np.diff(np.append(key_starts, n))
+        base = np.repeat(s_global[key_starts] - 1, run_lengths)
+        out = pd.DataFrame({key: k, "session_id": s_global - base, ts_col: ts})
+        agg = out.groupby([key, "session_id"], sort=False).agg(
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
             n_events=(ts_col, "size"),
@@ -113,9 +139,9 @@ def session_window(
         return agg
 
     return (
-        ds.map_batches(drop_nulls, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(sessionize, batch_format="pandas")
+        ds.map_batches(drop_nulls_add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(sessionize_partition, batch_format="pandas")
         .to_pandas()
         .sort_values([key, "session_id"])
         .reset_index(drop=True)

@@ -32,6 +32,29 @@ SNIFF_BYTES = 4096
 _DELIM_CANDIDATES = [",", ";", "\t", "|"]
 
 
+def read_parquet(path: str, *, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with the file's schema passed explicitly,
+    METADATA-STRIPPED. pandas-written parquet carries a ``pandas`` JSON blob
+    in the schema metadata; Ray's read-op schema unification tries
+    ``set(schemas)`` for deduplication and the metadata dict makes that hash
+    fail — one "Failed to hash the schemas" warning per read plus an
+    O(fragments) unify. Stripping the metadata up front (one driver-side
+    footer read) restores hashable, identical fragment schemas."""
+    import ray.data as rd
+
+    if "schema" not in kwargs and "filter" not in kwargs:
+        # a pushed-down filter may reference non-selected columns, which an
+        # explicit (pruned) schema would break — those reads keep Ray's own
+        # inference (and its one-line hash warning)
+        import pyarrow.parquet as pq
+
+        s = pq.read_schema(_first_file(path)).remove_metadata()
+        if columns:  # the provided schema must match the PRUNED output
+            s = pa.schema([s.field(c) for c in columns])
+        kwargs["schema"] = s
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
 def sniff_delimiter(sample: bytes) -> str:
     """Score each candidate by how consistently it splits records: the winner
     has the highest modal field-count agreement (>1 field). Quote-aware via

@@ -122,23 +122,73 @@ def test_hash_join_cross_dtype_keys(ray_session):
                   partitions=4).to_pandas()
 
 
-def test_hash_join_left_consistent_dtypes(ray_session):
-    """Left joins keep ONE dtype for a null-fillable right column across
-    all partitions (a per-partition int restore left blocks disagreeing
-    with the reported schema)."""
+def test_hash_join_left_preserves_int_dtypes(ray_session):
+    """Left joins null-fill through pandas NULLABLE dtypes: the output Arrow
+    schema keeps int64 for both sides' int columns (no float64 laundering)
+    and values above 2^53 survive exactly."""
     import ray.data as rd
 
     from dataprof_ray.pipelines.join import hash_join
 
-    left = rd.from_arrow(pa.table({"k": pa.array(list(range(20)), pa.int64())}))
+    big = 2 ** 60 + 7
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(20)), pa.int64()),
+        "payload": pa.array([big + i for i in range(20)], pa.int64()),
+    }))
     right = rd.from_arrow(pa.table({
         "k": pa.array([0, 1, 2], pa.int64()),
         "v": pa.array([10, 11, 12], pa.int64()),
     }))
-    out = hash_join(left, right, left_key="k", right_key="k", how="left",
-                    partitions=8).to_pandas()
+    ds = hash_join(left, right, left_key="k", right_key="k", how="left",
+                   partitions=8).materialize()
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    assert types["v"] == pa.int64()
+    assert types["payload"] == pa.int64()
+    out = ds.to_pandas().sort_values("k").reset_index(drop=True)
     assert len(out) == 20
-    assert str(out["v"].dtype) == "float64"  # uniformly nullable-promoted
+    assert int(out["payload"].iloc[0]) == big  # no float64 precision loss
+    assert out["v"].isna().sum() == 17
+
+
+def test_hash_join_skew_guard_balances_and_matches(ray_session):
+    """One key holding 50% of the probe rows: with hot_keys set, the salted
+    tag spreads that key over salt_factor partitions (balanced partition
+    sizes) and the join result is unchanged."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import _salt_parts, hash_join
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(100, 200, n))
+    ldf = pd.DataFrame({"k": keys.astype(np.int64),
+                        "x": np.arange(n, dtype=np.int64)})
+    rdf = pd.DataFrame({"k": np.arange(0, 220, dtype=np.int64),
+                        "v": np.arange(1000, 1220, dtype=np.int64)})
+    left = rd.from_arrow(pa.Table.from_pandas(ldf)).repartition(4)
+    right = rd.from_arrow(pa.Table.from_pandas(rdf))
+
+    got = hash_join(left, right, left_key="k", right_key="k", how="inner",
+                    partitions=8, hot_keys=[7], salt_factor=8
+                    ).to_pandas().sort_values(["x"]).reset_index(drop=True)
+    want = ldf.merge(rdf, how="inner", on="k").sort_values(["x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "x", "v"]], want[["k", "x", "v"]])
+
+    # balance: tag the probe side directly and measure the partition spread
+    from dataprof_ray.pipelines.join import _key_parts
+
+    t = pa.table({"k": pa.array(ldf["k"], pa.int64())})
+    part = _key_parts(t.column("k"), 8)
+    t = t.append_column("__part", pa.array(part, pa.int32()))
+    unsalted = pd.Series(part).value_counts()
+    salted_t = _salt_parts(t, "k", pa.array([7], pa.int64()), 8, 8,
+                           replicate=False)
+    salted = pd.Series(
+        salted_t.column("__part").to_numpy(zero_copy_only=False)).value_counts()
+    assert unsalted.max() > 0.5 * n            # the hot key dominated one part
+    assert salted.max() < 0.3 * n              # spread across all 8 parts
+    assert len(salted) == 8
 
 
 def test_asof_join_backward(ray_session):
