@@ -40,8 +40,13 @@ _DOC_COLS = [
 
 
 def _read(sf_dir: str, table: str, columns=None, **kwargs):
+    # one testdata table = one parquet file: Ray's default split (64 read
+    # tasks over one row group) re-reads the file per task, measured 2x
+    # slower than 16 blocks at sf0.1; 16 also keeps downstream actor pools
+    # fed (a 1-block read serializes them)
     from dataprof_ray.sources.readers import read_parquet
 
+    kwargs.setdefault("override_num_blocks", 16)
     return read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kwargs)
 
 
@@ -362,7 +367,9 @@ def _topk_cosine(sf_dir: str) -> pd.DataFrame:
     from dataprof_ray.pipelines.similarity import brute_force_topk
 
     queries, qids = _load_queries(sf_dir)
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # single-file read = ONE block = a serialized actor pool; split it
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               override_num_blocks=16)
     out = brute_force_topk(ds, queries, k=10, concurrency=(1, 4))
     out["query_id"] = out["query_id"].map(lambda i: qids[i]).astype(np.int64)
     out["cosine"] = round_away(out["cosine"], 4)
@@ -604,7 +611,8 @@ def _embedding_neardup(sf_dir: str) -> pd.DataFrame:
     from dataprof_ray.pipelines import dedup as D
 
     return D.embedding_neardup_pairs(
-        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+              override_num_blocks=16)
     )
 
 
@@ -668,7 +676,8 @@ def _ivf_topk(sf_dir: str) -> pd.DataFrame:
     from dataprof_ray.pipelines.similarity import ivf_topk
 
     queries, qids = _load_queries(sf_dir)
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               override_num_blocks=16)
     out = ivf_topk(ds, queries, k=10, n_cells=8, nprobe=4, concurrency=(1, 4))
     if not out.empty:
         out["query_id"] = out["query_id"].map(lambda i: qids[i]).astype(np.int64)

@@ -506,26 +506,44 @@ def retry_database_operation(operation, config: Optional[RetryConfig] = None,
     ) from last
 
 
+# Dialects the auto-sampling SQL is known-valid on. All three accept the
+# fully-aliased ROW_NUMBER form below; the distinction matters because
+# Postgres and MySQL *reject* unaliased derived tables ("every derived
+# table must have its own alias") while SQLite tolerates them — the
+# sqlite-only round-1 SQL would be a hard error on the other two.
+SAMPLING_DIALECTS = ("sqlite", "postgres", "mysql")
+
+
+def _sampling_sql(sql: str, every: int) -> str:
+    # Valid on sqlite / Postgres / MySQL 8+: every derived table aliased,
+    # ROW_NUMBER() OVER () synthesized (ROWID resolves to NULL inside a
+    # derived table on SQLite, which silently emptied the old predicate).
+    return (
+        f"SELECT * FROM (SELECT _src.*, ROW_NUMBER() OVER () AS _rn "
+        f"FROM ({sql}) AS _src) AS _smp WHERE (_rn % {every}) = 0"
+    )
+
+
 def read_sql(sql: str, connection_factory, *, parallelism: int = -1,
              sample_above_rows: Optional[int] = None, sample_rows: int = 100_000,
-             retry: Optional[RetryConfig] = None,
+             retry: Optional[RetryConfig] = None, dialect: Optional[str] = None,
              **kwargs):
     """DB query -> Dataset via ``ray.data.read_sql`` (the reference's
     connector family, dataprof-db/src/). ``sample_above_rows`` mirrors the
     auto-sampling default for >1M-row tables (config.rs:196-226): when the
     count exceeds it, the query is wrapped with a deterministic modulo
-    sample (on a synthesized ROW_NUMBER — ROWID resolves to NULL inside a
-    derived table on SQLite, which silently emptied the old predicate)
-    down to ~``sample_rows``.
+    sample on a synthesized ROW_NUMBER down to ~``sample_rows``.
 
     ``retry``: a RetryConfig makes every connection attempt retry with
     exponential backoff (retry.rs semantics) — the factory is wrapped so
     Ray's read tasks retry too, not just the driver-side count.
 
-    Auto-sampling is implemented for SQLite connections only (validated by
-    module name); for other engines pre-sample in the SQL you pass (e.g.
-    ``TABLESAMPLE``) — a non-sqlite connection with ``sample_above_rows``
-    set raises rather than silently mis-sampling."""
+    ``dialect``: one of ``SAMPLING_DIALECTS``; required for auto-sampling
+    on non-sqlite connections (sqlite is inferred from the connection's
+    module). The sampling SQL itself is dialect-portable (fully aliased,
+    MySQL 8+ for window functions); the explicit parameter exists so an
+    engine we have NOT validated the SQL on fails loudly instead of
+    mis-sampling."""
     import ray.data as rd
 
     factory = connection_factory
@@ -537,25 +555,29 @@ def read_sql(sql: str, connection_factory, *, parallelism: int = -1,
                 connection_factory, cfg, operation_name="connect")
 
     if sample_above_rows is not None:
+        if dialect is not None and dialect not in SAMPLING_DIALECTS:
+            raise ValueError(
+                f"unknown dialect {dialect!r}; auto-sampling is validated "
+                f"on {SAMPLING_DIALECTS} — pre-sample in SQL otherwise")
         con = factory()
         try:
-            if type(con).__module__.split(".")[0] != "sqlite3":
-                raise ValueError(
-                    "sample_above_rows auto-sampling requires a sqlite3 "
-                    "connection; pre-sample in SQL for other engines"
-                )
-            cur = con.execute(f"SELECT COUNT(*) FROM ({sql}) AS _t")
+            if dialect is None:
+                if type(con).__module__.split(".")[0] != "sqlite3":
+                    raise ValueError(
+                        "sample_above_rows auto-sampling on a non-sqlite "
+                        "connection requires an explicit dialect= from "
+                        f"{SAMPLING_DIALECTS}")
+                dialect = "sqlite"
+            cur = con.cursor()  # DBAPI path (sqlite's con.execute is a shortcut)
+            cur.execute(f"SELECT COUNT(*) FROM ({sql}) AS _t")
             total = cur.fetchone()[0]
         finally:
             con.close()
         if total > sample_above_rows:
             every = max(total // sample_rows, 1)
             if every > 1:
-                sql = (
-                    f"SELECT * FROM (SELECT *, ROW_NUMBER() OVER () AS _rn "
-                    f"FROM ({sql})) WHERE (_rn % {every}) = 0"
-                )
-                return rd.read_sql(sql, factory, **kwargs).drop_columns(["_rn"])
+                sampled = _sampling_sql(sql, every)
+                return rd.read_sql(sampled, factory, **kwargs).drop_columns(["_rn"])
     return rd.read_sql(sql, factory, **kwargs)
 
 

@@ -151,6 +151,105 @@ class TestReadSql:
         assert 50 <= n <= 150  # ~every 10th row
         assert "_rn" not in ds.schema().names
 
+    @staticmethod
+    def _fake_dialect_factory(db: str, dialect: str):
+        """Connection factory for a fake Postgres/MySQL DBAPI driver backed
+        by sqlite. Its cursor ENFORCES the one dialect rule the round-1
+        sampling SQL violated — PG/MySQL reject unaliased derived tables —
+        so these tests fail if the generated SQL regresses to sqlite-only.
+        Everything is nested so cloudpickle ships it by value to read tasks.
+        """
+        import re
+
+        def assert_derived_tables_aliased(sql: str) -> None:
+            up = sql.upper()
+            for m in re.finditer(r"\b(FROM|JOIN)\s*\(", up):
+                depth, i = 1, m.end()
+                while i < len(up) and depth:
+                    depth += {"(": 1, ")": -1}.get(up[i], 0)
+                    i += 1
+                rest = up[i:].lstrip()
+                tok = re.match(r"(AS\s+)?([A-Z_][A-Z0-9_]*)", rest)
+                if tok is None or tok.group(2) in {
+                        "WHERE", "GROUP", "ORDER", "LIMIT", "ON",
+                        "UNION", "HAVING", "AND", "OR"}:
+                    raise RuntimeError(
+                        f"{dialect}: every derived table must have its own alias")
+
+        class FakeCursor:
+            def __init__(self, real):
+                self._real = real
+
+            def execute(self, sql, *a):
+                assert_derived_tables_aliased(sql)
+                self._real.execute(sql, *a)
+                return self
+
+            def fetchone(self):
+                return self._real.fetchone()
+
+            def fetchall(self):
+                return self._real.fetchall()
+
+            def executemany(self, sql, seq):
+                self._real.executemany(sql, seq)
+                return self
+
+            def fetchmany(self, n):
+                return self._real.fetchmany(n)
+
+            @property
+            def description(self):
+                return self._real.description
+
+            def close(self):
+                self._real.close()
+
+        class FakeDialectConnection:
+            def __init__(self):
+                import sqlite3
+                self._con = sqlite3.connect(db)
+
+            def cursor(self):
+                return FakeCursor(self._con.cursor())
+
+            def commit(self):
+                self._con.commit()
+
+            def close(self):
+                self._con.close()
+
+        return FakeDialectConnection
+
+    @pytest.mark.parametrize("dialect", ["postgres", "mysql"])
+    def test_auto_sampling_dialects(self, ray_session, tmp_path, dialect):
+        self._factory(tmp_path)  # creates + populates the sqlite file
+        f = self._fake_dialect_factory(str(tmp_path / "t.db"), dialect)
+        ds = RD.read_sql("SELECT * FROM t", f, sample_above_rows=100,
+                         sample_rows=100, dialect=dialect)
+        n = ds.count()
+        assert 50 <= n <= 150  # ~every 10th row actually sampled, not 0
+        assert "_rn" not in ds.schema().names
+
+    def test_unaliased_sampling_sql_rejected_by_fake_driver(self, tmp_path):
+        """The enforcer is real: the round-1 sqlite-only sampling SQL (no
+        derived-table aliases) must error on the fake PG driver."""
+        self._factory(tmp_path)
+        con = self._fake_dialect_factory(str(tmp_path / "t.db"), "postgres")()
+        old_sql = ("SELECT * FROM (SELECT *, ROW_NUMBER() OVER () AS _rn "
+                   "FROM (SELECT * FROM t)) WHERE (_rn % 10) = 0")
+        with pytest.raises(RuntimeError, match="alias"):
+            con.cursor().execute(old_sql)
+        # and the CURRENT generated SQL passes the same enforcer
+        con.cursor().execute(RD._sampling_sql("SELECT * FROM t", 10))
+        con.close()
+
+    def test_nonsqlite_sampling_requires_dialect(self, tmp_path):
+        self._factory(tmp_path)
+        f = self._fake_dialect_factory(str(tmp_path / "t.db"), "postgres")
+        with pytest.raises(ValueError, match="dialect"):
+            RD.read_sql("SELECT * FROM t", f, sample_above_rows=100)
+
     def test_retry_backoff_flaky_factory(self, ray_session, tmp_path):
         calls = {"n": 0}
         real = self._factory(tmp_path)

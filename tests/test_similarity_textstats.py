@@ -216,3 +216,43 @@ class TestLineage:
         # output is partitioned one dir per shard
         dirs = [d for d in os.listdir(out_root) if d.startswith("shard_")]
         assert len(dirs) == 3
+
+    def test_killed_manifest_entry_reprocesses_only_that_shard(
+            self, ray_session, tmp_path):
+        """Simulated mid-run crash: drop ONE manifest record (as if the run
+        died before flushing it) and re-run — exactly that shard is
+        reprocessed, the others are skipped, and its output is rebuilt
+        identically."""
+        import json
+
+        import pyarrow.parquet as pq
+
+        from dataprof_ray.sources.corpus import write_corpus_parquet
+        from dataprof_ray.state.lineage import run_resumable_filter
+
+        corpus_dir = write_corpus_parquet(str(tmp_path / "corpus"), 300, shards=3)
+        shards = sorted(
+            os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
+            if f.endswith(".parquet")
+        )
+        out_root = str(tmp_path / "out")
+        s1 = run_resumable_filter(shards, out_root, batch_size=128)
+        assert s1["shards_processed"] == 3
+
+        manifest_path = os.path.join(out_root, "_manifest.jsonl")
+        with open(manifest_path) as f:
+            records = [json.loads(line) for line in f if line.strip()]
+        killed = records[1]
+        before = pq.read_table(killed["output_dir"]).sort_by("url")
+        with open(manifest_path, "w") as f:
+            for rec in records:
+                if rec["shard_id"] != killed["shard_id"]:
+                    f.write(json.dumps(rec) + "\n")
+
+        s2 = run_resumable_filter(shards, out_root, batch_size=128)
+        assert s2["shards_processed"] == 1 and s2["shards_skipped"] == 2
+        after = pq.read_table(killed["output_dir"]).sort_by("url")
+        assert before.equals(after)  # deterministic rebuild
+        # manifest is whole again: third run skips everything
+        s3 = run_resumable_filter(shards, out_root, batch_size=128)
+        assert s3["shards_processed"] == 0 and s3["shards_skipped"] == 3
