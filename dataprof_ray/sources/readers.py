@@ -440,6 +440,123 @@ def read_csv_robust(path: str, *, delimiter: Optional[str] = None,
     return rd.read_binary_files(path).map_batches(transcode_parse, batch_format="numpy")
 
 
+# ------------------------------------------------ CSV auto-recovery
+
+
+@dataclass
+class RecoveryAttempt:
+    """One rung of the auto-recovery ladder (errors.rs RecoveryAttempt)."""
+    strategy: str
+    success: bool
+    error: Optional[str] = None
+
+
+@dataclass
+class CsvRecoveryResult:
+    dataset: object  # ray.data.Dataset
+    strategy: str    # "initial" or the winning recovery strategy
+    attempts: list   # [RecoveryAttempt] in the order tried
+
+
+def read_csv_auto(path: str, *, delimiter: Optional[str] = None,
+                  columns: Optional[list] = None, max_attempts: int = 6,
+                  **kwargs) -> CsvRecoveryResult:
+    """Automatic try-fix-retry CSV read — the reference's
+    AutoRecoveryManager loop (robust_csv.rs:195-244 `parse_csv_with_recovery`
+    + errors.rs:475-487 strategy ladder) re-expressed for a lazy engine:
+    every strategy is validated EAGERLY against a bounded sampled prefix on
+    the driver (strict parse + UTF-8 check), and the returned Dataset is
+    still a lazy, distributed read built with the recovered configuration —
+    the full data never moves through the driver.
+
+    Ladder (first success wins, capped at ``max_attempts``):
+    as-configured strict parse -> candidate delimiters ``, ; \\t |`` ->
+    encoding conversion (diagnosed via ``diagnose_encoding``; a real
+    transcode, where robust_csv.rs's EncodingConversion arm is a
+    flexible-parse placeholder) -> flexible/padded parsing
+    (``read_csv_padded`` pad/truncate semantics).
+
+    Divergence from the reference, documented: a delimiter-detection rung
+    must parse the sample into >= 2 columns to count as success — any
+    delimiter "succeeds" on any text as one giant column, which would make
+    the first rung always win. Raises RuntimeError with the full attempt
+    log when every rung fails."""
+    import pyarrow.csv as pacsv
+
+    first = _first_file(path)
+    with open(first, "rb") as f:
+        sample = f.read(SNIFF_BYTES)
+
+    def probe(delim: str, flexible: bool, encoding: Optional[str] = None,
+              min_columns: int = 1) -> None:
+        buf = sample
+        if encoding:
+            buf = buf.decode(encoding, errors="replace").encode("utf-8")
+        cut = buf.rfind(b"\n")
+        if cut > 0:
+            buf = buf[: cut + 1]  # drop the chunk-truncated last line
+        parse = pacsv.ParseOptions(
+            delimiter=delim,
+            invalid_row_handler=(lambda row: "skip") if flexible else None)
+        t = pacsv.read_csv(io.BytesIO(buf), parse_options=parse)
+        if t.num_columns < min_columns:
+            raise ValueError(
+                f"parsed into {t.num_columns} column(s) with "
+                f"delimiter {delim!r}; not a plausible recovery")
+
+    init_delim = delimiter or sniff_delimiter(sample)
+    attempts: list[RecoveryAttempt] = []
+    try:
+        diag = diagnose_encoding(sample)
+        if diag.encoding != "utf-8":
+            raise ValueError(f"sample is not UTF-8 (diagnosed {diag.encoding})")
+        probe(init_delim, flexible=False)
+        return CsvRecoveryResult(
+            read_csv(path, delimiter=init_delim, flexible=False,
+                     columns=columns, **kwargs),
+            "initial", attempts)
+    except Exception as exc:  # noqa: BLE001 — any parse fault enters the ladder
+        initial_error = exc
+
+    def try_delimiter(cand: str):
+        probe(cand, flexible=False, min_columns=2)
+        return read_csv(path, delimiter=cand, flexible=False,
+                        columns=columns, **kwargs)
+
+    def try_encoding():
+        diag = diagnose_encoding(sample)
+        enc = diag.encoding if diag.encoding != "utf-8" else "latin-1"
+        probe(init_delim, flexible=False, encoding=enc)
+        return read_csv_robust(path, delimiter=init_delim,
+                               columns=columns, **kwargs)
+
+    def try_flexible():
+        probe(init_delim, flexible=True)
+        return read_csv_padded(path, delimiter=init_delim,
+                               columns=columns, **kwargs)
+
+    ladder: list[tuple[str, object]] = [
+        (f"delimiter_detection({c!r})", lambda c=c: try_delimiter(c))
+        for c in (",", ";", "\t", "|") if c != init_delim
+    ]
+    ladder += [("encoding_conversion", try_encoding),
+               ("flexible_parsing", try_flexible)]
+
+    for name, fn in ladder[:max_attempts]:
+        try:
+            ds = fn()
+        except Exception as exc:  # noqa: BLE001 — rung failed, try the next
+            attempts.append(RecoveryAttempt(name, False, str(exc)))
+            continue
+        attempts.append(RecoveryAttempt(name, True))
+        return CsvRecoveryResult(ds, name, attempts)
+
+    tried = "; ".join(f"{a.strategy}: {a.error}" for a in attempts)
+    raise RuntimeError(
+        f"CSV auto-recovery exhausted {len(attempts)} strategies for {path} "
+        f"(initial error: {initial_error}); attempts: {tried}")
+
+
 # ------------------------------------------------------------------ SQL
 
 

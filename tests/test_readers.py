@@ -293,6 +293,72 @@ class TestReadSql:
         assert calls["n"] == 1
 
 
+class TestCsvAutoRecovery:
+    """parse_csv_with_recovery parity (robust_csv.rs:195-244): ordered
+    strategy ladder, first success wins, full attempt log on failure."""
+
+    def test_clean_csv_no_recovery(self, ray_session, tmp_path):
+        p = tmp_path / "clean.csv"
+        p.write_text("a,b\n1,2\n3,4\n")
+        res = RD.read_csv_auto(str(p))
+        assert res.strategy == "initial" and res.attempts == []
+        assert res.dataset.count() == 2
+
+    def test_ragged_rows_recover_via_flexible(self, ray_session, tmp_path):
+        p = tmp_path / "ragged.csv"
+        p.write_text("a,b,c\n1,2,3\n4,5\n6,7,8,9\n")
+        res = RD.read_csv_auto(str(p))
+        assert res.strategy == "flexible_parsing"
+        # earlier rungs were tried and logged as failures
+        assert [a.success for a in res.attempts[:-1]] == [False] * (len(res.attempts) - 1)
+        assert res.attempts[-1].success
+        df = res.dataset.to_pandas()
+        assert len(df) == 3  # padded + truncated, nothing dropped
+        assert df["c"].isna().sum() == 1
+
+    def test_latin1_recover_via_encoding(self, ray_session, tmp_path):
+        p = tmp_path / "latin.csv"
+        p.write_bytes("name,n\ncafé,1\nnoël,2\n".encode("latin-1"))
+        res = RD.read_csv_auto(str(p))
+        assert res.strategy == "encoding_conversion"
+        assert res.dataset.to_pandas()["name"].tolist() == ["café", "noël"]
+
+    def test_wrong_delimiter_recovered(self, ray_session, tmp_path):
+        # initial ',' parse errors (inconsistent comma counts per line);
+        # the ';' detection rung parses 2 consistent columns and wins
+        p = tmp_path / "semi.csv"
+        p.write_text("a;b\n1,2,3;x\n4;y\n")
+        res = RD.read_csv_auto(str(p), delimiter=",")
+        assert res.strategy == "delimiter_detection(';')"
+        df = res.dataset.to_pandas()
+        assert list(df.columns) == ["a", "b"] and len(df) == 2
+
+    def test_unclosed_quote_recovers_via_flexible(self, ray_session, tmp_path):
+        # Arrow treats the unclosed quote as a field spanning lines; the
+        # strict parse errors, flexible skips the damaged row — the ladder
+        # logs every failed rung before the winning one
+        p = tmp_path / "broken.csv"
+        p.write_text('a,b\n"unclosed,1\n2,3\n')
+        res = RD.read_csv_auto(str(p))
+        assert res.strategy == "flexible_parsing"
+        failed = [a for a in res.attempts if not a.success]
+        assert {a.strategy for a in failed} >= {"encoding_conversion"}
+
+    def test_exhausted_ladder_raises_with_log(self, ray_session, tmp_path):
+        # empty file: no rung can infer a schema -> full attempt log
+        p = tmp_path / "empty.csv"
+        p.write_text("")
+        with pytest.raises(RuntimeError, match="auto-recovery exhausted"):
+            RD.read_csv_auto(str(p))
+
+    def test_max_attempts_caps_ladder(self, ray_session, tmp_path):
+        p = tmp_path / "empty.csv"
+        p.write_text("")
+        with pytest.raises(RuntimeError) as ei:
+            RD.read_csv_auto(str(p), max_attempts=2)
+        assert str(ei.value).count("delimiter_detection") == 2
+
+
 class TestRaggedRows:
     def test_padded_mode_keeps_all_rows(self, ray_session, tmp_path):
         """robust_csv.rs flexible semantics: short rows padded with nulls,
