@@ -271,6 +271,18 @@ def _tumbling_events(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _hopping_events(sf_dir: str) -> pd.DataFrame:
+    """6h windows hopping every 2h: each event lands in 3 windows; the
+    replication collapses to per-batch partials before the shuffle."""
+    from dataprof_ray.pipelines.window import hopping_window
+
+    return hopping_window(
+        _read(sf_dir, "events", columns=["ts", "event_type", "value"]),
+        "ts", width_seconds=21600, slide_seconds=7200,
+        keys=["event_type"], value_col="value",
+    )
+
+
 def _weekday_orders(sf_dir: str) -> pd.DataFrame:
     """Weekday distribution via the profiler's DateTimeStats accumulator."""
     from dataprof_ray.pipelines.profile import _WEEKDAY_NAMES, collect_column_state
@@ -793,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_customer": _stratified_customer,
         "systematic_orders": _systematic_orders,
         "tumbling_events": _tumbling_events,
+        "hopping_events": _hopping_events,
         "weekday_orders": _weekday_orders,
         "row_duplicates_documents": _row_duplicates_documents,
         "sales_by_segment": _sales_by_segment,
@@ -962,6 +975,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DATE_TRUNC('day', ts) AS window, event_type, COUNT(*) AS cnt, "
             "ROUND(SUM(value), 2) AS sum_value, MIN(value) AS min_value, "
             "MAX(value) AS max_value FROM events GROUP BY 1, 2"
+        ),
+        "hopping_events": (
+            # 6h windows every 2h: event joins k=0..2 -> 3 aligned starts
+            "SELECT make_timestamp((epoch_us(ts) // 7200000000 - k) "
+            "* 7200000000) AS window, event_type, COUNT(*) AS cnt, "
+            "ROUND(SUM(value), 2) AS sum_value, MIN(value) AS min_value, "
+            "MAX(value) AS max_value FROM events "
+            "CROSS JOIN (SELECT unnest(range(0, 3)) AS k) ks GROUP BY 1, 2"
         ),
         "weekday_orders": (
             "SELECT DAYNAME(o_orderdate) AS weekday, COUNT(*) AS cnt "

@@ -72,6 +72,62 @@ def tumbling_window(
     return out
 
 
+def hopping_window(
+    ds,
+    ts_col: str,
+    width_seconds: int,
+    slide_seconds: int,
+    keys: Sequence[str] = (),
+    value_col: Optional[str] = None,
+) -> pd.DataFrame:
+    """Hopping (sliding) windows: width ``width_seconds``, advancing every
+    ``slide_seconds`` (width must be a multiple of slide). An event at time
+    t belongs to the m = width/slide windows whose start s satisfies
+    t - width < s <= t with s aligned to slide boundaries (epoch-aligned).
+
+    Scale design: window replication happens INSIDE each batch (numpy
+    tile/repeat over only the needed columns, m copies of (window, keys,
+    value)), and the replicated rows immediately collapse into per-batch
+    partials via ``preagg_groupby`` — the shuffle moves one partial row per
+    (window, key) per batch, never m x events. Same contract as
+    ``tumbling_window`` (which is the m=1 special case)."""
+    if width_seconds % slide_seconds != 0:
+        raise ValueError(
+            f"width ({width_seconds}s) must be a multiple of slide "
+            f"({slide_seconds}s)")
+    m = width_seconds // slide_seconds
+    slide_us = slide_seconds * 1_000_000
+    keys = list(keys)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t_us = pc.cast(batch.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        base = t_us // slide_us * slide_us  # newest window containing t
+        # m windows per event: base, base - slide, ..., base - (m-1)*slide
+        win = (np.repeat(base, m)
+               - np.tile(np.arange(m, dtype=np.int64) * slide_us, len(base)))
+        cols = {"window": pa.array(win).cast(pa.timestamp("us"))}
+        idx = np.repeat(np.arange(len(base)), m)
+        for k in keys:
+            cols[k] = batch.column(k).take(pa.array(idx))
+        if value_col is not None:
+            cols[value_col] = batch.column(value_col).take(pa.array(idx))
+        return pa.table(cols)
+
+    specs = [("cnt", None, "count")]
+    if value_col is not None:
+        specs += [
+            ("sum_value", value_col, "sum"),
+            ("min_value", value_col, "min"),
+            ("max_value", value_col, "max"),
+        ]
+    out = preagg_groupby(ds.map_batches(assign, batch_format="pyarrow"),
+                         ["window"] + keys, specs)
+    if value_col is not None:
+        out["sum_value"] = round_away(out["sum_value"], 2)
+    return out
+
+
 def session_window(
     ds,
     ts_col: str,

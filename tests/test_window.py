@@ -5,7 +5,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from dataprof_ray.pipelines.window import tumbling_window
+from dataprof_ray.pipelines.window import hopping_window, tumbling_window
 
 
 @pytest.fixture(scope="module")
@@ -49,3 +49,45 @@ def test_minute_unit(ray_session, events):
     out = tumbling_window(events, "ts", unit="minute")
     assert out["cnt"].sum() == 5000
     assert len(out) > 100  # ~2.3-min spacing -> most windows hold 1 event
+
+
+def test_hopping_matches_pandas_replication(ray_session, events):
+    width, slide = 3600, 900  # 1h windows every 15min -> m=4
+    out = hopping_window(events, "ts", width_seconds=width,
+                         slide_seconds=slide, keys=["kind"], value_col="v")
+    df = events.to_pandas()
+    parts = []
+    for k in range(4):
+        d = df.copy()
+        d["window"] = (d["ts"].dt.floor("15min")
+                       - pd.Timedelta(seconds=slide * k))
+        parts.append(d)
+    rep = pd.concat(parts)
+    want = (rep.groupby(["window", "kind"])
+            .agg(cnt=("v", "size"), sum_value=("v", "sum"),
+                 min_value=("v", "min"), max_value=("v", "max"))
+            .reset_index())
+    got = out.sort_values(["window", "kind"]).reset_index(drop=True)
+    want = want.sort_values(["window", "kind"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+    # every event lands in exactly m=4 windows
+    assert got["cnt"].sum() == 4 * 5000
+    np.testing.assert_allclose(got["sum_value"], want["sum_value"].round(2),
+                               atol=0.01)
+    np.testing.assert_allclose(got["min_value"], want["min_value"], atol=1e-9)
+
+
+def test_hopping_rejects_nonmultiple_width(ray_session, events):
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_window(events, "ts", width_seconds=3600, slide_seconds=700)
+
+
+def test_hopping_m1_equals_tumbling(ray_session, events):
+    hop = hopping_window(events, "ts", width_seconds=3600,
+                         slide_seconds=3600, keys=["kind"], value_col="v")
+    tum = tumbling_window(events, "ts", unit="hour", keys=["kind"],
+                          value_col="v")
+    hop = hop.sort_values(["window", "kind"]).reset_index(drop=True)
+    tum = tum.sort_values(["window", "kind"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(hop, tum, check_dtype=False)
