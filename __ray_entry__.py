@@ -262,6 +262,39 @@ def _fingerprint_md5(sf_dir: str):
     )
 
 
+def _repetition_stats_documents(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines import textstats as T
+
+    return (T.repetition_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def _contamination_documents(sf_dir: str) -> pd.DataFrame:
+    """Decontamination scan: benchmark = every 20th document (a stand-in
+    eval set), corpus = all documents; 8-gram overlap per document."""
+    from dataprof_ray.pipelines import decontam as DC
+
+    def every_20th(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 20 == 0))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = DC.benchmark_ngram_set(
+        docs.map_batches(every_20th, batch_format="pyarrow"), n=8)
+    return DC.contamination_check(docs, bench, n=8)
+
+
+def _latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.aggregate import argmax_by
+
+    return argmax_by(
+        _read(sf_dir, "events",
+              columns=["user_id", "event_id", "ts", "event_type"]),
+        keys=["user_id"], order_cols=["ts", "event_id"], descending=True,
+    )
+
+
 def _tumbling_events(sf_dir: str) -> pd.DataFrame:
     from dataprof_ray.pipelines.window import tumbling_window
 
@@ -806,6 +839,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_orders": _systematic_orders,
         "tumbling_events": _tumbling_events,
         "hopping_events": _hopping_events,
+        "repetition_stats_documents": _repetition_stats_documents,
+        "contamination_documents": _contamination_documents,
+        "latest_event_per_user": _latest_event_per_user,
         "weekday_orders": _weekday_orders,
         "row_duplicates_documents": _row_duplicates_documents,
         "sales_by_segment": _sales_by_segment,
@@ -983,6 +1019,45 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(value), 2) AS sum_value, MIN(value) AS min_value, "
             "MAX(value) AS max_value FROM events "
             "CROSS JOIN (SELECT unnest(range(0, 3)) AS k) ks GROUP BY 1, 2"
+        ),
+        "repetition_stats_documents": (
+            "WITH d AS (SELECT doc_id, CASE WHEN text IS NULL OR "
+            "TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[]) "
+            "ELSE REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text, ' \t\n\r')), "
+            "'\\s+') END AS arr FROM documents), "
+            "g AS (SELECT doc_id, arr[i] || ' ' || arr[i+1] AS g "
+            "FROM d, UNNEST(RANGE(1, LEN(arr))) AS t(i)), "
+            "bg AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS tot FROM "
+            "(SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g) "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, LEN(arr) AS n_words, "
+            "CASE WHEN LEN(arr) = 0 THEN 0.0 ELSE ROUND(1.0 - "
+            "LEN(LIST_DISTINCT(arr)) * 1.0 / LEN(arr), 4) END AS "
+            "dup_word_frac, "
+            "COALESCE(ROUND(bg.maxc * 1.0 / bg.tot, 4), 0.0) AS "
+            "top_bigram_frac "
+            "FROM d LEFT JOIN bg ON d.doc_id = bg.doc_id"
+        ),
+        "contamination_documents": (
+            "WITH d AS (SELECT doc_id, CASE WHEN text IS NULL OR "
+            "TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[]) "
+            "ELSE REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text, ' \t\n\r')), "
+            "'\\s+') END AS arr FROM documents), "
+            "dg AS (SELECT doc_id, ARRAY_TO_STRING(arr[i:i+7], ' ') AS g "
+            "FROM d, UNNEST(RANGE(1, LEN(arr) - 6)) AS t(i)), "
+            "bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 20 = 0), "
+            "cnt AS (SELECT doc_id, COUNT(*) AS n_grams, "
+            "CAST(SUM(CASE WHEN g IN (SELECT g FROM bg) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_contaminated FROM dg GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams, "
+            "COALESCE(n_contaminated, 0) AS n_contaminated, "
+            "COALESCE(ROUND(n_contaminated * 1.0 / n_grams, 4), 0.0) AS "
+            "contam_frac FROM d LEFT JOIN cnt ON d.doc_id = cnt.doc_id"
+        ),
+        "latest_event_per_user": (
+            "SELECT user_id, event_id, ts, event_type FROM events "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) = 1"
         ),
         "weekday_orders": (
             "SELECT DAYNAME(o_orderdate) AS weekday, COUNT(*) AS cnt "

@@ -139,3 +139,50 @@ def group_quantiles(
         .to_pandas()
     )
     return out.sort_values(keys).reset_index(drop=True)
+
+
+def argmax_by(
+    ds,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    descending: bool = True,
+    partitions: int = None,
+) -> pd.DataFrame:
+    """One surviving row per key group: the row maximal (``descending=True``,
+    e.g. "latest event per user") or minimal under the lexicographic order of
+    ``order_cols``. All other columns ride along as payload. Equivalent SQL:
+    ``QUALIFY ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order_cols DESC)
+    = 1``. For a deterministic result, ``order_cols`` must be a total order
+    within each key group (append a unique id as tie-break).
+
+    Scale design (combiner + coarse partitions): each input batch first
+    collapses to at most one row per key it contains (a per-batch pandas
+    sort + drop_duplicates — the argmax combiner), so the shuffle moves
+    |keys-in-batch| x |batches| candidate rows, never the input. The final
+    reduce runs per COARSE hash(key) partition (see pipelines.partitioning),
+    one vectorized pass for all keys of a partition. Output size = number of
+    distinct keys; at corpus scale consume the returned frame's upstream as
+    a Dataset write instead of collecting (this helper returns pandas for
+    the small-result profile/query use)."""
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column)
+
+    keys = list(keys)
+    order_cols = list(order_cols)
+    parts = partitions or DEFAULT_PARTITIONS
+    keep = "last" if descending else "first"
+
+    def reduce_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_cols, kind="stable")
+                .drop_duplicates(keys, keep=keep))
+
+    out = (
+        ds.map_batches(reduce_batch, batch_format="pandas")
+        .map_batches(lambda b: add_part_column(b, keys, parts),
+                     batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_batch, batch_format="pandas")
+        .to_pandas()
+        .drop(columns="__part")
+    )
+    return out.sort_values(keys).reset_index(drop=True)

@@ -1,0 +1,86 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation/benchmark set by shared word n-grams (the standard LLM-corpus
+hygiene pass — GPT-3 App. C / PaLM-style 8-gram overlap).
+
+Scale design: the benchmark side is SMALL by definition (eval sets are
+KB-MB), so its n-gram set is collected once on the driver and broadcast
+with ``ray.put`` — every scan task reads the same object-store copy; the
+corpus side streams through one stateless ``map_batches`` with no shuffle.
+The reference has no decontamination operator (SURVEY.md §2 extension);
+semantics are pinned by the DuckDB oracle in __ray_entry__ (same tokenizer
+contract as pipelines.textstats: lowercase, ``\\s+`` split).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from dataprof_ray.pipelines.textstats import _WS_SPLIT
+
+
+def _doc_ngrams(text: str, n: int) -> list:
+    toks = _WS_SPLIT.split((text or "").lower().strip())
+    if toks == [""]:
+        return []
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def benchmark_ngram_set(bench_ds, n: int = 8, text_col: str = "text") -> frozenset:
+    """Distinct word n-grams of the benchmark dataset, collected to the
+    driver (benchmark sets are small; the corpus never is — never call
+    this on the training side)."""
+
+    def grams(batch: pa.Table) -> pa.Table:
+        out: set = set()
+        for t in batch.column(text_col).to_pylist():
+            out.update(_doc_ngrams(t, n))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    tbl = (bench_ds.select_columns([text_col])
+           .map_batches(grams, batch_format="pyarrow")
+           .to_pandas())
+    return frozenset(tbl["g"])
+
+
+def contamination_check(
+    ds,
+    benchmark: frozenset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Per-document contamination report: total n-gram positions, how many
+    hit the benchmark set, and the contaminated fraction (half-away rounded,
+    4 places — oracle-aligned). Documents shorter than ``n`` tokens emit
+    0 / 0 / 0.0. The benchmark set is shipped via ``ray.put`` once and
+    resolved per task (zero-copy object-store read, not per-batch
+    reserialization)."""
+    import ray
+
+    from dataprof_ray.pipelines.aggregate import round_away
+
+    bench_ref = ray.put(benchmark)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = batch.column(id_col)
+        total, hit, frac = [], [], []
+        for t in batch.column(text_col).to_pylist():
+            grams = _doc_ngrams(t, n)
+            c = sum(g in bench for g in grams)
+            total.append(len(grams))
+            hit.append(c)
+            frac.append(c / len(grams) if grams else 0.0)
+        return pa.table({
+            id_col: ids,
+            "n_grams": pa.array(total, pa.int64()),
+            "n_contaminated": pa.array(hit, pa.int64()),
+            "contam_frac": pa.array(round_away(frac, 4), pa.float64()),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(scan, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(id_col)
+            .reset_index(drop=True))

@@ -231,3 +231,47 @@ def doc_quality(ds, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def repetition_stats_stage(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Per-document repetition signals (Gopher-style quality rules, Rae et
+    al. 2021 §A1.1): duplicate-token fraction (1 - distinct/total) and the
+    fraction of bigram occurrences taken by the most frequent bigram. High
+    values flag boilerplate / machine-generated pages that length and
+    stop-word checks miss. Token definition matches the module contract
+    (lowercased, ``\\s+`` split); fractions round half-away (4 places) to
+    align with the SQL oracle."""
+    from collections import Counter
+
+    from dataprof_ray.pipelines.aggregate import round_away
+
+    ids = batch.column(id_col)
+    n_words, dup_frac, top_bigram_frac = [], [], []
+    for t in batch.column(text_col).to_pylist():
+        toks = _WS_SPLIT.split((t or "").lower().strip())
+        if toks == [""]:
+            toks = []
+        nw = len(toks)
+        n_words.append(nw)
+        dup_frac.append(1.0 - len(set(toks)) / nw if nw else 0.0)
+        if nw >= 2:
+            counts = Counter(zip(toks, toks[1:]))
+            top_bigram_frac.append(max(counts.values()) / (nw - 1))
+        else:
+            top_bigram_frac.append(0.0)
+    return pa.table({
+        id_col: ids,
+        "n_words": pa.array(n_words, pa.int64()),
+        "dup_word_frac": pa.array(round_away(dup_frac, 4), pa.float64()),
+        "top_bigram_frac": pa.array(round_away(top_bigram_frac, 4),
+                                    pa.float64()),
+    })
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Streaming per-document repetition signals: one stateless map_batches,
+    no shuffle (output rides the input's partitioning)."""
+    return ds.map_batches(
+        lambda b: repetition_stats_stage(b, text_col, id_col),
+        batch_format="pyarrow")

@@ -1,0 +1,87 @@
+"""argmax_by / repetition_stats / contamination_check unit coverage."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from dataprof_ray.pipelines.aggregate import argmax_by
+from dataprof_ray.pipelines.decontam import (benchmark_ngram_set,
+                                             contamination_check)
+from dataprof_ray.pipelines.textstats import repetition_stats
+
+
+def _ds(table: pa.Table, parts: int = 3):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(parts)
+
+
+def test_argmax_latest_per_key(ray_session):
+    n = 2000
+    rng = np.random.default_rng(7)
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 50, n)),
+        "ts": pa.array(rng.integers(0, 10_000, n)),
+        "id": pa.array(np.arange(n)),
+    })
+    out = argmax_by(_ds(t, 5), keys=["k"], order_cols=["ts", "id"])
+    df = t.to_pandas()
+    want = (df.sort_values(["ts", "id"]).groupby("k").tail(1)
+            .sort_values("k").reset_index(drop=True))
+    got = out[["k", "ts", "id"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[["k", "ts", "id"]],
+                                  check_dtype=False)
+
+
+def test_argmax_min_side(ray_session):
+    t = pa.table({"k": [1, 1, 2], "v": [5, 3, 9], "id": [0, 1, 2]})
+    out = argmax_by(_ds(t, 2), keys=["k"], order_cols=["v", "id"],
+                    descending=False)
+    assert out.set_index("k")["v"].to_dict() == {1: 3, 2: 9}
+
+
+def test_argmax_tie_breaks_on_last_order_col(ray_session):
+    t = pa.table({"k": [1, 1], "v": [7, 7], "id": [10, 20]})
+    out = argmax_by(_ds(t, 2), keys=["k"], order_cols=["v", "id"])
+    assert out["id"].tolist() == [20]
+
+
+def test_repetition_stats_values(ray_session):
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b a b a", "x y z", "", "solo"],
+    })
+    out = (repetition_stats(_ds(t, 2)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_words"].tolist() == [5, 3, 0, 1]
+    # doc0: 5 tokens, 2 distinct -> 1 - 2/5 = 0.6
+    assert out["dup_word_frac"].tolist() == [0.6, 0.0, 0.0, 0.0]
+    # doc0 bigrams: ab,ba,ab,ba -> max 2 of 4 = 0.5; doc1: 2 distinct
+    # bigrams -> 1/2; docs with <2 words 0.0
+    assert out["top_bigram_frac"].tolist() == [0.5, 0.5, 0.0, 0.0]
+
+
+def test_contamination_planted_overlap(ray_session):
+    bench_text = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    corpus = pa.table({
+        "doc_id": [0, 1, 2],
+        "text": [
+            bench_text,                      # identical -> frac 1.0
+            "z " + bench_text,               # 3 grams, 2 contaminated
+            "a b c d e f g h i j",           # disjoint
+        ],
+    })
+    bench = benchmark_ngram_set(_ds(pa.table({"text": [bench_text]}), 1), n=8)
+    assert len(bench) == 2
+    out = contamination_check(_ds(corpus, 2), bench, n=8)
+    assert out["n_grams"].tolist() == [2, 3, 3]
+    assert out["n_contaminated"].tolist() == [2, 2, 0]
+    assert out["contam_frac"].tolist() == [1.0, 0.6667, 0.0]
+
+
+def test_contamination_short_doc_zero(ray_session):
+    corpus = pa.table({"doc_id": [0], "text": ["too short"]})
+    out = contamination_check(_ds(corpus, 1), frozenset({"x"}), n=8)
+    assert out.iloc[0][["n_grams", "n_contaminated", "contam_frac"]].tolist() \
+        == [0, 0, 0.0]
