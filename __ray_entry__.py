@@ -285,6 +285,35 @@ def _contamination_documents(sf_dir: str) -> pd.DataFrame:
     return DC.contamination_check(docs, bench, n=8)
 
 
+def _views_near_clicks(sf_dir: str) -> pd.DataFrame:
+    """Interval join: for each click, count same-user views within ±30
+    minutes (left semantics: clicks with no nearby view count 0)."""
+    from dataprof_ray.pipelines.aggregate import preagg_groupby
+    from dataprof_ray.pipelines.join import interval_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = (ev.filter(expr="event_type == 'click'")
+              .drop_columns(["event_type"]))
+    views = (ev.filter(expr="event_type == 'view'")
+             .drop_columns(["event_type"]))
+    pairs = interval_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts",
+        lower="-12h", upper="12h", right_columns=[], how="left")
+
+    def matched(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": b.column("event_id"),
+            "m": pc.cast(pc.is_valid(b.column("ts_right")), pa.int64()),
+        })
+
+    return preagg_groupby(
+        pairs.map_batches(matched, batch_format="pyarrow"),
+        ["user_id", "event_id"], [("n_views", "m", "sum")])
+
+
 def _latest_event_per_user(sf_dir: str) -> pd.DataFrame:
     from dataprof_ray.pipelines.aggregate import argmax_by
 
@@ -842,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_documents": _repetition_stats_documents,
         "contamination_documents": _contamination_documents,
         "latest_event_per_user": _latest_event_per_user,
+        "views_near_clicks": _views_near_clicks,
         "weekday_orders": _weekday_orders,
         "row_duplicates_documents": _row_duplicates_documents,
         "sales_by_segment": _sales_by_segment,
@@ -1058,6 +1088,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, ts, event_type FROM events "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id "
             "ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "views_near_clicks": (
+            "SELECT l.user_id, l.event_id, COUNT(r.event_id) AS n_views "
+            "FROM events l LEFT JOIN events r ON l.user_id = r.user_id "
+            "AND r.event_type = 'view' "
+            "AND r.ts BETWEEN l.ts - INTERVAL 12 HOUR "
+            "AND l.ts + INTERVAL 12 HOUR "
+            "WHERE l.event_type = 'click' GROUP BY 1, 2"
         ),
         "weekday_orders": (
             "SELECT DAYNAME(o_orderdate) AS weekday, COUNT(*) AS cnt "

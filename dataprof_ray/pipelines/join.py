@@ -466,3 +466,160 @@ def asof_join(
         tagged.groupby("__part")
         .map_groups(cogroup, batch_format="pandas")
     )
+
+
+def interval_join(
+    left,
+    right,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower,
+    upper,
+    right_columns=None,
+    how: str = "inner",
+    partitions: int = _JOIN_PARTITIONS,
+    right_suffix: str = "_right",
+):
+    """Interval (range-band) join: each left row matches EVERY right row of
+    the same key whose timestamp falls in ``[left_ts + lower, left_ts +
+    upper]`` (``lower``/``upper`` are signed ``pd.Timedelta``-coercibles;
+    e.g. ``lower=-pd.Timedelta(minutes=30), upper=pd.Timedelta(minutes=30)``
+    is a symmetric ±30-min band). ``how="left"`` keeps unmatched left rows
+    null-filled; SQL equivalent: ``l JOIN r ON l.key = r.key AND r.ts
+    BETWEEN l.ts + lower AND l.ts + upper``.
+
+    Scale design: same one-shuffle-per-side cogroup as ``asof_join`` —
+    hash-partition both sides by key, then each partition sorts its right
+    rows once by (key, ts) and answers all of its left rows with two
+    vectorized ``searchsorted`` calls per key group (no per-pair scan); the
+    matched pairs materialize via one ``np.repeat`` expansion. Output size
+    is the true pair count — band width controls the blow-up, and a hot
+    key's pairs stay inside one partition task (pre-filter or split hot
+    keys upstream if a single key's band exceeds worker memory)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how}")
+    lower = pd.Timedelta(lower)
+    upper = pd.Timedelta(upper)
+    if lower > upper:
+        raise ValueError(f"lower bound {lower} exceeds upper bound {upper}")
+    left_schema = left.schema().base_schema
+    right_schema = right.schema().base_schema
+    left_cols = list(left_schema.names)
+    right_columns = list(right_columns) if right_columns is not None else \
+        [c for c in right_schema.names if c not in (key, right_ts)]
+    carry_right = [right_ts] + [c for c in right_columns if c != right_ts]
+    rename_right = {
+        c: (c + right_suffix if c in left_cols else c) for c in carry_right
+    }
+    left_types = {c: left_schema.field(c).type for c in left_cols}
+    right_types = {c: right_schema.field(c).type for c in carry_right}
+    key_type = left_types[key]
+    out_cols = left_cols + [rename_right[c] for c in carry_right]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        part = _key_parts(batch.column(key), partitions)
+        cols = {c: batch.column(c) for c in left_cols}
+        cols["__part"] = pa.array(part, pa.int32())
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        for c in carry_right:
+            cols["__r_" + c] = pa.nulls(batch.num_rows, right_types[c])
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        valid = pc.and_(pc.is_valid(batch.column(key)),
+                        pc.is_valid(batch.column(right_ts)))
+        batch = batch.filter(valid)
+        key_col = batch.column(key).cast(key_type)
+        part = _key_parts(key_col, partitions)
+        n = batch.num_rows
+        cols = {}
+        for c in left_cols:
+            cols[c] = key_col if c == key else pa.nulls(n, left_types[c])
+        cols["__part"] = pa.array(part, pa.int32())
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        for c in carry_right:
+            cols["__r_" + c] = batch.column(c)
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+    rts_out = rename_right[right_ts]
+
+    def _null_fill(frame: pd.DataFrame) -> pd.DataFrame:
+        frame = frame.copy()
+        for c in carry_right:
+            t = right_types[c]
+            if pa.types.is_timestamp(t):
+                dt = np.dtype(f"datetime64[{t.unit}]")
+            elif pa.types.is_temporal(t):
+                dt = np.dtype("datetime64[s]")
+            elif pa.types.is_integer(t) or pa.types.is_floating(t):
+                dt = np.dtype("float64")
+            else:
+                dt = np.dtype("object")
+            frame[rename_right[c]] = pd.Series(
+                pd.NaT if dt.kind == "M" else
+                (np.nan if dt.kind == "f" else None),
+                index=frame.index, dtype=dt)
+        return frame
+
+    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+        part = int(df["__part"].iloc[0])
+        ldf = df[df["__side"] == 0][left_cols]
+        rdf = df[df["__side"] == 1]
+        r = rdf[[key] + ["__r_" + c for c in carry_right]].rename(
+            columns={"__r_" + c: rename_right[c] for c in carry_right})
+        matchable = ldf[ldf[left_ts].notna() & ldf[key].notna()] \
+            if part >= 0 else ldf.iloc[0:0]
+        passthrough = ldf.drop(matchable.index)
+        pieces = []
+        if len(matchable) and len(r):
+            r = r.sort_values([key, rts_out], kind="stable",
+                              ignore_index=True)
+            rts = r[rts_out].to_numpy()
+            lo_abs = np.zeros(len(matchable), dtype=np.int64)
+            hi_abs = np.zeros(len(matchable), dtype=np.int64)
+            lts = matchable[left_ts].to_numpy()
+            lo_np, up_np = lower.to_timedelta64(), upper.to_timedelta64()
+            # per key group: one vectorized searchsorted over that key's
+            # contiguous right slice (keys/slices found once via groupby)
+            r_groups = r.groupby(key, sort=False).indices
+            for kv, lidx in matchable.groupby(key, sort=False).indices.items():
+                ridx = r_groups.get(kv)
+                if ridx is None:
+                    continue
+                s, e = int(ridx[0]), int(ridx[-1]) + 1
+                lo_abs[lidx] = s + np.searchsorted(
+                    rts[s:e], lts[lidx] + lo_np, side="left")
+                hi_abs[lidx] = s + np.searchsorted(
+                    rts[s:e], lts[lidx] + up_np, side="right")
+            reps = np.maximum(hi_abs - lo_abs, 0)
+            total = int(reps.sum())
+            if total:
+                starts = np.repeat(np.cumsum(reps) - reps, reps)
+                r_take = np.repeat(lo_abs, reps) + \
+                    (np.arange(total, dtype=np.int64) - starts)
+                l_take = np.repeat(np.arange(len(matchable)), reps)
+                pieces.append(pd.concat(
+                    [matchable.iloc[l_take].reset_index(drop=True),
+                     r.drop(columns=key).iloc[r_take]
+                     .reset_index(drop=True)], axis=1))
+            if how == "left" and (reps == 0).any():
+                pieces.append(_null_fill(matchable[reps == 0]))
+        elif how == "left" and len(matchable):
+            pieces.append(_null_fill(matchable))
+        if how == "left" and len(passthrough):
+            pieces.append(_null_fill(passthrough))
+        if not pieces:
+            return _null_fill(ldf.iloc[0:0])[out_cols]
+        return pd.concat(pieces, ignore_index=True)[out_cols]
+
+    return (
+        tagged.groupby("__part")
+        .map_groups(cogroup, batch_format="pandas")
+    )

@@ -278,3 +278,71 @@ def test_hash_join_random_tables_match_pandas(ray_session):
                             left_on="k", right_on="rk")
         assert len(lj) == len(want_lj)
         assert lj["k"].isna().sum() == ldf["k"].isna().sum()
+
+
+def test_interval_join_random_matches_pandas(ray_session):
+    """Randomized interval join vs a brute-force pandas oracle: duplicate
+    keys, null keys/timestamps, multi-match bands, inner and left."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import interval_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 250, 400
+    base = pd.Timestamp("2025-03-01")
+    ldf = pd.DataFrame({
+        "k": rng.integers(0, 20, n_l),
+        "ts": base + pd.to_timedelta(rng.integers(0, 86_400, n_l), unit="s"),
+        "lid": np.arange(n_l),
+    })
+    ldf.loc[rng.random(n_l) < 0.04, "ts"] = pd.NaT
+    rdf = pd.DataFrame({
+        "k": rng.integers(0, 25, n_r),
+        "ts": base + pd.to_timedelta(rng.integers(0, 86_400, n_r), unit="s"),
+        "rid": np.arange(n_r),
+    })
+    rdf.loc[rng.random(n_r) < 0.04, "ts"] = pd.NaT
+    lo, up = pd.Timedelta("-15min"), pd.Timedelta("45min")
+
+    cross = ldf.dropna(subset=["ts"]).merge(
+        rdf.dropna(subset=["ts"]), on="k", suffixes=("", "_right"))
+    want_inner = cross[(cross["ts_right"] >= cross["ts"] + lo)
+                       & (cross["ts_right"] <= cross["ts"] + up)]
+
+    lds = rd.from_arrow(pa.Table.from_pandas(ldf)).repartition(3)
+    rds = rd.from_arrow(pa.Table.from_pandas(rdf)).repartition(4)
+    got = interval_join(lds, rds, key="k", left_ts="ts", right_ts="ts",
+                        lower=lo, upper=up, partitions=8).to_pandas()
+    srt = ["lid", "rid"]
+    pd.testing.assert_frame_equal(
+        got[["lid", "rid", "k"]].sort_values(srt).reset_index(drop=True),
+        want_inner[["lid", "rid", "k"]].sort_values(srt)
+        .reset_index(drop=True), check_dtype=False)
+    assert got["rid"].notna().all()
+    # multi-match expansion actually exercised
+    assert got["lid"].value_counts().max() > 1
+
+    lj = interval_join(lds, rds, key="k", left_ts="ts", right_ts="ts",
+                       lower=lo, upper=up, how="left",
+                       partitions=8).to_pandas()
+    matched_lids = set(want_inner["lid"])
+    assert len(lj) == len(want_inner) + (n_l - len(matched_lids))
+    unmatched = lj[lj["rid"].isna()]
+    assert set(unmatched["lid"]) == set(ldf["lid"]) - matched_lids
+    # null-ts left rows pass through exactly once in a left join
+    assert set(ldf.loc[ldf["ts"].isna(), "lid"]) <= set(unmatched["lid"])
+
+
+def test_interval_join_bounds_validated(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import interval_join
+
+    t = pa.table({"k": [1], "ts": pa.array([0], pa.timestamp("us"))})
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError, match="bound"):
+        interval_join(ds, ds, key="k", left_ts="ts", right_ts="ts",
+                      lower="1h", upper="-1h")
+    with pytest.raises(ValueError, match="join type"):
+        interval_join(ds, ds, key="k", left_ts="ts", right_ts="ts",
+                      lower="-1h", upper="1h", how="outer")
