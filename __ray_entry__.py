@@ -285,6 +285,14 @@ def _contamination_documents(sf_dir: str) -> pd.DataFrame:
     return DC.contamination_check(docs, bench, n=8)
 
 
+def _duplicate_spans_documents(sf_dir: str) -> pd.DataFrame:
+    """Cross-document duplicate 13-gram spans (substring-dedup signal)."""
+    from dataprof_ray.pipelines.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), n=13)
+
+
 def _views_near_clicks(sf_dir: str) -> pd.DataFrame:
     """Interval join: for each click, count same-user views within ±30
     minutes (left semantics: clicks with no nearby view count 0)."""
@@ -872,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_documents": _contamination_documents,
         "latest_event_per_user": _latest_event_per_user,
         "views_near_clicks": _views_near_clicks,
+        "duplicate_spans_documents": _duplicate_spans_documents,
         "weekday_orders": _weekday_orders,
         "row_duplicates_documents": _row_duplicates_documents,
         "sales_by_segment": _sales_by_segment,
@@ -1096,6 +1105,23 @@ def oracle_sql() -> dict[str, str]:
             "AND r.ts BETWEEN l.ts - INTERVAL 12 HOUR "
             "AND l.ts + INTERVAL 12 HOUR "
             "WHERE l.event_type = 'click' GROUP BY 1, 2"
+        ),
+        "duplicate_spans_documents": (
+            "WITH d AS (SELECT doc_id, CASE WHEN text IS NULL OR "
+            "TRIM(text, ' \t\n\r') = '' THEN CAST([] AS VARCHAR[]) "
+            "ELSE REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text, ' \t\n\r')), "
+            "'\\s+') END AS arr FROM documents), "
+            "dg AS (SELECT doc_id, ARRAY_TO_STRING(arr[i:i+12], ' ') AS g "
+            "FROM d, UNNEST(RANGE(1, LEN(arr) - 11)) AS t(i)), "
+            "dup AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd "
+            "FROM dg GROUP BY g) WHERE nd >= 2), "
+            "cnt AS (SELECT doc_id, COUNT(*) AS n_grams, "
+            "CAST(SUM(CASE WHEN g IN (SELECT g FROM dup) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_dup_positions FROM dg GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams, "
+            "COALESCE(n_dup_positions, 0) AS n_dup_positions, "
+            "COALESCE(ROUND(n_dup_positions * 1.0 / n_grams, 4), 0.0) AS "
+            "dup_span_frac FROM d LEFT JOIN cnt ON d.doc_id = cnt.doc_id"
         ),
         "weekday_orders": (
             "SELECT DAYNAME(o_orderdate) AS weekday, COUNT(*) AS cnt "

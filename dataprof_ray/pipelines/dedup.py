@@ -1118,3 +1118,98 @@ def embedding_neardup_recall(ds, vec_col: str = "embedding", id_col: str = "vec_
             lsh_kwargs.get("bands", 16),
             lsh_kwargs.get("planes_per_band", 16)), 6),
     }])
+
+
+# ------------------------------------------------- cross-doc duplicate spans
+
+
+def _wordgram_hashes(text: str, n: int) -> np.ndarray:
+    """uint64 hashes of ALL word n-gram positions of a document (duplicates
+    kept — one entry per position). Tokenizer matches the textstats/oracle
+    contract: lowercase, ``\\s+`` split, space-joined grams."""
+    import polars as pl
+
+    toks = re.split(r"\s+", (text or "").lower().strip())
+    if toks == [""] or len(toks) < n:
+        return np.empty(0, dtype=np.uint64)
+    grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    return pl.Series(grams).hash(seed=0).to_numpy().astype(np.uint64)
+
+
+def duplicate_span_stats(
+    ds,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> pd.DataFrame:
+    """Cross-document duplicate-span report (the signal behind exact
+    substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better"): for each document, how many of its word
+    n-gram positions carry a span that also occurs in at least
+    ``min_docs - 1`` OTHER documents. High fractions mark boilerplate and
+    copy-paste content that document-level dedup misses.
+
+    Scale design, two passes over the text:
+    1. distinct (gram-hash, doc) pairs per batch -> groupby(hash) count =
+       docs-per-gram; the shuffle moves 8-byte hashes + ids, never grams.
+    2. hashes with count >= ``min_docs`` are broadcast (``ray.put`` sorted
+       uint64 array) and each batch counts its positions via searchsorted.
+    The broadcast set is bounded by the number of CROSS-DOC duplicated
+    grams (boilerplate vocabulary, not corpus size); for a corpus where
+    that set outgrows worker memory, replace pass 2's broadcast with a
+    hash-partitioned semi-join on the gram hash (``join.hash_join``
+    machinery) — same contract as the dedup verify paths above."""
+    import ray
+
+    from dataprof_ray.pipelines.aggregate import round_away
+
+    def gram_doc_pairs(batch: pa.Table) -> pa.Table:
+        # per-doc np.unique means each (gram, doc) contributes once, so the
+        # downstream Count over hashes IS the distinct-doc count per gram
+        hs = [np.unique(_wordgram_hashes(t, n))
+              for t in batch.column(text_col).to_pylist()]
+        if not hs:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        return pa.table({"h": pa.array(np.concatenate(hs), pa.uint64())})
+
+    from ray.data.aggregate import Count
+
+    counts = (
+        ds.select_columns([text_col])
+        .map_batches(gram_doc_pairs, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="nd"))
+    )
+    dup = counts.filter(expr=f"nd >= {int(min_docs)}").to_pandas()
+    # an all-unique corpus yields an empty filtered Dataset, whose pandas
+    # form loses the schema (no "h" column) — treat as an empty dup set
+    dup_sorted = (np.sort(dup["h"].to_numpy().astype(np.uint64))
+                  if "h" in dup.columns else np.empty(0, dtype=np.uint64))
+    dup_ref = ray.put(dup_sorted)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        dup_arr = ray.get(dup_ref)
+        ids = batch.column(id_col)
+        total, ndup, frac = [], [], []
+        for t in batch.column(text_col).to_pylist():
+            hs = _wordgram_hashes(t, n)
+            if len(hs) and len(dup_arr):
+                pos = np.searchsorted(dup_arr, hs)
+                pos[pos == len(dup_arr)] = 0
+                c = int((dup_arr[pos] == hs).sum()) if len(dup_arr) else 0
+            else:
+                c = 0
+            total.append(len(hs))
+            ndup.append(c)
+            frac.append(c / len(hs) if len(hs) else 0.0)
+        return pa.table({
+            id_col: ids,
+            "n_grams": pa.array(total, pa.int64()),
+            "n_dup_positions": pa.array(ndup, pa.int64()),
+            "dup_span_frac": pa.array(round_away(frac, 4), pa.float64()),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(scan, batch_format="pyarrow")
+            .to_pandas().sort_values(id_col).reset_index(drop=True))

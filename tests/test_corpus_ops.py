@@ -85,3 +85,35 @@ def test_contamination_short_doc_zero(ray_session):
     out = contamination_check(_ds(corpus, 1), frozenset({"x"}), n=8)
     assert out.iloc[0][["n_grams", "n_contaminated", "contam_frac"]].tolist() \
         == [0, 0, 0.0]
+
+
+def test_duplicate_span_stats_planted(ray_session):
+    from dataprof_ray.pipelines.dedup import duplicate_span_stats
+
+    shared = "s1 s2 s3 s4 s5"
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            f"a b {shared} c d",        # shares the 5-gram with doc 1
+            f"x y z {shared}",
+            "entirely different words here now ok",
+            "tiny",                      # shorter than n -> 0 grams
+        ],
+    })
+    out = duplicate_span_stats(_ds(t, 2), n=5)
+    # doc0: 9 toks -> 5 positions; exactly one (the shared span) duplicated
+    assert out["n_grams"].tolist() == [5, 4, 2, 0]
+    assert out["n_dup_positions"].tolist() == [1, 1, 0, 0]
+    assert out["dup_span_frac"].tolist() == [0.2, 0.25, 0.0, 0.0]
+
+
+def test_duplicate_span_stats_within_doc_repeat_not_cross(ray_session):
+    """A span repeated only WITHIN one doc is not a cross-doc duplicate."""
+    from dataprof_ray.pipelines.dedup import duplicate_span_stats
+
+    t = pa.table({
+        "doc_id": [0, 1],
+        "text": ["p q r p q r p q", "different tokens entirely here"],
+    })
+    out = duplicate_span_stats(_ds(t, 1), n=3)
+    assert out["n_dup_positions"].tolist() == [0, 0]
