@@ -79,6 +79,10 @@ def bench_queries() -> dict[str, float]:
         "minhash_duplicate_groups", "topk_cosine", "langid_documents",
         # round 2 additions: large-large hash join + keyed session windows
         "revenue_by_priority", "session_events",
+        # round 3 additions: interval join, cross-doc span dedup,
+        # decontamination scan, hopping windows
+        "views_near_clicks", "duplicate_spans_documents",
+        "contamination_documents", "hopping_events",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -1151,8 +1151,11 @@ def duplicate_span_stats(
     copy-paste content that document-level dedup misses.
 
     Scale design, two passes over the text:
-    1. distinct (gram-hash, doc) pairs per batch -> groupby(hash) count =
-       docs-per-gram; the shuffle moves 8-byte hashes + ids, never grams.
+    1. distinct per-doc gram hashes per batch -> COARSE ``h % partitions``
+       exchange -> one pandas ``value_counts`` per partition = docs-per-gram
+       (Ray's sort-aggregate over ~1 group per distinct gram measured 3x
+       slower than 64 coarse groups at sf0.1); the shuffle moves 8-byte
+       hashes, never grams.
     2. hashes with count >= ``min_docs`` are broadcast (``ray.put`` sorted
        uint64 array) and each batch counts its positions via searchsorted.
     The broadcast set is bounded by the number of CROSS-DOC duplicated
@@ -1164,26 +1167,34 @@ def duplicate_span_stats(
 
     from dataprof_ray.pipelines.aggregate import round_away
 
+    parts = 64
+
     def gram_doc_pairs(batch: pa.Table) -> pa.Table:
         # per-doc np.unique means each (gram, doc) contributes once, so the
-        # downstream Count over hashes IS the distinct-doc count per gram
+        # downstream per-partition value_counts IS the docs-per-gram count
         hs = [np.unique(_wordgram_hashes(t, n))
               for t in batch.column(text_col).to_pylist()]
-        if not hs:
-            return pa.table({"h": pa.array([], pa.uint64())})
-        return pa.table({"h": pa.array(np.concatenate(hs), pa.uint64())})
+        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        return pa.table({
+            "h": pa.array(h, pa.uint64()),
+            "__part": pa.array((h % np.uint64(parts)).astype(np.int32),
+                               pa.int32()),
+        })
 
-    from ray.data.aggregate import Count
+    def dup_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["h"].value_counts()
+        return pd.DataFrame(
+            {"h": vc[vc >= min_docs].index.to_numpy(dtype=np.uint64)})
 
-    counts = (
+    dup = (
         ds.select_columns([text_col])
         .map_batches(gram_doc_pairs, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Count(alias_name="nd"))
+        .groupby("__part")
+        .map_groups(dup_hashes, batch_format="pandas")
+        .to_pandas()
     )
-    dup = counts.filter(expr=f"nd >= {int(min_docs)}").to_pandas()
-    # an all-unique corpus yields an empty filtered Dataset, whose pandas
-    # form loses the schema (no "h" column) — treat as an empty dup set
+    # an all-unique corpus yields an empty result, whose pandas form can
+    # lose the schema (no "h" column) — treat as an empty dup set
     dup_sorted = (np.sort(dup["h"].to_numpy().astype(np.uint64))
                   if "h" in dup.columns else np.empty(0, dtype=np.uint64))
     dup_ref = ray.put(dup_sorted)
