@@ -285,6 +285,44 @@ def _contamination_documents(sf_dir: str) -> pd.DataFrame:
     return DC.contamination_check(docs, bench, n=8)
 
 
+def _rolling_user_events(sf_dir: str):
+    """Trailing 7-day per-user rolling count + exact cents sum per event."""
+    import pyarrow.compute as pc
+
+    from dataprof_ray.pipelines.window import rolling_window
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "ts": b.column("ts"),
+            "user_id": b.column("user_id"),
+            "value_cents": pc.cast(
+                pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))),
+                pa.int64()),
+        })
+
+    return rolling_window(ev.map_batches(cents, batch_format="pyarrow"),
+                          "ts", "user_id", "7d",
+                          value_cents_col="value_cents")
+
+
+def _customers_urgent_orders(sf_dir: str):
+    """Semi join: customers holding at least one URGENT order (broadcast
+    distinct key set, no shuffle on the customer side; the anti flavor is
+    unit-tested — the TPC-H generator leaves no orderless customers)."""
+    from dataprof_ray.pipelines.join import semi_anti_join
+
+    urgent = (_read(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderpriority"])
+              .filter(expr="o_orderpriority == '1-URGENT'"))
+    return semi_anti_join(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        urgent, big_key="c_custkey", small_key="o_custkey", how="semi")
+
+
 def _duplicate_spans_documents(sf_dir: str) -> pd.DataFrame:
     """Cross-document duplicate 13-gram spans (substring-dedup signal)."""
     from dataprof_ray.pipelines.dedup import duplicate_span_stats
@@ -881,6 +919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _latest_event_per_user,
         "views_near_clicks": _views_near_clicks,
         "duplicate_spans_documents": _duplicate_spans_documents,
+        "customers_urgent_orders": _customers_urgent_orders,
+        "rolling_user_events": _rolling_user_events,
         "weekday_orders": _weekday_orders,
         "row_duplicates_documents": _row_duplicates_documents,
         "sales_by_segment": _sales_by_segment,
@@ -1122,6 +1162,20 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(n_dup_positions, 0) AS n_dup_positions, "
             "COALESCE(ROUND(n_dup_positions * 1.0 / n_grams, 4), 0.0) AS "
             "dup_span_frac FROM d LEFT JOIN cnt ON d.doc_id = cnt.doc_id"
+        ),
+        "customers_urgent_orders": (
+            "SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT')"
+        ),
+        "rolling_user_events": (
+            "SELECT event_id, ts, user_id, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS value_cents, "
+            "COUNT(*) OVER w AS w_cnt, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS w_sum_cents FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts RANGE BETWEEN INTERVAL 7 DAY PRECEDING "
+            "AND CURRENT ROW)"
         ),
         "weekday_orders": (
             "SELECT DAYNAME(o_orderdate) AS weekday, COUNT(*) AS cnt "

@@ -82,7 +82,7 @@ def bench_queries() -> dict[str, float]:
         # round 3 additions: interval join, cross-doc span dedup,
         # decontamination scan, hopping windows
         "views_near_clicks", "duplicate_spans_documents",
-        "contamination_documents", "hopping_events",
+        "contamination_documents", "hopping_events", "rolling_user_events",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

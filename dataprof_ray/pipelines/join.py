@@ -623,3 +623,57 @@ def interval_join(
         tagged.groupby("__part")
         .map_groups(cogroup, batch_format="pandas")
     )
+
+
+def semi_anti_join(
+    big_ds,
+    small,
+    *,
+    big_key: str,
+    small_key: str,
+    how: str = "semi",
+    concurrency=(1, 8),
+    batch_size: Optional[int] = 4096,
+):
+    """Existence join against a broadcast key set: ``semi`` keeps big-side
+    rows whose key appears in ``small``; ``anti`` keeps rows whose key does
+    NOT (SQL ``EXISTS`` / ``NOT EXISTS`` with an equality predicate — a NULL
+    big-side key never matches, so it is dropped by ``semi`` and kept by
+    ``anti``). ``small`` may be a Dataset or pyarrow.Table; only its
+    DISTINCT keys ship (``ray.put`` once), so the big side streams with no
+    shuffle and the membership test is one vectorized ``pc.is_in`` per
+    batch — use it whenever the distinct key set fits in memory (the same
+    contract as ``broadcast_join``; else fall back to ``hash_join`` +
+    project)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    if how not in ("semi", "anti"):
+        raise ValueError(f"unsupported join type: {how}")
+    table = small
+    if not isinstance(table, pa.Table):
+        table = pa.concat_tables(
+            list(small.select_columns([small_key])
+                 .iter_batches(batch_format="pyarrow")))
+    keys = pc.unique(table.column(small_key).combine_chunks())
+    keys = keys.drop_null()  # SQL: a NULL small-side key matches nothing
+    keys_ref = ray.put(keys)
+    keep_matched = how == "semi"
+
+    class _Membership:
+        def __init__(self) -> None:
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            value_set = self.keys.cast(batch.column(big_key).type) \
+                if self.keys.type != batch.column(big_key).type else self.keys
+            mask = pc.fill_null(
+                pc.is_in(batch.column(big_key), value_set=value_set), False)
+            if not keep_matched:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+    return big_ds.map_batches(
+        _Membership, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

@@ -202,3 +202,79 @@ def session_window(
         .sort_values([key, "session_id"])
         .reset_index(drop=True)
     )
+
+
+def rolling_window(
+    ds,
+    ts_col: str,
+    key: str,
+    window,
+    value_cents_col: Optional[str] = None,
+    partitions: int = None,
+):
+    """Per-row trailing-window aggregate: for each row, the count (and,
+    when ``value_cents_col`` is given, the exact integer sum) of SAME-key
+    rows whose timestamp lies in ``[ts - window, ts]`` — SQL's
+    ``... OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN <window>
+    PRECEDING AND CURRENT ROW)`` frame, including timestamp ties (all rows
+    sharing a timestamp get the same frame, as in SQL RANGE).
+
+    ``value_cents_col`` must be an integer column (convert money upstream
+    with a cents cast): integer prefix sums keep the rolling sum exact and
+    order-independent, where a float rolling sum would drift from the SQL
+    oracle. Null timestamps get count 0 / null-sum (their SQL frame is the
+    NULLS-grouped peer set; we pin the simpler null -> empty-frame
+    contract and the oracle filters null ts).
+
+    Scale design: COARSE hash(key) partitions (see pipelines.partitioning);
+    within a partition, rows sort once by (key, ts) and every key group is
+    answered by two vectorized ``searchsorted`` calls against its slice
+    plus a prefix-sum difference — O(rows log rows) per partition, no
+    per-pair expansion, output rides the partition (one shuffle total).
+    Returns a Dataset with the input columns plus ``w_cnt`` /
+    ``w_sum_cents``."""
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column)
+
+    parts = partitions or DEFAULT_PARTITIONS
+    window = pd.Timedelta(window)
+    if window < pd.Timedelta(0):
+        raise ValueError(f"window must be non-negative, got {window}")
+    win_np = window.to_timedelta64()
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__part")
+        valid = df[df[ts_col].notna()].sort_values(
+            [key, ts_col], kind="stable")
+        skipped = df.drop(valid.index)
+        ts = valid[ts_col].to_numpy()
+        cnt = np.zeros(len(valid), dtype=np.int64)
+        if value_cents_col is not None:
+            vals = valid[value_cents_col].to_numpy(dtype=np.int64)
+            csum = np.concatenate([[0], np.cumsum(vals)])
+            wsum = np.zeros(len(valid), dtype=np.int64)
+        for kv, idx in valid.groupby(key, sort=False, dropna=False).indices.items():
+            s, e = int(idx[0]), int(idx[-1]) + 1
+            lo = s + np.searchsorted(ts[s:e], ts[s:e] - win_np, side="left")
+            hi = s + np.searchsorted(ts[s:e], ts[s:e], side="right")
+            cnt[idx] = hi - lo
+            if value_cents_col is not None:
+                wsum[idx] = csum[hi] - csum[lo]
+        out = valid.copy()
+        out["w_cnt"] = cnt
+        if value_cents_col is not None:
+            out["w_sum_cents"] = wsum
+        if len(skipped):
+            skipped = skipped.copy()
+            skipped["w_cnt"] = np.int64(0)
+            if value_cents_col is not None:
+                skipped["w_sum_cents"] = np.int64(0)
+            out = pd.concat([out, skipped], ignore_index=True)
+        return out
+
+    return (
+        ds.map_batches(lambda b: add_part_column(b, [key], parts),
+                       batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

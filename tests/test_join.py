@@ -346,3 +346,37 @@ def test_interval_join_bounds_validated(ray_session):
     with pytest.raises(ValueError, match="join type"):
         interval_join(ds, ds, key="k", left_ts="ts", right_ts="ts",
                       lower="-1h", upper="1h", how="outer")
+
+
+def test_semi_anti_join(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import semi_anti_join
+
+    big = pa.table({
+        "k": pa.array([1, 2, 3, None, 5], pa.int64()),
+        "v": ["a", "b", "c", "d", "e"],
+    })
+    small = pa.table({"sk": pa.array([2, 2, 5, None], pa.int64())})
+    bds = rd.from_arrow(big).repartition(2)
+    semi = semi_anti_join(bds, small, big_key="k", small_key="sk",
+                          how="semi").to_pandas()
+    assert sorted(semi["v"]) == ["b", "e"]
+    anti = semi_anti_join(bds, small, big_key="k", small_key="sk",
+                          how="anti").to_pandas()
+    # NULL big key never matches -> kept by anti (NOT EXISTS semantics)
+    assert sorted(anti["v"]) == ["a", "c", "d"]
+    with pytest.raises(ValueError, match="join type"):
+        semi_anti_join(bds, small, big_key="k", small_key="sk", how="outer")
+
+
+def test_semi_anti_join_cross_typed_keys(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import semi_anti_join
+
+    big = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    small = pa.table({"sk": pa.array([2.0, 9.0])})  # float small side
+    out = semi_anti_join(rd.from_arrow(big), small, big_key="k",
+                         small_key="sk", how="semi").to_pandas()
+    assert out["k"].tolist() == [2]

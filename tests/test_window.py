@@ -91,3 +91,62 @@ def test_hopping_m1_equals_tumbling(ray_session, events):
     hop = hop.sort_values(["window", "kind"]).reset_index(drop=True)
     tum = tum.sort_values(["window", "kind"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(hop, tum, check_dtype=False)
+
+
+def test_rolling_window_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.window import rolling_window
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    base = np.datetime64("2025-01-01", "us")
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n)),
+        "ts": pa.array(base + rng.integers(0, 10 * 86_400_000_000, n)
+                       .astype("timedelta64[us]"), pa.timestamp("us")),
+        "cents": pa.array(rng.integers(-500, 500, n), pa.int64()),
+    })
+    out = (rolling_window(rd.from_arrow(t).repartition(4), "ts", "k",
+                          "36h", value_cents_col="cents")
+           .to_pandas().sort_values(["k", "ts", "cents"])
+           .reset_index(drop=True))
+    df = t.to_pandas()
+    w = pd.Timedelta("36h")
+    cnts, sums = [], []
+    for _, row in df.iterrows():
+        frame = df[(df["k"] == row["k"]) & (df["ts"] >= row["ts"] - w)
+                   & (df["ts"] <= row["ts"])]
+        cnts.append(len(frame))
+        sums.append(frame["cents"].sum())
+    df["w_cnt"], df["w_sum_cents"] = cnts, sums
+    want = df.sort_values(["k", "ts", "cents"]).reset_index(drop=True)
+    assert (out["w_cnt"].to_numpy() == want["w_cnt"].to_numpy()).all()
+    assert (out["w_sum_cents"].to_numpy()
+            == want["w_sum_cents"].to_numpy()).all()
+
+
+def test_rolling_window_ties_share_frame(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.window import rolling_window
+
+    ts = pa.array([0, 0, 0], pa.timestamp("us"))
+    t = pa.table({"k": [1, 1, 1], "ts": ts,
+                  "cents": pa.array([1, 2, 4], pa.int64())})
+    out = (rolling_window(rd.from_arrow(t), "ts", "k", "1h",
+                          value_cents_col="cents").to_pandas())
+    # SQL RANGE frame: all tied timestamps are peers -> identical results
+    assert out["w_cnt"].tolist() == [3, 3, 3]
+    assert out["w_sum_cents"].tolist() == [7, 7, 7]
+
+
+def test_rolling_window_rejects_negative(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.window import rolling_window
+
+    t = pa.table({"k": [1], "ts": pa.array([0], pa.timestamp("us")),
+                  "c": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="non-negative"):
+        rolling_window(rd.from_arrow(t), "ts", "k", "-1h")
