@@ -285,6 +285,24 @@ def _contamination_documents(sf_dir: str) -> pd.DataFrame:
     return DC.contamination_check(docs, bench, n=8)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _weekday_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Crosstab: weekday rows x event-type count columns (NULL types count
+    toward no column, as in the SQL CASE formulation)."""
+    from dataprof_ray.pipelines.aggregate import pivot_counts
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def weekday(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"weekday": df["ts"].dt.day_name(),
+                             "event_type": df["event_type"]})
+
+    return pivot_counts(ev.map_batches(weekday, batch_format="pandas"),
+                        ["weekday"], "event_type", _EVENT_TYPES)
+
+
 def _rolling_user_events(sf_dir: str):
     """Trailing 7-day per-user rolling count + exact cents sum per event."""
     import pyarrow.compute as pc
@@ -921,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans_documents": _duplicate_spans_documents,
         "customers_urgent_orders": _customers_urgent_orders,
         "rolling_user_events": _rolling_user_events,
+        "weekday_type_pivot": _weekday_type_pivot,
         "weekday_orders": _weekday_orders,
         "row_duplicates_documents": _row_duplicates_documents,
         "sales_by_segment": _sales_by_segment,
@@ -1176,6 +1195,13 @@ def oracle_sql() -> dict[str, str]:
             "AS w_sum_cents FROM events WINDOW w AS (PARTITION BY user_id "
             "ORDER BY ts RANGE BETWEEN INTERVAL 7 DAY PRECEDING "
             "AND CURRENT ROW)"
+        ),
+        "weekday_type_pivot": (
+            "SELECT DAYNAME(ts) AS weekday, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS {t}" for t in _EVENT_TYPES)
+            + " FROM events GROUP BY 1"
         ),
         "weekday_orders": (
             "SELECT DAYNAME(o_orderdate) AS weekday, COUNT(*) AS cnt "

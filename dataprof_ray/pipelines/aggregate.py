@@ -186,3 +186,43 @@ def argmax_by(
         .drop(columns="__part")
     )
     return out.sort_values(keys).reset_index(drop=True)
+
+
+def pivot_counts(
+    ds,
+    index_cols: Sequence[str],
+    pivot_col: str,
+    values: Sequence,
+) -> pd.DataFrame:
+    """Crosstab: one output row per distinct ``index_cols`` combination and
+    one count column per entry of ``values`` (the explicit pivot-value list
+    — SQL's ``SUM(CASE WHEN pivot = v THEN 1 ELSE 0 END)`` per column; a
+    NULL or unlisted pivot value counts toward no column).
+
+    Scale design: the widening is a per-batch Arrow kernel (one indicator
+    column per pivot value), which immediately collapses through
+    ``preagg_groupby`` — the shuffle moves one partial row per (index,
+    batch), never events, and the pivot never materializes a wide sparse
+    matrix of the input."""
+    import pyarrow.compute as pc
+
+    values = list(values)
+    index_cols = list(index_cols)
+    names = [str(v) for v in values]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate pivot column names: {names}")
+
+    def widen(batch: pa.Table) -> pa.Table:
+        cols = {c: batch.column(c) for c in index_cols}
+        pv = batch.column(pivot_col)
+        for name, v in zip(names, values):
+            cols["__p_" + name] = pc.cast(
+                pc.fill_null(pc.equal(pv, pa.scalar(v)), False), pa.int64())
+        return pa.table(cols)
+
+    out = preagg_groupby(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        index_cols, [(n, "__p_" + n, "sum") for n in names])
+    for n in names:
+        out[n] = out[n].astype(np.int64)
+    return out

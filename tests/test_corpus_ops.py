@@ -117,3 +117,19 @@ def test_duplicate_span_stats_within_doc_repeat_not_cross(ray_session):
     })
     out = duplicate_span_stats(_ds(t, 1), n=3)
     assert out["n_dup_positions"].tolist() == [0, 0]
+
+
+def test_pivot_counts(ray_session):
+    from dataprof_ray.pipelines.aggregate import pivot_counts
+
+    t = pa.table({
+        "g": ["a", "a", "b", "b", "b", "a"],
+        "p": ["x", "y", "x", None, "z", "x"],
+    })
+    out = pivot_counts(_ds(t, 2), ["g"], "p", ["x", "y"])
+    out = out.set_index("g")
+    # NULL and unlisted ("z") pivot values count toward no column
+    assert out.loc["a", ["x", "y"]].tolist() == [2, 1]
+    assert out.loc["b", ["x", "y"]].tolist() == [1, 0]
+    with pytest.raises(ValueError, match="duplicate"):
+        pivot_counts(_ds(t, 1), ["g"], "p", ["x", "x"])
