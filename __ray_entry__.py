@@ -285,6 +285,31 @@ def _contamination_documents(sf_dir: str) -> pd.DataFrame:
     return DC.contamination_check(docs, bench, n=8)
 
 
+def _approx_quantiles_audit(sf_dir: str) -> pd.DataFrame:
+    """Self-measuring accuracy audit (like ivf_recall): sketch quantiles of
+    l_extendedprice vs the exact type-7 values, reporting the worst rank
+    error. No SQL oracle — the result IS the measurement."""
+    from dataprof_ray.functions.kernels import quantile_type7
+    from dataprof_ray.pipelines.aggregate import approx_quantiles
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    approx = approx_quantiles(ds, "l_extendedprice", qs=qs, k=512)
+    col = np.sort(np.concatenate([
+        b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        for b in ds.iter_batches(batch_format="pyarrow")]))
+    rows = []
+    for q, av in zip(qs, approx["value"]):
+        exact = quantile_type7(col, q)
+        # achieved rank of the approx value vs requested rank
+        rank = np.searchsorted(col, av) / max(len(col) - 1, 1)
+        rows.append({"q": q, "approx": float(av), "exact": float(exact),
+                     "rank_err": float(abs(rank - q))})
+    out = pd.DataFrame(rows)
+    out["max_rank_err"] = out["rank_err"].max()
+    return out
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -940,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_urgent_orders": _customers_urgent_orders,
         "rolling_user_events": _rolling_user_events,
         "weekday_type_pivot": _weekday_type_pivot,
+        "approx_quantiles_audit": _approx_quantiles_audit,
         "weekday_orders": _weekday_orders,
         "row_duplicates_documents": _row_duplicates_documents,
         "sales_by_segment": _sales_by_segment,

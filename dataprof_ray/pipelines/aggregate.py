@@ -226,3 +226,40 @@ def pivot_counts(
     for n in names:
         out[n] = out[n].astype(np.int64)
     return out
+
+
+def approx_quantiles(
+    ds,
+    col: str,
+    qs: Sequence[float] = (0.01, 0.25, 0.5, 0.75, 0.99),
+    k: int = 512,
+) -> pd.DataFrame:
+    """Approximate quantiles of a column at bounded memory: every batch
+    builds a ``state.quantile_sketch.QuantileSketch`` (<= k weighted
+    points), the driver folds the small per-block sketches, and each
+    requested quantile interpolates the merged CDF. Unlike the exact
+    ``group_quantiles`` this never co-locates the column — the reduction
+    moves k x blocks points no matter the input size (rank error O(d/k)
+    for merge depth d; the companion audit query measures it)."""
+    from dataprof_ray.state.quantile_sketch import QuantileSketch
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k).update_array(
+            batch.column(col).to_numpy(zero_copy_only=False))
+        return pa.table({
+            "v": pa.array(sk.values, pa.float64()),
+            "w": pa.array(sk.weights, pa.float64()),
+        })
+
+    merged = QuantileSketch(k)
+    for part in (ds.select_columns([col])
+                 .map_batches(sketch_batch, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None)):
+        merged.merge(QuantileSketch(
+            k, part.column("v").to_numpy(zero_copy_only=False),
+            part.column("w").to_numpy(zero_copy_only=False)))
+    return pd.DataFrame({
+        "q": list(qs),
+        "value": [merged.quantile(q) for q in qs],
+        "n": np.int64(round(merged.total_weight)),
+    })

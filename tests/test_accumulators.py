@@ -231,3 +231,66 @@ def test_merge_collections_deterministic_order():
     m1 = A.merge_collections(list(reversed(parts)))
     assert m1.rows == 100
     assert m1.columns["x"].mean() == pytest.approx(49.5)
+
+
+# ----------------------------------------------------- QuantileSketch
+
+
+def test_quantile_sketch_exact_when_small():
+    from dataprof_ray.state.quantile_sketch import QuantileSketch
+
+    sk = QuantileSketch(k=64).update_array(np.arange(50, dtype=float))
+    assert sk.quantile(0.0) == 0.0
+    assert sk.quantile(1.0) == 49.0
+    assert abs(sk.quantile(0.5) - 24.5) <= 0.5
+    assert sk.total_weight == 50
+
+
+def test_quantile_sketch_rank_error_bound_multibatch():
+    from dataprof_ray.state.quantile_sketch import QuantileSketch
+
+    rng = np.random.default_rng(5)
+    data = rng.lognormal(mean=3.0, sigma=1.5, size=120_000)
+    merged = QuantileSketch(k=512)
+    for chunk in np.array_split(data, 37):  # uneven merge tree
+        merged.merge(QuantileSketch(k=512).update_array(chunk))
+    s = np.sort(data)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = merged.quantile(q)
+        rank = np.searchsorted(s, est) / (len(s) - 1)
+        assert abs(rank - q) < 0.01, (q, rank)
+    assert merged.total_weight == len(data)
+    assert len(merged.values) <= 512
+
+
+def test_quantile_sketch_nan_and_empty():
+    from dataprof_ray.state.quantile_sketch import QuantileSketch
+
+    sk = QuantileSketch(k=16).update_array(
+        np.array([1.0, np.nan, 3.0, np.nan]))
+    assert sk.total_weight == 2
+    assert np.isnan(QuantileSketch(k=16).quantile(0.5))
+    import pytest
+    with pytest.raises(ValueError, match="quantile"):
+        sk.quantile(1.5)
+    with pytest.raises(ValueError, match="k must be"):
+        QuantileSketch(k=2)
+
+
+def test_quantile_sketch_merge_order_bounded_drift():
+    """Merging in different orders stays within the documented bound."""
+    from dataprof_ray.state.quantile_sketch import QuantileSketch
+
+    rng = np.random.default_rng(9)
+    data = rng.normal(size=40_000)
+    chunks = np.array_split(data, 16)
+    a, b = QuantileSketch(512), QuantileSketch(512)
+    for c in chunks:
+        a.merge(QuantileSketch(512).update_array(c))
+    for c in reversed(chunks):
+        b.merge(QuantileSketch(512).update_array(c))
+    s = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        ra = np.searchsorted(s, a.quantile(q)) / len(s)
+        rb = np.searchsorted(s, b.quantile(q)) / len(s)
+        assert abs(ra - rb) < 0.02
