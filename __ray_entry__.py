@@ -285,6 +285,42 @@ def _contamination_documents(sf_dir: str) -> pd.DataFrame:
     return DC.contamination_check(docs, bench, n=8)
 
 
+def _top3_orders_per_priority(sf_dir: str) -> pd.DataFrame:
+    """Group-wise top-k: the 3 most expensive orders per priority."""
+    from dataprof_ray.pipelines.aggregate import topk_per_group
+
+    return topk_per_group(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        keys=["o_orderpriority"],
+        order_cols=["o_totalprice", "o_orderkey"], k=3)
+
+
+def _running_user_totals(sf_dir: str):
+    """Per-user running event count + exact cents running sum."""
+    import pyarrow.compute as pc
+
+    from dataprof_ray.pipelines.window import cumulative_window
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "ts": b.column("ts"),
+            "user_id": b.column("user_id"),
+            "value_cents": pc.cast(
+                pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))),
+                pa.int64()),
+        })
+
+    return cumulative_window(ev.map_batches(cents, batch_format="pyarrow"),
+                             "ts", "user_id",
+                             value_cents_col="value_cents",
+                             order_extra=["event_id"])
+
+
 def _approx_quantiles_audit(sf_dir: str) -> pd.DataFrame:
     """Self-measuring accuracy audit (like ivf_recall): sketch quantiles of
     l_extendedprice vs the exact type-7 values, reporting the worst rank
@@ -965,6 +1001,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_urgent_orders": _customers_urgent_orders,
         "rolling_user_events": _rolling_user_events,
         "weekday_type_pivot": _weekday_type_pivot,
+        "top3_orders_per_priority": _top3_orders_per_priority,
+        "running_user_totals": _running_user_totals,
         "approx_quantiles_audit": _approx_quantiles_audit,
         "weekday_orders": _weekday_orders,
         "row_duplicates_documents": _row_duplicates_documents,
@@ -1220,6 +1258,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) "
             "AS w_sum_cents FROM events WINDOW w AS (PARTITION BY user_id "
             "ORDER BY ts RANGE BETWEEN INTERVAL 7 DAY PRECEDING "
+            "AND CURRENT ROW)"
+        ),
+        "top3_orders_per_priority": (
+            "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey DESC) <= 3"
+        ),
+        "running_user_totals": (
+            "SELECT event_id, ts, user_id, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS value_cents, "
+            "COUNT(*) OVER w AS r_cnt, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) "
+            "AS r_sum_cents FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
             "AND CURRENT ROW)"
         ),
         "weekday_type_pivot": (

@@ -263,3 +263,46 @@ def approx_quantiles(
         "value": [merged.quantile(q) for q in qs],
         "n": np.int64(round(merged.total_weight)),
     })
+
+
+def topk_per_group(
+    ds,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    k: int,
+    descending: bool = True,
+    partitions: int = None,
+) -> pd.DataFrame:
+    """Top-k rows per key group under the lexicographic ``order_cols``
+    order (SQL ``QUALIFY ROW_NUMBER() OVER (PARTITION BY keys ORDER BY
+    order_cols DESC) <= k``). ``order_cols`` must totally order each group
+    (append a unique id) for a deterministic result.
+
+    Scale design: the ``argmax_by`` combiner generalized — each batch
+    keeps at most k rows per key it contains, so the shuffle moves
+    k x |keys-in-batch| x |batches| candidates; the final reduce is one
+    vectorized pandas pass per COARSE hash(key) partition."""
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column)
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keys = list(keys)
+    order_cols = list(order_cols)
+    parts = partitions or DEFAULT_PARTITIONS
+
+    def reduce_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_cols, ascending=not descending,
+                               kind="stable")
+                .groupby(keys, sort=False, dropna=False).head(k))
+
+    out = (
+        ds.map_batches(reduce_batch, batch_format="pandas")
+        .map_batches(lambda b: add_part_column(b, keys, parts),
+                     batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_batch, batch_format="pandas")
+        .to_pandas()
+        .drop(columns="__part")
+    )
+    return out.sort_values(keys + order_cols).reset_index(drop=True)

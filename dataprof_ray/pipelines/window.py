@@ -278,3 +278,45 @@ def rolling_window(
         .groupby("__part")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+def cumulative_window(
+    ds,
+    ts_col: str,
+    key: str,
+    value_cents_col: Optional[str] = None,
+    order_extra: Sequence[str] = (),
+    partitions: int = None,
+):
+    """Per-key running totals: row number and (optionally) the exact
+    integer cumulative sum under the order (``ts_col``, *``order_extra``)
+    — SQL's ``ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`` frame.
+    ``order_extra`` must make the order total within each key (a unique
+    id), or the ROWS frame is non-deterministic on ties in BOTH engines.
+    Integer cents keep the running sum exact (see ``rolling_window``).
+
+    Scale design: identical exchange to ``rolling_window`` — coarse
+    hash(key) partitions, one sort + one vectorized pandas groupby-cumsum
+    per partition; output rides the partition. The running state never
+    spans partitions because a key lives entirely in one."""
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column)
+
+    parts = partitions or DEFAULT_PARTITIONS
+    order_extra = list(order_extra)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop(columns="__part")
+              .sort_values([key, ts_col] + order_extra, kind="stable"))
+        g = df.groupby(key, sort=False, dropna=False)
+        df["r_cnt"] = g.cumcount().to_numpy() + 1
+        if value_cents_col is not None:
+            df["r_sum_cents"] = g[value_cents_col].cumsum().astype(np.int64)
+        return df
+
+    return (
+        ds.map_batches(lambda b: add_part_column(b, [key], parts),
+                       batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(per_partition, batch_format="pandas")
+    )

@@ -133,3 +133,50 @@ def test_pivot_counts(ray_session):
     assert out.loc["b", ["x", "y"]].tolist() == [1, 0]
     with pytest.raises(ValueError, match="duplicate"):
         pivot_counts(_ds(t, 1), ["g"], "p", ["x", "x"])
+
+
+def test_topk_per_group_matches_pandas(ray_session):
+    from dataprof_ray.pipelines.aggregate import topk_per_group
+
+    rng = np.random.default_rng(13)
+    n = 1500
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 30, n)),
+        "v": pa.array(rng.integers(0, 10_000, n)),
+        "id": pa.array(np.arange(n)),
+    })
+    out = topk_per_group(_ds(t, 4), keys=["g"], order_cols=["v", "id"], k=5)
+    df = t.to_pandas()
+    want = (df.sort_values(["v", "id"], ascending=False)
+            .groupby("g").head(5)
+            .sort_values(["g", "v", "id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want, check_dtype=False)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        topk_per_group(_ds(t, 1), keys=["g"], order_cols=["v"], k=0)
+
+
+def test_cumulative_window_matches_pandas(ray_session):
+    from dataprof_ray.pipelines.window import cumulative_window
+
+    rng = np.random.default_rng(21)
+    n = 1200
+    base = np.datetime64("2025-02-01", "us")
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 25, n)),
+        "ts": pa.array(base + rng.integers(0, 10**9, n)
+                       .astype("timedelta64[us]"), pa.timestamp("us")),
+        "id": pa.array(np.arange(n)),
+        "cents": pa.array(rng.integers(-100, 100, n), pa.int64()),
+    })
+    out = (cumulative_window(_ds(t, 4), "ts", "k",
+                             value_cents_col="cents", order_extra=["id"])
+           .to_pandas().sort_values(["k", "ts", "id"])
+           .reset_index(drop=True))
+    df = (t.to_pandas().sort_values(["k", "ts", "id"], kind="stable")
+          .reset_index(drop=True))
+    g = df.groupby("k", sort=False)
+    df["r_cnt"] = g.cumcount() + 1
+    df["r_sum_cents"] = g["cents"].cumsum()
+    pd.testing.assert_frame_equal(out, df, check_dtype=False)
