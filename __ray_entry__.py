@@ -410,6 +410,16 @@ def _duplicate_spans_documents(sf_dir: str) -> pd.DataFrame:
         _read(sf_dir, "documents", columns=["doc_id", "text"]), n=13)
 
 
+def _line_dedup_documents(sf_dir: str):
+    """C4-style cross-document line dedup: per-doc accounting of lines
+    removed because their exact text occurs in >1 distinct document."""
+    from dataprof_ray.pipelines.linededup import line_dedup
+
+    return line_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_docs=1, include_text=False)
+
+
 def _views_near_clicks(sf_dir: str) -> pd.DataFrame:
     """Interval join: for each click, count same-user views within ±30
     minutes (left semantics: clicks with no nearby view count 0)."""
@@ -998,6 +1008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _latest_event_per_user,
         "views_near_clicks": _views_near_clicks,
         "duplicate_spans_documents": _duplicate_spans_documents,
+        "line_dedup_documents": _line_dedup_documents,
         "customers_urgent_orders": _customers_urgent_orders,
         "rolling_user_events": _rolling_user_events,
         "weekday_type_pivot": _weekday_type_pivot,
@@ -1245,6 +1256,20 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(n_dup_positions, 0) AS n_dup_positions, "
             "COALESCE(ROUND(n_dup_positions * 1.0 / n_grams, 4), 0.0) AS "
             "dup_span_frac FROM d LEFT JOIN cnt ON d.doc_id = cnt.doc_id"
+        ),
+        "line_dedup_documents": (
+            "WITH L AS (SELECT doc_id, UNNEST(STRING_SPLIT("
+            "COALESCE(text, ''), CHR(10))) AS line FROM documents), "
+            "W AS (SELECT ' ' || CHR(9) || CHR(13) || CHR(10) || CHR(11) "
+            "|| CHR(12) AS ws), "
+            "F AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM L, W "
+            "WHERE TRIM(line, ws) <> '' GROUP BY line) "
+            "SELECT doc_id, COUNT(*) AS n_lines, "
+            "COUNT(*) FILTER (WHERE TRIM(line, ws) = '' "
+            "OR COALESCE(nd, 0) <= 1) AS n_kept, "
+            "COUNT(*) FILTER (WHERE TRIM(line, ws) <> '' "
+            "AND COALESCE(nd, 0) > 1) AS n_removed "
+            "FROM L LEFT JOIN F USING (line), W GROUP BY doc_id"
         ),
         "customers_urgent_orders": (
             "SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS "

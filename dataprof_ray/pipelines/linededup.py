@@ -1,0 +1,192 @@
+"""Cross-document LINE deduplication (C4-style corpus cleaning).
+
+A line whose exact text occurs in more than ``max_docs`` distinct documents
+is removed from EVERY document containing it (boilerplate navigation, cookie
+banners, repeated headers). Whitespace-only lines are never candidates —
+they carry formatting, not content, and removing "the empty line" corpus-wide
+would mangle every document.
+
+Scale design (the operator the reference lacks; extends its exact-dedup
+family to sub-document granularity):
+
+1. **Line counting** ships 16-byte identities, never line text: each batch
+   splits its documents with the Arrow ``split_pattern`` kernel (C++,
+   zero-copy), hashes every distinct (doc, line) once via two-seed polars
+   xxhash (128 bits — collisions are ~2^-64 per pair, the same contract as
+   the MD5/MinHash family), and pre-aggregates counts per hash INSIDE the
+   batch. The shuffle therefore moves (hash128, partial_count) rows — O(
+   distinct lines per batch), not O(line occurrences) — into 64 coarse
+   partitions (pipelines.partitioning: per-tiny-group Ray aggregates are the
+   measured hotspot; one vectorized pandas sum per partition is not).
+2. **The common-line set is broadcast**, not joined: duplicated distinct
+   lines are a tiny fraction of a web corpus (boilerplate is heavy-tailed),
+   so the driver assembles a sorted (n, 2) uint64 array and ``ray.put``s it
+   once; every filter task memcpy-deserializes it (numpy, not boxed
+   Python — see graft bench notes). Memory contract: O(distinct lines
+   occurring in > max_docs docs) on the driver and each worker. If that set
+   ever rivals worker memory (a pathologically templated corpus), the
+   fallback is the shuffle-join shape: re-emit (hash, doc_id, line_idx)
+   pairs and inner-join them against the common table per partition —
+   two extra exchanges of the line table, no broadcast.
+3. **Rewrite is embarrassingly parallel**: one more pass over the documents
+   with the broadcast set — no shuffle; output blocks mirror input blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from dataprof_ray.pipelines.partitioning import DEFAULT_PARTITIONS
+
+_NEWLINE = "\n"
+# explicit ASCII whitespace set, mirrored by the SQL oracle's
+# TRIM(line, ...) — DuckDB's bare TRIM strips only spaces, Arrow's
+# utf8_trim_whitespace strips all Unicode whitespace; pinning the set makes
+# both engines agree on what a "whitespace-only" line is
+_WS = " \t\r\n\x0b\x0c"
+
+
+def _split_lines(batch: pa.Table, text_col: str):
+    """(flat line StringArray, per-doc line counts) via the Arrow kernel.
+    Null text behaves like '' (one empty line), matching the SQL oracle's
+    ``coalesce(text, '')``."""
+    texts = pc.fill_null(batch.column(text_col), "")
+    lines = pc.split_pattern(texts, pattern=_NEWLINE).combine_chunks()
+    if isinstance(lines, pa.ChunkedArray):  # single-chunk after combine
+        lines = lines.chunk(0)
+    counts = np.diff(lines.offsets.to_numpy(zero_copy_only=False))
+    return lines.flatten(), counts.astype(np.int64)
+
+
+def _hash128(flat_lines) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent-seed 64-bit xxhashes per line (vectorized)."""
+    import polars as pl
+
+    s = pl.from_arrow(flat_lines)
+    return (s.hash(seed=0).to_numpy().astype(np.uint64),
+            s.hash(seed=1).to_numpy().astype(np.uint64))
+
+
+def _pack(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """(n,) structured void16 view — sortable/searchable as one key."""
+    a = np.empty((len(h1), 2), dtype=np.uint64)
+    a[:, 0] = h1
+    a[:, 1] = h2
+    return np.ascontiguousarray(a).view(
+        [("h1", np.uint64), ("h2", np.uint64)]).ravel()
+
+
+def common_line_hashes(ds, text_col: str = "text", max_docs: int = 1,
+                       partitions: int = DEFAULT_PARTITIONS):
+    """Dataset of (h1, h2, n_docs) for candidate lines occurring in more
+    than ``max_docs`` distinct documents. The counting exchange described in
+    the module docstring; one row per over-threshold distinct line."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, counts = _split_lines(batch, text_col)
+        trimmed = pc.utf8_trim(flat, characters=_WS)
+        cand = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        h1, h2 = _hash128(flat)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        df = pd.DataFrame({"d": doc_idx[cand], "h1": h1[cand], "h2": h2[cand]})
+        # distinct per doc, then count docs per line within the batch
+        per = (df.drop_duplicates()
+               .groupby(["h1", "h2"], sort=False).size().reset_index(name="n"))
+        part = (per["h1"].to_numpy() % np.uint64(partitions)).astype(np.int32)
+        return pa.table({
+            "__part": pa.array(part, pa.int32()),
+            "h1": pa.array(per["h1"].to_numpy(), pa.uint64()),
+            "h2": pa.array(per["h2"].to_numpy(), pa.uint64()),
+            "n": pa.array(per["n"].to_numpy(), pa.int64()),
+        })
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        tot = (df.groupby(["h1", "h2"], as_index=False, sort=False)["n"].sum()
+               .rename(columns={"n": "n_docs"}))
+        return tot[tot["n_docs"] > max_docs]
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pandas")
+    )
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               max_docs: int = 1, partitions: int = DEFAULT_PARTITIONS,
+               include_text: bool = True,
+               keep_cols: Optional[list] = None):
+    """Remove corpus-common lines from every document.
+
+    Returns a Dataset with ``id_col``, per-document line accounting
+    (``n_lines`` / ``n_kept`` / ``n_removed``), ``cleaned_text`` (unless
+    ``include_text=False``), and any ``keep_cols`` passed through. Lines are
+    ``text.split('\\n')``; a line is removed iff it is non-whitespace and its
+    exact text appears in more than ``max_docs`` distinct documents."""
+    import ray
+
+    common = common_line_hashes(ds, text_col=text_col, max_docs=max_docs,
+                                partitions=partitions).to_pandas()
+    if common.empty:  # a fully-empty result can drop its columns entirely
+        common = pd.DataFrame({"h1": [], "h2": []})
+    packed = np.sort(_pack(common["h1"].to_numpy(dtype=np.uint64),
+                           common["h2"].to_numpy(dtype=np.uint64)))
+    common_ref = ray.put(packed)
+    passthrough = list(keep_cols or [])
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        bc = _common_cached(common_ref)
+        flat, counts = _split_lines(batch, text_col)
+        trimmed = pc.utf8_trim(flat, characters=_WS)
+        cand = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        removed = np.zeros(len(flat), dtype=bool)
+        if len(bc) and cand.any():
+            h1, h2 = _hash128(flat)
+            keys = _pack(h1[cand], h2[cand])
+            idx = np.searchsorted(bc, keys).clip(0, len(bc) - 1)
+            removed[cand] = bc[idx] == keys
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        n_removed = np.bincount(doc_idx[removed],
+                                minlength=len(counts)).astype(np.int64)
+        cols = {
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(counts, pa.int64()),
+            "n_kept": pa.array(counts - n_removed, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+        }
+        if include_text:
+            kept = flat.to_pandas().to_numpy()  # object array of lines
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            keep_mask = ~removed
+            cols["cleaned_text"] = pa.array(
+                [_NEWLINE.join(kept[offsets[i]:offsets[i + 1]][
+                    keep_mask[offsets[i]:offsets[i + 1]]])
+                 for i in range(len(counts))], pa.string())
+        for c in passthrough:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+# per-worker cache for the broadcast common-line array (same pattern as
+# dedup._VERIFY_SHINGLE_CACHE: stateless tasks, one object-store read per
+# worker process, not per batch)
+_COMMON_CACHE: dict = {}
+
+
+def _common_cached(ref) -> np.ndarray:
+    import ray
+
+    key = ref.hex()
+    arr = _COMMON_CACHE.get(key)
+    if arr is None:
+        arr = ray.get(ref)
+        _COMMON_CACHE.clear()  # one live broadcast per worker
+        _COMMON_CACHE[key] = arr
+    return arr

@@ -1,0 +1,93 @@
+"""Cross-document line dedup: pure-python reference parity + edge cases."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from dataprof_ray.pipelines.linededup import _WS, line_dedup
+
+
+def _ds(table: pa.Table, parts: int = 3):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(parts)
+
+
+def _reference(texts: list, max_docs: int) -> pd.DataFrame:
+    """Line dedup in plain python over the whole corpus."""
+    from collections import Counter
+
+    per_doc_lines = [("" if t is None else t).split("\n") for t in texts]
+    nd = Counter()
+    for lines in per_doc_lines:
+        nd.update({ln for ln in lines if ln.strip(_WS)})
+    rows = []
+    for i, lines in enumerate(per_doc_lines):
+        removed = [ln for ln in lines
+                   if ln.strip(_WS) and nd[ln] > max_docs]
+        kept = [ln for ln in lines
+                if not ln.strip(_WS) or nd[ln] <= max_docs]
+        rows.append({
+            "doc_id": i, "n_lines": len(lines), "n_kept": len(kept),
+            "n_removed": len(removed), "cleaned_text": "\n".join(kept),
+        })
+    return pd.DataFrame(rows)
+
+
+def _run(texts: list, max_docs: int = 1, parts: int = 3) -> pd.DataFrame:
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (line_dedup(_ds(t, parts), max_docs=max_docs)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return out[["doc_id", "n_lines", "n_kept", "n_removed", "cleaned_text"]]
+
+
+def test_matches_reference_on_random_corpus(ray_session):
+    rng = np.random.default_rng(3)
+    pool = [f"unique line {i}" for i in range(200)] + [
+        "BOILERPLATE: accept cookies", "nav | home | about", "",
+        "   ", "\t", "(c) 2026 example"]
+    texts = ["\n".join(rng.choice(pool, size=rng.integers(1, 12)))
+             for _ in range(120)]
+    for max_docs in (1, 3):
+        got = _run(texts, max_docs=max_docs)
+        want = _reference(texts, max_docs)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_edge_cases(ray_session):
+    texts = [
+        "dup\ndup\nonly-here",  # within-doc repeat, single doc: kept
+        "",                     # empty doc: one empty line, kept
+        None,                   # null text behaves like ""
+        "dup",                  # makes "dup" cross-document
+        " \n\t\nreal",          # whitespace lines never removed
+        " \n\t\nreal",          # even though "real" is now common
+    ]
+    out = _run(texts)
+    want = _reference(texts, 1)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # the within-doc duplicate appears in 2 docs, so BOTH its occurrences
+    # in doc 0 are removed; whitespace-only lines all survive
+    assert out.loc[0, "cleaned_text"] == "only-here"
+    assert out.loc[4, "cleaned_text"] == " \n\t"
+    assert out.loc[1, "n_kept"] == 1 and out.loc[2, "n_kept"] == 1
+
+
+def test_no_common_lines_is_identity(ray_session):
+    texts = ["a\nb", "c\nd", "e"]
+    out = _run(texts)
+    assert out["n_removed"].sum() == 0
+    assert out["cleaned_text"].tolist() == texts
+
+
+def test_keep_cols_and_stats_only(ray_session):
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["x\ny", "x"], pa.string()),
+                  "lang": pa.array(["en", "it"], pa.string())})
+    out = (line_dedup(_ds(t, 1), include_text=False, keep_cols=["lang"])
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert "cleaned_text" not in out.columns
+    assert out["lang"].tolist() == ["en", "it"]
+    assert out["n_removed"].tolist() == [1, 1]
