@@ -737,6 +737,12 @@ def _top_bigrams_documents(sf_dir: str) -> pd.DataFrame:
     return T.top_ngrams(_read(sf_dir, "documents", columns=["text"]), n=2, k=20)
 
 
+def _doc_frequency_documents(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines import textstats as T
+
+    return T.doc_frequency(_read(sf_dir, "documents", columns=["text"]), k=50)
+
+
 def _doc_quality_documents(sf_dir: str):
     from dataprof_ray.pipelines import textstats as T
 
@@ -1028,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_lineitem": _quantiles_lineitem,
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
+        "doc_frequency_documents": _doc_frequency_documents,
         "doc_quality_documents": _doc_quality_documents,
         "embedding_stats": _embedding_stats,
         "langid_documents": _langid_documents,
@@ -1407,6 +1414,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM d, UNNEST(RANGE(1, LEN(arr))) AS t(i)) "
             "SELECT term, COUNT(*) AS term_count FROM g "
             "GROUP BY term ORDER BY term_count DESC, term LIMIT 20"
+        ),
+        "doc_frequency_documents": (
+            "WITH n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "t AS (SELECT DISTINCT doc_id, term FROM ("
+            "SELECT doc_id, LOWER(UNNEST(REGEXP_SPLIT_TO_ARRAY("
+            "TRIM(text, ' \t\n\r'), '\\s+'))) AS term FROM documents "
+            "WHERE TRIM(text, ' \t\n\r') != '')) "
+            "SELECT term, COUNT(*) AS doc_freq, "
+            "ROUND(LN((n_docs + 1.0) / (COUNT(*) + 1.0)) + 1.0, 6) AS idf "
+            "FROM t, n GROUP BY term, n_docs "
+            "ORDER BY doc_freq DESC, term LIMIT 50"
         ),
         "doc_quality_documents": (
             "SELECT doc_id, LENGTH(text) AS n_chars, "

@@ -275,3 +275,68 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(
         lambda b: repetition_stats_stage(b, text_col, id_col),
         batch_format="pyarrow")
+
+
+def doc_frequency(ds, k: int = 50, text_col: str = "text",
+                  partitions: int = None):
+    """Top-``k`` terms by DOCUMENT frequency, with smoothed IDF
+    (``ln((N+1)/(df+1)) + 1``, rounded half-away-from-zero to 6 decimals —
+    the sklearn-style smooth variant). ``N`` counts ALL documents; terms
+    come only from documents with non-empty stripped text (the same token
+    definition as ``top_terms``: lowercase, split on ``\\s+``).
+
+    Scale design: per-batch partial df Counters over per-doc UNIQUE tokens
+    (the exchange moves term partials, never documents), COARSE-partitioned
+    by term hash (pipelines.partitioning — Ray's per-term groups are the
+    measured per-tiny-group hotspot top_ngrams tolerates only because its
+    partial vocabulary is small). Each partition reduces and keeps its own
+    top-k (a term lives wholly in one partition, so the global top-k is a
+    driver-side merge of 64 x k candidate rows)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from dataprof_ray.pipelines.aggregate import round_away
+    from dataprof_ray.pipelines.partitioning import DEFAULT_PARTITIONS
+
+    parts = partitions or DEFAULT_PARTITIONS
+    n_docs = ds.count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = _WS_SPLIT.split((t or "").lower().strip())
+            if toks == [""]:
+                continue
+            counts.update(set(toks))
+        if not counts:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        terms, values = zip(*counts.items())
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "df": pa.array(values, pa.int64())})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        from dataprof_ray.pipelines.partitioning import add_part_column
+
+        return add_part_column(batch, ["term"], parts)
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("term", as_index=False, sort=False)["df"].sum()
+        return (tot.sort_values(["df", "term"], ascending=[False, True])
+                .head(k))
+
+    cand = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (cand.sort_values(["df", "term"], ascending=[False, True])
+           .head(k).reset_index(drop=True)
+           .rename(columns={"df": "doc_freq"}))
+    out["idf"] = [round_away(math.log((n_docs + 1.0) / (d + 1.0)) + 1.0, 6)
+                  for d in out["doc_freq"]]
+    return out

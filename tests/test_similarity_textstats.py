@@ -127,6 +127,40 @@ class TestTextStats:
         assert out.term.tolist() == truth.term.tolist()
         assert out.term_count.tolist() == truth.term_count.tolist()
 
+    def test_doc_frequency(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        out = TS.doc_frequency(ds, k=15)
+        truth = duckdb.sql(f"""
+            with n as (select count(*) as n_docs
+                       from '{sf_dir}/documents.parquet'),
+            t as (select distinct doc_id, term from (
+                select doc_id,
+                       lower(unnest(regexp_split_to_array(
+                           trim(text, ' \t\n\r'), '\\s+'))) as term
+                from '{sf_dir}/documents.parquet'
+                where trim(text, ' \t\n\r') != ''))
+            select term, count(*) as doc_freq,
+                   round(ln((n_docs + 1.0) / (count(*) + 1.0)) + 1.0, 6) as idf
+            from t, n group by term, n_docs
+            order by doc_freq desc, term limit 15
+        """).df()
+        assert out.term.tolist() == truth.term.tolist()
+        assert out.doc_freq.tolist() == truth.doc_freq.tolist()
+        assert out.idf.tolist() == truth.idf.tolist()
+
+    def test_doc_frequency_empty_and_null(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"text": pa.array(
+            ["a b a", None, "  ", "b c", ""], pa.string())})
+        out = TS.doc_frequency(rd.from_arrow(t), k=10)
+        # N = 5 docs (incl. empty); df counts unique-per-doc
+        assert dict(zip(out.term, out.doc_freq)) == {"a": 1, "b": 2, "c": 1}
+        assert out.term.tolist() == ["b", "a", "c"]  # df desc, term asc
+
     def test_langid_pipeline(self, ray_session, sf_dir):
         import ray.data as rd
 
