@@ -104,7 +104,7 @@ def group_quantiles(
     (the streaming approximation for bigger groups is the profiler's
     sampled percentiles)."""
     from dataprof_ray.functions.kernels import quantile_type7
-    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+    from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
                                                      add_part_column)
 
     keys = list(keys)
@@ -135,7 +135,7 @@ def group_quantiles(
         .map_batches(lambda b: add_part_column(b, keys, parts),
                      batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(arrow_out(per_partition), batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(keys).reset_index(drop=True)
@@ -164,7 +164,7 @@ def argmax_by(
     distinct keys; at corpus scale consume the returned frame's upstream as
     a Dataset write instead of collecting (this helper returns pandas for
     the small-result profile/query use)."""
-    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+    from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
                                                      add_part_column)
 
     keys = list(keys)
@@ -181,7 +181,7 @@ def argmax_by(
         .map_batches(lambda b: add_part_column(b, keys, parts),
                      batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(reduce_batch, batch_format="pandas")
+        .map_groups(arrow_out(reduce_batch), batch_format="pandas")
         .to_pandas()
         .drop(columns="__part")
     )
@@ -282,7 +282,7 @@ def topk_per_group(
     keeps at most k rows per key it contains, so the shuffle moves
     k x |keys-in-batch| x |batches| candidates; the final reduce is one
     vectorized pandas pass per COARSE hash(key) partition."""
-    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+    from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
                                                      add_part_column)
 
     if k < 1:
@@ -301,7 +301,7 @@ def topk_per_group(
         .map_batches(lambda b: add_part_column(b, keys, parts),
                      batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(reduce_batch, batch_format="pandas")
+        .map_groups(arrow_out(reduce_batch), batch_format="pandas")
         .to_pandas()
         .drop(columns="__part")
     )

@@ -36,6 +36,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from dataprof_ray.pipelines.partitioning import arrow_out
+
 logger = logging.getLogger(__name__)
 
 _MERSENNE = (1 << 61) - 1
@@ -197,7 +199,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     return (
         ds.map_batches(add_hash_and_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(dedup_partition, batch_format="pandas")
+        .map_groups(arrow_out(dedup_partition), batch_format="pandas")
         .drop_columns(["content_hash", "part"])
     )
 
@@ -307,7 +309,7 @@ def _lsh_candidate_edges(ds, text_col, id_col, num_perm, bands, shingle_k,
     return (
         bands_ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(partition_edges, batch_format="pandas")
+        .map_groups(arrow_out(partition_edges), batch_format="pandas")
     )
 
 
@@ -436,7 +438,7 @@ def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
         return (
             cur.map_batches(one_part, batch_format="pyarrow")
             .groupby("part")
-            .map_groups(contract_all, batch_format="pandas")
+            .map_groups(arrow_out(contract_all), batch_format="pandas")
             .materialize()
         )
     prev = None
@@ -444,7 +446,7 @@ def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
         cur = (
             cur.map_batches(add_part, batch_format="pyarrow")
             .groupby("part")
-            .map_groups(contract, batch_format="pandas")
+            .map_groups(arrow_out(contract), batch_format="pandas")
             .materialize()
         )
         sig = state_sig(cur)
@@ -468,7 +470,7 @@ def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
     return (
         cur.map_batches(part_by_node, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(finalize, batch_format="pandas")
+        .map_groups(arrow_out(finalize), batch_format="pandas")
         .materialize()
     )
 
@@ -631,7 +633,7 @@ def _dedup_edges(edges):
     return (
         edges.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(dd, batch_format="pandas")
+        .map_groups(arrow_out(dd), batch_format="pandas")
     )
 
 
@@ -800,7 +802,7 @@ def simhash_duplicate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         sigs.map_batches(explode_bands, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(partition_pairs, batch_format="pandas")
+        .map_groups(arrow_out(partition_pairs), batch_format="pandas")
         .to_pandas()
     )
     if pairs.empty:
@@ -927,7 +929,7 @@ def embedding_neardup_pairs(ds, vec_col: str = "embedding", id_col: str = "vec_i
     verified = _embedding_verified_edges(
         ds.map_batches(sig_stage, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(partition_edges, batch_format="pandas"),
+        .map_groups(arrow_out(partition_edges), batch_format="pandas"),
         ds, vec_col, id_col, threshold)
     if _return_edges:
         # clustering path (embedding_neardup_groups): hand the verified edge
@@ -1190,7 +1192,7 @@ def duplicate_span_stats(
         ds.select_columns([text_col])
         .map_batches(gram_doc_pairs, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(dup_hashes, batch_format="pandas")
+        .map_groups(arrow_out(dup_hashes), batch_format="pandas")
         .to_pandas()
     )
     # an all-unique corpus yields an empty result, whose pandas form can

@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from dataprof_ray.pipelines.partitioning import arrow_out
+
 
 def broadcast_lookup(small_ds_or_table, key: str, columns: Sequence[str]) -> dict:
     """Materialize the small side to {key -> tuple(columns)} (driver-side;
@@ -464,7 +466,7 @@ def asof_join(
 
     return (
         tagged.groupby("__part")
-        .map_groups(cogroup, batch_format="pandas")
+        .map_groups(arrow_out(cogroup), batch_format="pandas")
     )
 
 
@@ -621,7 +623,7 @@ def interval_join(
 
     return (
         tagged.groupby("__part")
-        .map_groups(cogroup, batch_format="pandas")
+        .map_groups(arrow_out(cogroup), batch_format="pandas")
     )
 
 

@@ -41,7 +41,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from dataprof_ray.pipelines.partitioning import DEFAULT_PARTITIONS
+from dataprof_ray.pipelines.partitioning import arrow_out, DEFAULT_PARTITIONS
 
 _NEWLINE = "\n"
 # explicit ASCII whitespace set, mirrored by the SQL oracle's
@@ -113,7 +113,7 @@ def common_line_hashes(ds, text_col: str = "text", max_docs: int = 1,
     return (
         ds.map_batches(partials, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(reduce_part, batch_format="pandas")
+        .map_groups(arrow_out(reduce_part), batch_format="pandas")
     )
 
 

@@ -50,3 +50,26 @@ def add_part_column(batch: pa.Table, keys: Sequence[str],
     """Append the coarse partition id as ``col`` (map_batches-ready)."""
     return batch.append_column(
         col, pa.array(multikey_parts(batch, keys, partitions), pa.int32()))
+
+
+def arrow_out(fn):
+    """Wrap a DataFrame-returning map_groups/map_batches UDF so its output
+    is a METADATA-FREE Arrow table. Ray converts a returned DataFrame via
+    ``pa.Table.from_pandas``, which attaches a ``b'pandas'`` schema-metadata
+    blob; a pa.Schema carrying metadata is unhashable (``hash(schema)``
+    raises on the dict), so every later shuffle that unifies block schemas
+    logs "Failed to hash the schemas" and pays an O(blocks) unify. Use on
+    any pandas UDF whose output feeds another groupby/sort."""
+    import functools
+
+    import pandas as pd
+
+    @functools.wraps(fn)
+    def wrapped(df, *args, **kwargs):
+        out = fn(df, *args, **kwargs)
+        if isinstance(out, pd.DataFrame):
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
+        return out
+
+    return wrapped

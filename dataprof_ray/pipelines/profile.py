@@ -27,6 +27,8 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
+from dataprof_ray.pipelines.partitioning import arrow_out
+
 from dataprof_ray import schema as S
 from dataprof_ray.functions import kernels as K
 from dataprof_ray.functions import patterns as P
@@ -145,7 +147,7 @@ def collect_column_state(
         parts_ds = (
             parts_ds.map_batches(add_group, batch_format="pyarrow")
             .groupby("grp")
-            .map_groups(merge_group, batch_format="pandas")
+            .map_groups(arrow_out(merge_group), batch_format="pandas")
         )
     rows = []
     seen_rows = 0

@@ -127,7 +127,7 @@ def stratified_sample(ds, keys: Sequence[str], per_key: int,
     schedules 64 groups regardless of stratum cardinality (per-stratum Ray
     groups are the measured per-tiny-group hotspot; see
     pipelines.partitioning)."""
-    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+    from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
                                                      add_part_column)
 
     keys = list(keys)
@@ -151,7 +151,7 @@ def stratified_sample(ds, keys: Sequence[str], per_key: int,
     return (
         ds.map_batches(drop_null_keys_add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(cap_partition, batch_format="pandas")
+        .map_groups(arrow_out(cap_partition), batch_format="pandas")
     )
 
 

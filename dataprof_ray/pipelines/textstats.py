@@ -298,7 +298,7 @@ def doc_frequency(ds, k: int = 50, text_col: str = "text",
     import pandas as pd
 
     from dataprof_ray.pipelines.aggregate import round_away
-    from dataprof_ray.pipelines.partitioning import DEFAULT_PARTITIONS
+    from dataprof_ray.pipelines.partitioning import arrow_out, DEFAULT_PARTITIONS
 
     parts = partitions or DEFAULT_PARTITIONS
     n_docs = ds.count()
@@ -331,7 +331,7 @@ def doc_frequency(ds, k: int = 50, text_col: str = "text",
         ds.map_batches(partials, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(reduce_topk, batch_format="pandas")
+        .map_groups(arrow_out(reduce_topk), batch_format="pandas")
         .to_pandas()
     )
     out = (cand.sort_values(["df", "term"], ascending=[False, True])

@@ -156,7 +156,7 @@ def session_window(
     (the standard keyed-state contract)."""
     import pyarrow.compute as pc
 
-    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+    from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
                                                      add_part_column)
 
     parts = partitions or DEFAULT_PARTITIONS
@@ -197,7 +197,7 @@ def session_window(
     return (
         ds.map_batches(drop_nulls_add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(sessionize_partition, batch_format="pandas")
+        .map_groups(arrow_out(sessionize_partition), batch_format="pandas")
         .to_pandas()
         .sort_values([key, "session_id"])
         .reset_index(drop=True)
@@ -233,7 +233,7 @@ def rolling_window(
     per-pair expansion, output rides the partition (one shuffle total).
     Returns a Dataset with the input columns plus ``w_cnt`` /
     ``w_sum_cents``."""
-    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+    from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
                                                      add_part_column)
 
     parts = partitions or DEFAULT_PARTITIONS
@@ -276,7 +276,7 @@ def rolling_window(
         ds.map_batches(lambda b: add_part_column(b, [key], parts),
                        batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(arrow_out(per_partition), batch_format="pandas")
     )
 
 
@@ -299,7 +299,7 @@ def cumulative_window(
     hash(key) partitions, one sort + one vectorized pandas groupby-cumsum
     per partition; output rides the partition. The running state never
     spans partitions because a key lives entirely in one."""
-    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+    from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
                                                      add_part_column)
 
     parts = partitions or DEFAULT_PARTITIONS
@@ -318,5 +318,5 @@ def cumulative_window(
         ds.map_batches(lambda b: add_part_column(b, [key], parts),
                        batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(per_partition, batch_format="pandas")
+        .map_groups(arrow_out(per_partition), batch_format="pandas")
     )
