@@ -743,6 +743,13 @@ def _doc_frequency_documents(sf_dir: str) -> pd.DataFrame:
     return T.doc_frequency(_read(sf_dir, "documents", columns=["text"]), k=50)
 
 
+def _gopher_signals_documents(sf_dir: str):
+    from dataprof_ray.pipelines import textstats as T
+
+    return T.gopher_signals(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _doc_quality_documents(sf_dir: str):
     from dataprof_ray.pipelines import textstats as T
 
@@ -1035,6 +1042,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
         "doc_frequency_documents": _doc_frequency_documents,
+        "gopher_signals_documents": _gopher_signals_documents,
+        "hash_split_documents": _hash_split_documents,
+        "c4_line_stats_documents": _c4_line_stats_documents,
         "doc_quality_documents": _doc_quality_documents,
         "embedding_stats": _embedding_stats,
         "langid_documents": _langid_documents,
@@ -1124,6 +1134,115 @@ def _distinct_counts_sql() -> str:
         )
         parts.append(f"SELECT '{c}' AS column_name, {expr} AS unique_count FROM documents")
     return " UNION ALL ".join(parts)
+
+
+def _hash_split_documents(sf_dir: str):
+    from dataprof_ray.pipelines.sampling import hash_split
+
+    return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
+def _c4_line_stats_documents(sf_dir: str):
+    from dataprof_ray.pipelines.linededup import c4_line_stats
+
+    return c4_line_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _c4_line_stats_sql() -> str:
+    wc = "LEN(REGEXP_SPLIT_TO_ARRAY(s, '\\s+'))"
+    punct = "('.', '!', '?', '\"')"
+    return (
+        "WITH W AS (SELECT ' ' || CHR(9) || CHR(13) || CHR(10) || CHR(11) "
+        "|| CHR(12) AS ws), "
+        "d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
+        "L AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, CHR(10))) AS ln "
+        "FROM d), "
+        "C AS (SELECT doc_id, TRIM(ln, ws) AS s FROM L, W), "
+        "A AS (SELECT doc_id, COUNT(*) AS n_lines, "
+        "COUNT(*) FILTER (WHERE s = '') AS n_blank, "
+        f"COUNT(*) FILTER (WHERE s != '' AND {wc} < 5) AS n_short, "
+        f"COUNT(*) FILTER (WHERE s != '' AND {wc} >= 5 "
+        f"AND RIGHT(s, 1) NOT IN {punct}) AS n_nopunct, "
+        f"COUNT(*) FILTER (WHERE s != '' AND {wc} >= 5 "
+        f"AND RIGHT(s, 1) IN {punct}) AS n_kept "
+        "FROM C GROUP BY doc_id) "
+        "SELECT d.doc_id, A.n_lines, A.n_blank, A.n_short, A.n_nopunct, "
+        "A.n_kept, "
+        "CASE WHEN POSITION('{' IN d.text) > 0 THEN 1 ELSE 0 END AS has_brace, "
+        "CASE WHEN LOWER(d.text) LIKE '%lorem ipsum%' THEN 1 ELSE 0 END "
+        "AS has_lorem "
+        "FROM d JOIN A ON d.doc_id = A.doc_id"
+    )
+
+
+def _hash_split_sql() -> str:
+    """CASE over the same exact-integer md5-hex boundaries the Ray side
+    computes (sampling.split_boundaries) — string comparison of fixed-width
+    lowercase hex == numeric comparison."""
+    from dataprof_ray.pipelines.sampling import split_boundaries
+
+    bounds = split_boundaries({"train": 0.9, "val": 0.05, "test": 0.05})
+    case = "CASE"
+    for name, b in bounds[:-1]:
+        case += f" WHEN MD5(CAST(doc_id AS VARCHAR)) < '{b}' THEN '{name}'"
+    case += f" ELSE '{bounds[-1][0]}' END"
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+def _gopher_signals_sql() -> str:
+    """DuckDB replica of docquality.doc_metrics' Gopher-style signals.
+    Token = \\s+ split of trimmed text (the repo-wide pinned definition);
+    lines split on \\n, non-blank after strip; the symbol class, bullet
+    prefixes, ellipsis suffix, stopword table and boilerplate markers
+    mirror functions/docquality.py exactly (ASCII corpus — verified for
+    the langid oracle — so [A-Za-z] equals the unicode letter class)."""
+    from dataprof_ray.functions.docquality import (
+        _BOILERPLATE_MARKERS, _STOPWORDS)
+
+    sw = ", ".join(f"('{w}')" for w in sorted(_STOPWORDS["en"]))
+    boiler = " OR ".join(
+        f"LOWER(d.text) LIKE '%{m}%'" for m in _BOILERPLATE_MARKERS)
+    # RE2 char class for docquality._SYMBOL_RE: [#<>{}\[\]\\^~|`$%&@+=_]
+    sym_class = "[#<>{}\\[\\]\\\\^~|`$%&@+=_]"
+    return (
+        "WITH W AS (SELECT ' ' || CHR(9) || CHR(13) || CHR(10) || CHR(11) "
+        "|| CHR(12) AS ws), "
+        "d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents), "
+        f"sw(w) AS (SELECT * FROM (VALUES {sw})), "
+        "tok AS (SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY("
+        "TRIM(text, ws), '\\s+')) AS w FROM d, W WHERE TRIM(text, ws) != ''), "
+        "tw AS (SELECT doc_id, COUNT(*) AS n_words, "
+        "COUNT(*) FILTER (WHERE REGEXP_MATCHES(w, '[A-Za-z]')) AS alpha_words, "
+        "COUNT(*) FILTER (WHERE LOWER(w) IN (SELECT w FROM sw)) AS stop_cnt "
+        "FROM tok GROUP BY doc_id), "
+        "ln AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, CHR(10))) AS ln "
+        "FROM d), "
+        "nb AS (SELECT doc_id, ln FROM ln, W WHERE TRIM(ln, ws) != ''), "
+        "ls AS (SELECT doc_id, COUNT(*) AS n_lines, "
+        "COUNT(*) - COUNT(DISTINCT ln) AS n_dup, "
+        "COUNT(*) FILTER (WHERE LEFT(LTRIM(ln, ws), 1) IN "
+        "('-', '*', '•', '·')) AS n_bullet, "
+        "COUNT(*) FILTER (WHERE RIGHT(RTRIM(ln, ws), 3) = '...') AS n_ell "
+        "FROM nb, W GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(tw.n_words, 0) AS n_words, "
+        "COALESCE(ROUND(LENGTH(REGEXP_REPLACE(d.text, '\\s', '', 'g')) "
+        "* 1.0 / tw.n_words, 4), 0.0) AS mean_word_len, "
+        "CASE WHEN LENGTH(d.text) = 0 THEN 0.0 ELSE "
+        f"ROUND(LEN(REGEXP_EXTRACT_ALL(d.text, '{sym_class}')) * 1.0 "
+        "/ LENGTH(d.text), 4) END AS symbol_ratio, "
+        "COALESCE(ROUND(tw.alpha_words * 1.0 / tw.n_words, 4), 0.0) "
+        "AS alpha_word_ratio, "
+        "COALESCE(tw.stop_cnt, 0) AS stopword_count, "
+        "COALESCE(ROUND(ls.n_bullet * 1.0 / ls.n_lines, 4), 0.0) "
+        "AS bullet_line_frac, "
+        "COALESCE(ROUND(ls.n_ell * 1.0 / ls.n_lines, 4), 0.0) "
+        "AS ellipsis_line_frac, "
+        "COALESCE(ROUND(ls.n_dup * 1.0 / ls.n_lines, 4), 0.0) "
+        "AS duplicate_line_frac, "
+        f"CASE WHEN {boiler} THEN 1 ELSE 0 END AS has_boilerplate "
+        "FROM d LEFT JOIN tw ON d.doc_id = tw.doc_id "
+        "LEFT JOIN ls ON d.doc_id = ls.doc_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1426,6 +1545,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM t, n GROUP BY term, n_docs "
             "ORDER BY doc_freq DESC, term LIMIT 50"
         ),
+        "gopher_signals_documents": _gopher_signals_sql(),
+        "hash_split_documents": _hash_split_sql(),
+        "c4_line_stats_documents": _c4_line_stats_sql(),
         "doc_quality_documents": (
             "SELECT doc_id, LENGTH(text) AS n_chars, "
             "CASE WHEN TRIM(text, ' \t\n\r') = '' THEN 0 "

@@ -190,3 +190,59 @@ def _common_cached(ref) -> np.ndarray:
         _COMMON_CACHE.clear()  # one live broadcast per worker
         _COMMON_CACHE[key] = arr
     return arr
+
+
+# ------------------------------------------------- C4 heuristic line rules
+
+
+_TERMINAL_PUNCT = ('.', '!', '?', '"')
+_LOREM = "lorem ipsum"
+
+
+def c4_line_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                  min_words: int = 5):
+    """Per-document C4-style line-rule stats (Raffel et al. cleaning rules,
+    the in-document complement of the cross-document dedup above): a line
+    KEEPS only if, after stripping, it is non-blank, has >= ``min_words``
+    whitespace words, and ends in terminal punctuation (. ! ? ").
+    Doc-level flags: ``has_brace`` ('{' anywhere — C4 drops code pages) and
+    ``has_lorem`` ('lorem ipsum' case-insensitive).
+
+    Rules are categorized in order (blank -> short -> punct), so each
+    dropped line lands in exactly one bucket:
+    n_lines = n_blank + n_short + n_nopunct + n_kept.
+
+    Streaming map_batches over the documents — no shuffle; emit keeps the
+    stats, not rewritten text (compose with line_dedup for the rewrite)."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        rows = {k: [] for k in
+                ("n_lines", "n_blank", "n_short", "n_nopunct", "n_kept",
+                 "has_brace", "has_lorem")}
+        for t in texts:
+            t = t or ""
+            lines = t.split("\n")
+            blank = short = nopunct = kept = 0
+            for ln in lines:
+                s = ln.strip()
+                if not s:
+                    blank += 1
+                elif len(s.split()) < min_words:
+                    short += 1
+                elif not s.endswith(_TERMINAL_PUNCT):
+                    nopunct += 1
+                else:
+                    kept += 1
+            rows["n_lines"].append(len(lines))
+            rows["n_blank"].append(blank)
+            rows["n_short"].append(short)
+            rows["n_nopunct"].append(nopunct)
+            rows["n_kept"].append(kept)
+            rows["has_brace"].append(int("{" in t))
+            rows["has_lorem"].append(int(_LOREM in t.lower()))
+        cols = {id_col: batch.column(id_col)}
+        cols.update({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+        return pa.table(cols)
+
+    return ds.map_batches(stage, batch_format="pyarrow")

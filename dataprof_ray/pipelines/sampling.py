@@ -309,3 +309,54 @@ def apply_strategy(ds, spec: dict):
     if kind == "multi_stage":
         return multi_stage_sample(ds, spec["stages"])
     raise ValueError(f"unknown strategy kind: {kind}")
+
+
+# ------------------------------------------------------------ hash split
+
+
+def split_boundaries(fractions: "dict[str, float]") -> "list[tuple[str, str]]":
+    """(split_name, upper_bound_hex) pairs from cumulative fractions.
+
+    The bucket of a row is the md5 hex digest of its id rendered as a
+    string; md5 hex is uniform over [0, 16^32), and for FIXED-LENGTH
+    lowercase hex, lexicographic order == numeric order, so a split is just
+    a string comparison against precomputed 32-char boundaries. Fractions
+    are snapped to 1e-6 and accumulated in exact integer arithmetic so the
+    Ray side and any SQL replica compute identical boundaries."""
+    total = 0
+    out = []
+    names = list(fractions)
+    for i, name in enumerate(names):
+        total += int(round(fractions[name] * 10 ** 6))
+        if i == len(names) - 1 and total >= 10 ** 6:
+            bound = "g" * 32  # > any hex digest: catch-all for the last split
+        else:
+            bound = format(total * 16 ** 32 // 10 ** 6, "032x")
+        out.append((name, bound))
+    return out
+
+
+def hash_split(ds, id_col: str = "doc_id",
+               fractions: "Optional[dict[str, float]]" = None):
+    """Deterministic train/val/test assignment: split = first boundary whose
+    hex bound exceeds ``md5(str(id))``. Stable under any repartitioning or
+    re-run (pure function of the id — the property a 10^12-doc corpus needs
+    so resharding never reshuffles examples between train and eval).
+    Streaming map_batches, no shuffle; returns (id, split)."""
+    import hashlib
+
+    bounds = split_boundaries(fractions or
+                              {"train": 0.9, "val": 0.05, "test": 0.05})
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        splits = []
+        for i in ids:
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            splits.append(next(n for n, b in bounds if h < b))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "split": pa.array(splits, pa.string()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")

@@ -340,3 +340,42 @@ def doc_frequency(ds, k: int = 50, text_col: str = "text",
     out["idf"] = [round_away(math.log((n_docs + 1.0) / (d + 1.0)) + 1.0, 6)
                   for d in out["doc_freq"]]
     return out
+
+
+def gopher_signals(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Gopher-style quality signals (Rae et al. heuristics,
+    computed by ``functions.docquality.doc_metrics`` — the same kernels the
+    flagship quality filter thresholds on, exposed here as an
+    oracle-checkable per-doc table over the documents corpus):
+
+    n_words, mean_word_len, symbol_ratio, alpha_word_ratio, stopword_count,
+    bullet_line_frac, ellipsis_line_frac, duplicate_line_frac,
+    has_boilerplate (int 0/1). Fractions rounded half-away-from-zero to 4
+    decimals to match the DuckDB oracle.
+
+    Streaming map_batches — no shuffle; per-doc scans are regex/str kernels
+    compiled at module import."""
+    from dataprof_ray.functions.docquality import doc_metrics
+    from dataprof_ray.pipelines.aggregate import round_away
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ms = [doc_metrics(t or "") for t in texts]
+        r4 = lambda vals: pa.array(round_away(np.array(vals, np.float64), 4),
+                                   pa.float64())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array([m.n_words for m in ms], pa.int64()),
+            "mean_word_len": r4([m.mean_word_len for m in ms]),
+            "symbol_ratio": r4([m.symbol_ratio for m in ms]),
+            "alpha_word_ratio": r4([m.alpha_word_ratio for m in ms]),
+            "stopword_count": pa.array([m.stopword_count for m in ms],
+                                       pa.int64()),
+            "bullet_line_frac": r4([m.bullet_line_frac for m in ms]),
+            "ellipsis_line_frac": r4([m.ellipsis_line_frac for m in ms]),
+            "duplicate_line_frac": r4([m.duplicate_line_frac for m in ms]),
+            "has_boilerplate": pa.array(
+                [int(m.has_boilerplate) for m in ms], pa.int64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")

@@ -180,3 +180,88 @@ def test_cumulative_window_matches_pandas(ray_session):
     df["r_cnt"] = g.cumcount() + 1
     df["r_sum_cents"] = g["cents"].cumsum()
     pd.testing.assert_frame_equal(out, df, check_dtype=False)
+
+
+class TestGopherSignals:
+    def test_empty_and_null_text(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.pipelines import textstats as TS
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array([None, "", "   \n  "], pa.string())})
+        out = TS.gopher_signals(rd.from_arrow(t)).to_pandas()
+        assert (out.n_words == 0).all()
+        assert (out.mean_word_len == 0.0).all()
+        assert (out.has_boilerplate == 0).all()
+
+    def test_boilerplate_and_bullets(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.pipelines import textstats as TS
+
+        txt = "- first bullet\nAccept ALL Cookies now.\nplain line here..."
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([txt], pa.string())})
+        out = TS.gopher_signals(rd.from_arrow(t)).to_pandas().iloc[0]
+        assert out.has_boilerplate == 1
+        assert out.bullet_line_frac == round(1 / 3, 4)
+        assert out.ellipsis_line_frac == round(1 / 3, 4)
+
+
+class TestHashSplit:
+    def test_fractions_and_determinism(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.pipelines.sampling import hash_split
+
+        ids = pa.table({"doc_id": pa.array(range(20000), pa.int64())})
+        out = hash_split(rd.from_arrow(ids, override_num_blocks=4)).to_pandas()
+        frac = out.split.value_counts(normalize=True)
+        assert abs(frac["train"] - 0.9) < 0.02
+        assert abs(frac["val"] - 0.05) < 0.01
+        assert abs(frac["test"] - 0.05) < 0.01
+        # pure function of the id: a different partitioning agrees row-for-row
+        out2 = hash_split(rd.from_arrow(ids, override_num_blocks=13)).to_pandas()
+        m = out.merge(out2, on="doc_id")
+        assert (m.split_x == m.split_y).all()
+
+    def test_boundaries_exact(self):
+        from dataprof_ray.pipelines.sampling import split_boundaries
+
+        b = dict(split_boundaries({"train": 0.5, "rest": 0.5}))
+        assert b["train"] == "8" + "0" * 31
+        assert b["rest"] == "g" * 32
+
+
+class TestC4LineStats:
+    def test_categorization_partitions_lines(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.pipelines.linededup import c4_line_stats
+
+        txt = ("\n"                                  # blank
+               "too short.\n"                        # short (<5 words)
+               "this line has five words\n"          # no terminal punct
+               "this good line has five words.\n"    # kept
+               'a quoted keeper with five words?"')  # kept
+        t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                      "text": pa.array([txt], pa.string())})
+        out = c4_line_stats(rd.from_arrow(t)).to_pandas().iloc[0]
+        assert out.n_lines == 5
+        assert (out.n_blank, out.n_short, out.n_nopunct, out.n_kept) == (1, 1, 1, 2)
+        assert out.n_blank + out.n_short + out.n_nopunct + out.n_kept == out.n_lines
+        assert out.has_brace == 0 and out.has_lorem == 0
+
+    def test_doc_flags(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.pipelines.linededup import c4_line_stats
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["int main() {\nreturn 0;\n}",
+                                        "Lorem Ipsum dolor sit amet."],
+                                       pa.string())})
+        out = c4_line_stats(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+        assert out.has_brace.tolist() == [1, 0]
+        assert out.has_lorem.tolist() == [0, 1]
