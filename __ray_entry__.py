@@ -1045,6 +1045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_signals_documents": _gopher_signals_documents,
         "hash_split_documents": _hash_split_documents,
         "c4_line_stats_documents": _c4_line_stats_documents,
+        "tfidf_top_terms_documents": _tfidf_top_terms_documents,
+        "url_features_documents": _url_features_documents,
         "doc_quality_documents": _doc_quality_documents,
         "embedding_stats": _embedding_stats,
         "langid_documents": _langid_documents,
@@ -1140,6 +1142,76 @@ def _hash_split_documents(sf_dir: str):
     from dataprof_ray.pipelines.sampling import hash_split
 
     return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
+def _url_features_documents(sf_dir: str):
+    """Synthesize a deterministic URL per document (scheme / eTLD / path
+    depth / query params all vary with doc_id so the parser is exercised),
+    then run the url_features operator; the oracle constructs the same URLs
+    and states their expected decomposition directly."""
+    from dataprof_ray.pipelines.quality_filter import url_features
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        srcs = b.column("source").to_pylist()
+        urls = []
+        for i, s in zip(ids, srcs):
+            scheme = "http" if i % 5 == 0 else "https"
+            suffix = "co.uk" if i % 3 == 0 else "com"
+            path = f"/a/b/doc/{i}" if i % 2 == 0 else f"/doc/{i}"
+            q = "?ref=abc&src=feed" if i % 4 == 0 else ""
+            urls.append(f"{scheme}://{s}.example.{suffix}{path}{q}")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    return url_features(ds)
+
+
+def _url_features_sql() -> str:
+    return (
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 5 = 0 THEN 'http' ELSE 'https' END AS scheme, "
+        "source || '.example.' || "
+        "CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END AS host, "
+        "'example.' || CASE WHEN doc_id % 3 = 0 THEN 'co.uk' ELSE 'com' END "
+        "AS domain, "
+        "CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 2 END AS path_depth, "
+        "CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS n_query_params, "
+        "CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS is_https "
+        "FROM documents"
+    )
+
+
+def _tfidf_top_terms_documents(sf_dir: str):
+    from dataprof_ray.pipelines import textstats as T
+
+    return T.tfidf_top_terms(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=3, vocab_size=1000)
+
+
+def _tfidf_top_terms_sql() -> str:
+    return (
+        "WITH n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+        "tok AS (SELECT doc_id, LOWER(UNNEST(REGEXP_SPLIT_TO_ARRAY("
+        "TRIM(text, ' \t\n\r'), '\\s+'))) AS term FROM documents "
+        "WHERE TRIM(text, ' \t\n\r') != ''), "
+        "df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok "
+        "GROUP BY term), "
+        "vocab AS (SELECT term, "
+        "ROUND(LN((n_docs + 1.0) / (df + 1.0)) + 1.0, 6) AS idf "
+        "FROM df, n ORDER BY df DESC, term LIMIT 1000), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok "
+        "GROUP BY doc_id, term), "
+        "s AS (SELECT tf.doc_id, tf.term, tf.tf, tf.tf * v.idf AS raw "
+        "FROM tf JOIN vocab v USING (term)), "
+        "r AS (SELECT doc_id, term, tf, ROUND(raw, 4) AS tfidf, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY raw DESC, term) AS rn FROM s) "
+        "SELECT doc_id, term, tf, tfidf FROM r WHERE rn <= 3"
+    )
 
 
 def _c4_line_stats_documents(sf_dir: str):
@@ -1548,6 +1620,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_signals_documents": _gopher_signals_sql(),
         "hash_split_documents": _hash_split_sql(),
         "c4_line_stats_documents": _c4_line_stats_sql(),
+        "tfidf_top_terms_documents": _tfidf_top_terms_sql(),
+        "url_features_documents": _url_features_sql(),
         "doc_quality_documents": (
             "SELECT doc_id, LENGTH(text) AS n_chars, "
             "CASE WHEN TRIM(text, ' \t\n\r') = '' THEN 0 "

@@ -347,3 +347,59 @@ def domain_rollup(filtered_ds):
     out["keep_rate"] = out["kept"] / out["docs"]
     out["mean_quality"] = out["score_sum"] / out["docs"]
     return out.drop(columns=["score_sum"])
+
+
+# ------------------------------------------------------------ URL features
+
+# ccTLD second-level registries where the registrable domain needs THREE
+# labels (example.co.uk) instead of two — the small public-suffix subset a
+# web pipeline hits constantly; swap in the full PSL for production.
+_SECOND_LEVEL_SUFFIXES = frozenset({
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "co.za", "com.ar", "com.tr",
+})
+
+
+def registrable_domain(host: str) -> str:
+    """eTLD+1 approximation: last two labels, or last three when the last
+    two form a known second-level public suffix. IPs and single-label hosts
+    pass through unchanged."""
+    labels = host.lower().split(".")
+    if len(labels) <= 2 or labels[-1].isdigit():
+        return host.lower()
+    if ".".join(labels[-2:]) in _SECOND_LEVEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def url_features(ds, url_col: str = "url", id_col: str = "doc_id"):
+    """Per-URL structural features for corpus curation: scheme, host,
+    registrable domain (eTLD+1 approximation), path depth (non-empty path
+    segments), query-parameter count, and an https flag (int 0/1).
+    Streaming map_batches — no shuffle; stdlib urlparse per row (compiled-C
+    split; the per-row cost is dwarfed by text ops elsewhere)."""
+    from urllib.parse import urlparse
+
+    def stage(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        scheme, host, dom, depth, nq, https = [], [], [], [], [], []
+        for u in urls:
+            p = urlparse(u or "")
+            scheme.append(p.scheme)
+            host.append(p.netloc.lower())
+            dom.append(registrable_domain(p.netloc) if p.netloc else "")
+            depth.append(sum(1 for seg in p.path.split("/") if seg))
+            nq.append(sum(1 for part in p.query.split("&") if part))
+            https.append(int(p.scheme == "https"))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "scheme": pa.array(scheme, pa.string()),
+            "host": pa.array(host, pa.string()),
+            "domain": pa.array(dom, pa.string()),
+            "path_depth": pa.array(depth, pa.int64()),
+            "n_query_params": pa.array(nq, pa.int64()),
+            "is_https": pa.array(https, pa.int64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")

@@ -379,3 +379,54 @@ def gopher_signals(ds, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, k: int = 3, vocab_size: int = 1000,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Top-``k`` TF-IDF terms per document over a BOUNDED vocabulary: the
+    ``vocab_size`` highest-document-frequency terms (ties broken term ASC),
+    with the smoothed IDF from ``doc_frequency``. Scores are
+    ``tf * idf`` rounded half-away-from-zero to 4 decimals; per-doc ties
+    break (tfidf DESC, term ASC). Docs containing no vocabulary term emit
+    no rows.
+
+    Scale design: the vocabulary is the broadcast small side (``ray.put`` of
+    a term->idf dict built from the distributed df aggregation — 64 coarse
+    partitions, term partials only ever shuffle as (term, count) rows); the
+    scoring pass is then a pure streaming map_batches over the corpus with
+    no shuffle. Vocabulary size bounds driver and worker memory at
+    O(vocab_size), independent of corpus size."""
+    from collections import Counter
+
+    import ray
+
+    from dataprof_ray.pipelines.aggregate import round_away
+
+    vocab_df = doc_frequency(ds, k=vocab_size, text_col=text_col)
+    idf = dict(zip(vocab_df["term"], vocab_df["idf"]))
+    idf_ref = ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(idf_ref)
+        ids, terms, tfs, scores = [], [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            toks = _WS_SPLIT.split((t or "").lower().strip())
+            if toks == [""]:
+                continue
+            counts = Counter(tok for tok in toks if tok in vocab)
+            best = sorted(counts.items(),
+                          key=lambda kv: (-kv[1] * vocab[kv[0]], kv[0]))[:k]
+            for term, tf in best:
+                ids.append(i)
+                terms.append(term)
+                tfs.append(tf)
+                scores.append(float(round_away(tf * vocab[term], 4)))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "tfidf": pa.array(scores, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

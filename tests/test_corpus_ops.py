@@ -265,3 +265,53 @@ class TestC4LineStats:
         out = c4_line_stats(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
         assert out.has_brace.tolist() == [1, 0]
         assert out.has_lorem.tolist() == [0, 1]
+
+
+class TestUrlFeatures:
+    def test_registrable_domain_rules(self):
+        from dataprof_ray.pipelines.quality_filter import registrable_domain
+
+        assert registrable_domain("www.example.com") == "example.com"
+        assert registrable_domain("a.b.example.co.uk") == "example.co.uk"
+        assert registrable_domain("EXAMPLE.COM") == "example.com"
+        assert registrable_domain("localhost") == "localhost"
+        assert registrable_domain("10.0.0.1") == "10.0.0.1"
+
+    def test_feature_extraction(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.pipelines.quality_filter import url_features
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "url": pa.array([
+                "https://www.site.co.uk/a/b?x=1&y=2",
+                "http://host.org/",
+                None,
+            ], pa.string()),
+        })
+        out = url_features(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+        assert out.domain.tolist() == ["site.co.uk", "host.org", ""]
+        assert out.path_depth.tolist() == [2, 0, 0]
+        assert out.n_query_params.tolist() == [2, 0, 0]
+        assert out.is_https.tolist() == [1, 0, 0]
+
+
+class TestTfidf:
+    def test_scores_and_vocab_bound(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.pipelines.textstats import tfidf_top_terms
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["apple apple banana", "banana cherry",
+                              "cherry cherry cherry dates"], pa.string()),
+        })
+        out = tfidf_top_terms(rd.from_arrow(t), k=1, vocab_size=2)
+        out = out.to_pandas().sort_values("doc_id")
+        # vocab = 2 most-frequent-by-df terms: banana (2 docs), cherry (2)
+        # doc 1 only contains banana from the vocab; doc 3 cherry x3
+        assert out[out.doc_id == 1].term.tolist() == ["banana"]
+        assert out[out.doc_id == 3].term.tolist() == ["cherry"]
+        assert (out[out.doc_id == 3].tf == 3).all()
