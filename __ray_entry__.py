@@ -1064,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_rollup": _domain_rollup,
         "image_features": _image_features,
         "approx_distinct_lineitem": _approx_distinct_lineitem,
+        "corpus_ppl_documents": _corpus_ppl_documents,
     }
 
 
@@ -1142,6 +1143,17 @@ def _hash_split_documents(sf_dir: str):
     from dataprof_ray.pipelines.sampling import hash_split
 
     return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
+def _corpus_ppl_documents(sf_dir: str):
+    """Per-doc perplexity under a trigram LM TRAINED ON THIS CORPUS
+    (distributed counting; see pipelines/lm.py). Non-SQL-expressible
+    (iterative model build); pinned to the single-process training oracle
+    by tests/test_lm.py::test_query_matches_single_process_training."""
+    from dataprof_ray.pipelines.lm import corpus_perplexity
+
+    return corpus_perplexity(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def _url_features_documents(sf_dir: str):

@@ -151,8 +151,18 @@ class TrigramLM:
     VOCAB = "abcdefghijklmnopqrstuvwxyz .,"
 
     def __init__(self, training_text: str = _LM_TRAINING_TEXT) -> None:
+        self._init_charmap()
+        v = self.v
+        counts = np.ones((v * v, v), dtype=np.float64)  # add-one smoothing
+        idx = self._indices(training_text)
+        if len(idx) >= 3:
+            ctx = idx[:-2] * v + idx[1:-1]
+            np.add.at(counts, (ctx, idx[2:]), 1.0)
+        self.log_prob = np.log(counts / counts.sum(axis=1, keepdims=True))
+
+    def _init_charmap(self) -> None:
         self.char_to_idx = {c: i for i, c in enumerate(self.VOCAB)}
-        v = len(self.VOCAB)
+        self.v = len(self.VOCAB)
         # Byte-level LUT so normalization is one numpy gather instead of a
         # Python char loop: vocab bytes -> index, A-Z -> lowercase index,
         # ASCII whitespace -> space, everything else (incl. multi-byte
@@ -164,13 +174,21 @@ class TrigramLM:
             self._lut[ord(c)] = self.char_to_idx[c.lower()]
         for b in b"\t\n\r\x0b\x0c":
             self._lut[b] = self.char_to_idx[" "]
-        counts = np.ones((v * v, v), dtype=np.float64)  # add-one smoothing
-        idx = self._indices(training_text)
-        if len(idx) >= 3:
-            ctx = idx[:-2] * v + idx[1:-1]
-            np.add.at(counts, (ctx, idx[2:]), 1.0)
-        self.log_prob = np.log(counts / counts.sum(axis=1, keepdims=True))
-        self.v = v
+
+    @classmethod
+    def from_counts(cls, raw_counts: np.ndarray) -> "TrigramLM":
+        """Build an LM from RAW trigram counts (shape (v*v, v), BEFORE
+        smoothing) — the constructor for corpus-trained models where the
+        counting ran distributed (pipelines.lm.train_trigram_lm)."""
+        obj = cls.__new__(cls)
+        obj._init_charmap()
+        v = obj.v
+        if raw_counts.shape != (v * v, v):
+            raise ValueError(f"expected counts of shape {(v * v, v)}, "
+                             f"got {raw_counts.shape}")
+        counts = raw_counts.astype(np.float64) + 1.0  # add-one smoothing
+        obj.log_prob = np.log(counts / counts.sum(axis=1, keepdims=True))
+        return obj
 
     def _indices(self, text: str) -> np.ndarray:
         b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)

@@ -6,6 +6,7 @@ from dataprof_ray.pipelines import (  # noqa: F401
     dedup,
     drift,
     join,
+    lm,
     profile,
     quality_filter,
     sampling,
