@@ -1047,6 +1047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_stats_documents": _c4_line_stats_documents,
         "tfidf_top_terms_documents": _tfidf_top_terms_documents,
         "url_features_documents": _url_features_documents,
+        "key_skew_orders": _key_skew_orders,
+        "normalize_text_documents": _normalize_text_documents,
         "doc_quality_documents": _doc_quality_documents,
         "embedding_stats": _embedding_stats,
         "langid_documents": _langid_documents,
@@ -1143,6 +1145,21 @@ def _hash_split_documents(sf_dir: str):
     from dataprof_ray.pipelines.sampling import hash_split
 
     return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
+def _normalize_text_documents(sf_dir: str):
+    from dataprof_ray.pipelines import textstats as T
+
+    return T.normalize_text(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _key_skew_orders(sf_dir: str):
+    from dataprof_ray.pipelines.aggregate import key_skew_stats
+
+    return key_skew_stats(
+        _read(sf_dir, "orders", columns=["o_custkey"]), ["o_custkey"],
+        top_n=10)
 
 
 def _corpus_ppl_documents(sf_dir: str):
@@ -1634,6 +1651,22 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_stats_documents": _c4_line_stats_sql(),
         "tfidf_top_terms_documents": _tfidf_top_terms_sql(),
         "url_features_documents": _url_features_sql(),
+        "normalize_text_documents": (
+            "WITH n AS (SELECT doc_id, COALESCE(text, '') AS t, "
+            "TRIM(REGEXP_REPLACE(LOWER(STRIP_ACCENTS(NFC_NORMALIZE("
+            "COALESCE(text, '')))), '\\s+', ' ', 'g'), ' ') AS norm_text "
+            "FROM documents) "
+            "SELECT doc_id, norm_text, "
+            "CASE WHEN norm_text != t THEN 1 ELSE 0 END AS changed FROM n"
+        ),
+        "key_skew_orders": (
+            "WITH c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders "
+            "GROUP BY o_custkey), "
+            "t AS (SELECT SUM(cnt) AS total FROM c) "
+            "SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, o_custkey) AS rank, "
+            "o_custkey, cnt, ROUND(cnt * 1.0 / total, 6) AS share "
+            "FROM c, t ORDER BY cnt DESC, o_custkey LIMIT 10"
+        ),
         "doc_quality_documents": (
             "SELECT doc_id, LENGTH(text) AS n_chars, "
             "CASE WHEN TRIM(text, ' \t\n\r') = '' THEN 0 "

@@ -306,3 +306,65 @@ def topk_per_group(
         .drop(columns="__part")
     )
     return out.sort_values(keys + order_cols).reset_index(drop=True)
+
+
+def key_skew_stats(ds, keys, top_n: int = 10,
+                   partitions: int = None):
+    """Hot-key diagnostics for shuffle planning: per-key counts reduced to
+    the global row count, distinct-key count, the top-``top_n`` heaviest
+    keys, and each hot key's share of all rows (the number that decides
+    whether a downstream groupby/join needs salting — ``hash_join``'s skew
+    guard takes exactly these keys).
+
+    Scale design: per-batch partial counts (one row per distinct key per
+    batch crosses the wire), coarse key-hash partitions (a key lives wholly
+    in one partition), per-partition (top-n candidates, total, distinct)
+    — the driver merges ``partitions`` candidate frames and P summary rows,
+    never the key universe. Shares rounded half-away-from-zero to 6
+    decimals. Returns a pandas DataFrame: rank | key columns | cnt | share.
+    """
+    import pandas as pd
+
+    from dataprof_ray.pipelines.partitioning import (
+        DEFAULT_PARTITIONS, add_part_column, arrow_out)
+
+    keys = list(keys)
+    parts = partitions or DEFAULT_PARTITIONS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys).to_pandas()
+        out = df.groupby(keys, as_index=False, dropna=False).size() \
+            .rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby(keys, as_index=False, sort=False, dropna=False)[
+            "cnt"].sum()
+        top = tot.sort_values(["cnt"] + keys,
+                              ascending=[False] + [True] * len(keys)) \
+            .head(top_n)
+        return top.assign(__part=df["__part"].iloc[0],
+                          __total=tot["cnt"].sum(), __distinct=len(tot))
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda b: add_part_column(b, keys, parts),
+                     batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(arrow_out(reduce_part), batch_format="pandas")
+        .to_pandas()
+    )
+    per_part = cand.groupby("__part").first()
+    total = int(per_part["__total"].sum())
+    distinct = int(per_part["__distinct"].sum())
+    top = cand.sort_values(["cnt"] + keys,
+                           ascending=[False] + [True] * len(keys)) \
+        .head(top_n).reset_index(drop=True)
+    share = round_away(top["cnt"].to_numpy() / max(total, 1), 6)
+    out = top[keys + ["cnt"]].copy()
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["share"] = share
+    out.attrs["total_rows"] = total
+    out.attrs["distinct_keys"] = distinct
+    return out

@@ -430,3 +430,43 @@ def tfidf_top_terms(ds, k: int = 3, vocab_size: int = 1000,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id",
+                   nfc: bool = True, strip_accents: bool = True,
+                   lowercase: bool = True, collapse_ws: bool = True):
+    """Canonical text normalization for dedup/tokenization pipelines, in a
+    PINNED order: NFC -> strip accents (NFD, drop combining marks, NFC) ->
+    lowercase -> collapse whitespace runs to one space + strip ends. Each
+    step is independently toggleable; all four match DuckDB's
+    nfc_normalize / strip_accents / LOWER / REGEXP_REPLACE so the oracle
+    can replicate the exact composition. Emits (id, norm_text,
+    changed 0/1). Stateless streaming map_batches — no shuffle."""
+    import unicodedata
+
+    def norm_one(t: str) -> str:
+        s = t or ""
+        if nfc:
+            s = unicodedata.normalize("NFC", s)
+        if strip_accents:
+            s = unicodedata.normalize(
+                "NFC",
+                "".join(c for c in unicodedata.normalize("NFD", s)
+                        if unicodedata.category(c) != "Mn"))
+        if lowercase:
+            s = s.lower()
+        if collapse_ws:
+            s = _WS_SPLIT.sub(" ", s).strip()
+        return s
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        out = [norm_one(t) for t in texts]
+        changed = [int(o != (t or "")) for o, t in zip(out, texts)]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "norm_text": pa.array(out, pa.string()),
+            "changed": pa.array(changed, pa.int64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")

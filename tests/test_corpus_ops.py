@@ -315,3 +315,58 @@ class TestTfidf:
         assert out[out.doc_id == 1].term.tolist() == ["banana"]
         assert out[out.doc_id == 3].term.tolist() == ["cherry"]
         assert (out[out.doc_id == 3].tf == 3).all()
+
+
+class TestKeySkew:
+    def test_hot_key_and_totals(self, ray_session):
+        from dataprof_ray.pipelines.aggregate import key_skew_stats
+
+        t = pa.table({"k": pa.array([7] * 50 + list(range(100)), pa.int64())})
+        out = key_skew_stats(_ds(t, 4), ["k"], top_n=3)
+        assert out.iloc[0].k == 7 and out.iloc[0].cnt == 51
+        assert out.iloc[0]["rank"] == 1
+        assert out.attrs["total_rows"] == 150
+        assert out.attrs["distinct_keys"] == 100
+        assert abs(out.iloc[0].share - round(51 / 150, 6)) < 1e-12
+
+
+class TestNormalizeText:
+    def test_matches_duckdb_on_unicode(self, ray_session):
+        """The python NFC/strip-accents/lower/ws composition must equal the
+        DuckDB oracle composition on non-ASCII too (the corpus is ASCII, so
+        the driver gate alone wouldn't catch a divergence here)."""
+        import duckdb
+        import ray.data as rd
+
+        from dataprof_ray.pipelines.textstats import normalize_text
+
+        texts = ["Café  NAÏVE\n\ttext", "école", "Ğö  ûber",
+                 "  plain ascii  ", "", None]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        out = normalize_text(rd.from_arrow(t)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("docs", t.to_pandas())
+        want = con.execute(
+            "SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(STRIP_ACCENTS("
+            "NFC_NORMALIZE(COALESCE(text, '')))), '\\s+', ' ', 'g'), ' ') "
+            "AS norm_text FROM docs ORDER BY doc_id").df()
+        assert out.norm_text.tolist() == want.norm_text.tolist()
+        assert out.norm_text[0] == "cafe naive text"
+        assert out.norm_text[1] == "ecole"  # NFC-composes then strips
+        assert out.changed.tolist() == [1, 1, 1, 1, 0, 0]
+
+    def test_toggles(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.pipelines.textstats import normalize_text
+
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["A  B"], pa.string())})
+        keep_case = normalize_text(rd.from_arrow(t), lowercase=False) \
+            .to_pandas().norm_text[0]
+        assert keep_case == "A B"
+        keep_ws = normalize_text(rd.from_arrow(t), collapse_ws=False) \
+            .to_pandas().norm_text[0]
+        assert keep_ws == "a  b"
