@@ -1049,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_features_documents": _url_features_documents,
         "key_skew_orders": _key_skew_orders,
         "normalize_text_documents": _normalize_text_documents,
+        "source_mixture_documents": _source_mixture_documents,
         "doc_quality_documents": _doc_quality_documents,
         "embedding_stats": _embedding_stats,
         "langid_documents": _langid_documents,
@@ -1145,6 +1146,32 @@ def _hash_split_documents(sf_dir: str):
     from dataprof_ray.pipelines.sampling import hash_split
 
     return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def _source_mixture_documents(sf_dir: str):
+    from dataprof_ray.pipelines.sampling import weighted_source_sample
+
+    return weighted_source_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        rates=_MIX_RATES, default_rate=_MIX_DEFAULT)
+
+
+def _source_mixture_sql() -> str:
+    def bound(rate: float) -> str:
+        r = min(max(int(round(rate * 10 ** 6)), 0), 10 ** 6)
+        return "g" * 32 if r >= 10 ** 6 else format(r * 16 ** 32 // 10 ** 6,
+                                                    "032x")
+
+    case = "CASE source"
+    for s, r in _MIX_RATES.items():
+        case += f" WHEN '{s}' THEN '{bound(r)}'"
+    case += f" ELSE '{bound(_MIX_DEFAULT)}' END"
+    return ("SELECT doc_id, source FROM documents "
+            f"WHERE MD5(CAST(doc_id AS VARCHAR)) < {case}")
 
 
 def _normalize_text_documents(sf_dir: str):
@@ -1651,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_stats_documents": _c4_line_stats_sql(),
         "tfidf_top_terms_documents": _tfidf_top_terms_sql(),
         "url_features_documents": _url_features_sql(),
+        "source_mixture_documents": _source_mixture_sql(),
         "normalize_text_documents": (
             "WITH n AS (SELECT doc_id, COALESCE(text, '') AS t, "
             "TRIM(REGEXP_REPLACE(LOWER(STRIP_ACCENTS(NFC_NORMALIZE("

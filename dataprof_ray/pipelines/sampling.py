@@ -360,3 +360,36 @@ def hash_split(ds, id_col: str = "doc_id",
         })
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def weighted_source_sample(ds, rates: "dict[str, float]",
+                           source_col: str = "source",
+                           id_col: str = "doc_id",
+                           default_rate: float = 0.0):
+    """Deterministic per-source Bernoulli sampling for mixture building
+    (e.g. upweight curated sources, downsample crawl): a row KEEPS iff
+    ``md5(str(id)) < boundary(rate of its source)`` — the same md5-hex
+    boundary trick as ``hash_split``, so the decision is a pure function of
+    (id, its source's rate): reproducible under any partitioning, stable
+    across runs, and consistent with hash_split assignments (same hash
+    stream). Sources absent from ``rates`` use ``default_rate``.
+    Stateless streaming filter — no shuffle, no driver state."""
+    import hashlib
+
+    def bound(rate: float) -> str:
+        r = min(max(int(round(rate * 10 ** 6)), 0), 10 ** 6)
+        return "g" * 32 if r >= 10 ** 6 else format(r * 16 ** 32 // 10 ** 6,
+                                                    "032x")
+
+    bounds = {s: bound(r) for s, r in rates.items()}
+    default_bound = bound(default_rate)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        srcs = batch.column(source_col).to_pylist()
+        keep = [hashlib.md5(str(i).encode()).hexdigest()
+                < bounds.get(s, default_bound)
+                for i, s in zip(ids, srcs)]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(stage, batch_format="pyarrow")

@@ -370,3 +370,33 @@ class TestNormalizeText:
         keep_ws = normalize_text(rd.from_arrow(t), collapse_ws=False) \
             .to_pandas().norm_text[0]
         assert keep_ws == "a  b"
+
+
+class TestWeightedSourceSample:
+    def test_rates_and_determinism(self, ray_session):
+        from dataprof_ray.pipelines.sampling import weighted_source_sample
+
+        n = 10000
+        t = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(["a" if i % 2 == 0 else "b" for i in range(n)],
+                               pa.string()),
+        })
+        out = weighted_source_sample(_ds(t, 4), {"a": 1.0, "b": 0.25}) \
+            .to_pandas()
+        a = out[out.source == "a"]
+        b = out[out.source == "b"]
+        assert len(a) == n // 2                      # rate 1.0 keeps all
+        assert abs(len(b) / (n // 2) - 0.25) < 0.03  # ~25% of source b
+        # pure function of (id, rate): other partitioning agrees exactly
+        out2 = weighted_source_sample(_ds(t, 9), {"a": 1.0, "b": 0.25}) \
+            .to_pandas()
+        assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+    def test_default_rate_zero_drops_unknown(self, ray_session):
+        from dataprof_ray.pipelines.sampling import weighted_source_sample
+
+        t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                      "source": pa.array(["x"] * 100, pa.string())})
+        out = weighted_source_sample(_ds(t, 2), {"a": 1.0}).to_pandas()
+        assert len(out) == 0
