@@ -83,6 +83,10 @@ def bench_queries() -> dict[str, float]:
         # decontamination scan, hopping windows
         "views_near_clicks", "duplicate_spans_documents",
         "contamination_documents", "hopping_events", "rolling_user_events",
+        # round 3 additions: Gopher doc signals, corpus-trained trigram-LM
+        # perplexity, TF-IDF with broadcast vocabulary
+        "gopher_signals_documents", "corpus_ppl_documents",
+        "tfidf_top_terms_documents",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

@@ -39,28 +39,38 @@ _V = len(TrigramLM.VOCAB)
 _CELLS = _V * _V * _V
 
 
-class _CountStage:
-    """Actor-pool batch counter: LUT built once per actor in __init__."""
+# Per-worker-process caches so both passes run as STATELESS tasks (no
+# actor-pool spin-up — the pools measurably dominated wall time on small
+# corpora): the 256-entry charmap is built once per worker, and the trained
+# log-prob matrix is fetched from the object store once per (worker, ref).
+_CHARMAP_CACHE: dict = {}
+_LOGPROB_CACHE: dict = {}
 
-    def __init__(self, text_col: str) -> None:
-        self.lm = TrigramLM.__new__(TrigramLM)
-        self.lm._init_charmap()
-        self.text_col = text_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        dense = np.zeros(_CELLS, dtype=np.int64)
-        v = self.lm.v
-        for t in batch.column(self.text_col).to_pylist():
-            idx = self.lm._indices(t or "")
-            if len(idx) < 3:
-                continue
-            cells = (idx[:-2] * v + idx[1:-1]) * v + idx[2:]
-            dense += np.bincount(cells, minlength=_CELLS)
-        nz = np.nonzero(dense)[0]
-        return pa.table({
-            "cell": pa.array(nz.astype(np.int64), pa.int64()),
-            "count": pa.array(dense[nz], pa.int64()),
-        })
+def _charmap() -> TrigramLM:
+    lm = _CHARMAP_CACHE.get("lm")
+    if lm is None:
+        lm = TrigramLM.__new__(TrigramLM)
+        lm._init_charmap()
+        _CHARMAP_CACHE["lm"] = lm
+    return lm
+
+
+def _count_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    lm = _charmap()
+    dense = np.zeros(_CELLS, dtype=np.int64)
+    v = lm.v
+    for t in batch.column(text_col).to_pylist():
+        idx = lm._indices(t or "")
+        if len(idx) < 3:
+            continue
+        cells = (idx[:-2] * v + idx[1:-1]) * v + idx[2:]
+        dense += np.bincount(cells, minlength=_CELLS)
+    nz = np.nonzero(dense)[0]
+    return pa.table({
+        "cell": pa.array(nz.astype(np.int64), pa.int64()),
+        "count": pa.array(dense[nz], pa.int64()),
+    })
 
 
 def train_trigram_lm(ds, text_col: str = "text",
@@ -77,9 +87,8 @@ def train_trigram_lm(ds, text_col: str = "text",
         return df.groupby("cell", as_index=False, sort=False)["count"].sum()
 
     merged = (
-        ds.map_batches(_CountStage, batch_format="pyarrow",
-                       fn_constructor_kwargs=dict(text_col=text_col),
-                       concurrency=concurrency)
+        ds.map_batches(lambda b: _count_batch(b, text_col),
+                       batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(arrow_out(reduce_cells), batch_format="pandas")
@@ -90,26 +99,24 @@ def train_trigram_lm(ds, text_col: str = "text",
     return TrigramLM.from_counts(raw.reshape(_V * _V, _V))
 
 
-class _ScoreStage:
-    """Actor-pool scorer against a broadcast corpus-trained log-prob
-    matrix (fetched from the object store once per actor)."""
+def _score_batch(batch: pa.Table, log_prob_ref, text_col: str,
+                 id_col: str) -> pa.Table:
+    import ray
 
-    def __init__(self, log_prob_ref, text_col: str, id_col: str) -> None:
-        import ray
-
-        self.lm = TrigramLM.__new__(TrigramLM)
-        self.lm._init_charmap()
-        self.lm.log_prob = ray.get(log_prob_ref)
-        self.text_col = text_col
-        self.id_col = id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        ppl = self.lm.perplexity_batch(texts)
-        return pa.table({
-            self.id_col: batch.column(self.id_col),
-            "corpus_ppl": pa.array(ppl, pa.float64()),
-        })
+    key = log_prob_ref.hex()
+    lm = _LOGPROB_CACHE.get(key)
+    if lm is None:
+        lm = TrigramLM.__new__(TrigramLM)
+        lm._init_charmap()
+        lm.log_prob = ray.get(log_prob_ref)
+        _LOGPROB_CACHE.clear()  # one model per worker is plenty
+        _LOGPROB_CACHE[key] = lm
+    texts = batch.column(text_col).to_pylist()
+    ppl = lm.perplexity_batch(texts)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "corpus_ppl": pa.array(ppl, pa.float64()),
+    })
 
 
 def corpus_perplexity(ds, lm: Optional[TrigramLM] = None,
@@ -125,8 +132,6 @@ def corpus_perplexity(ds, lm: Optional[TrigramLM] = None,
                                 concurrency=concurrency)
     ref = ray.put(lm.log_prob)
     return ds.map_batches(
-        _ScoreStage, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(log_prob_ref=ref, text_col=text_col,
-                                   id_col=id_col),
-        concurrency=concurrency,
+        lambda b: _score_batch(b, ref, text_col, id_col),
+        batch_format="pyarrow",
     )
