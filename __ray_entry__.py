@@ -1050,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_orders": _key_skew_orders,
         "normalize_text_documents": _normalize_text_documents,
         "source_mixture_documents": _source_mixture_documents,
+        "normalized_dedup_documents": _normalized_dedup_documents,
         "doc_quality_documents": _doc_quality_documents,
         "embedding_stats": _embedding_stats,
         "langid_documents": _langid_documents,
@@ -1146,6 +1147,12 @@ def _hash_split_documents(sf_dir: str):
     from dataprof_ray.pipelines.sampling import hash_split
 
     return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
+def _normalized_dedup_documents(sf_dir: str):
+    from dataprof_ray.pipelines.dedup import normalized_dedup
+
+    return normalized_dedup(_read(sf_dir, "documents"))
 
 
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
@@ -1679,6 +1686,13 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms_documents": _tfidf_top_terms_sql(),
         "url_features_documents": _url_features_sql(),
         "source_mixture_documents": _source_mixture_sql(),
+        "normalized_dedup_documents": (
+            "WITH n AS (SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER("
+            "STRIP_ACCENTS(NFC_NORMALIZE(COALESCE(text, '')))), "
+            "'\\s+', ' ', 'g'), ' ') AS norm FROM documents) "
+            "SELECT d.* FROM documents d WHERE d.doc_id IN "
+            "(SELECT MIN(doc_id) FROM n GROUP BY norm)"
+        ),
         "normalize_text_documents": (
             "WITH n AS (SELECT doc_id, COALESCE(text, '') AS t, "
             "TRIM(REGEXP_REPLACE(LOWER(STRIP_ACCENTS(NFC_NORMALIZE("

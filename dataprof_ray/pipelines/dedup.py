@@ -1226,3 +1226,27 @@ def duplicate_span_stats(
     return (ds.select_columns([id_col, text_col])
             .map_batches(scan, batch_format="pyarrow")
             .to_pandas().sort_values(id_col).reset_index(drop=True))
+
+
+def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                     **norm_kwargs):
+    """Exact dedup on CANONICALIZED text (textstats.make_normalizer's
+    NFC / accent-strip / lowercase / whitespace-collapse composition) —
+    the dedup key real corpus pipelines use, catching case-, accent- and
+    spacing-only near-copies that byte-exact dedup misses. Keeps the
+    smallest id per normalized form; output keeps the ORIGINAL columns
+    (the normalized key is dropped after the shuffle). Same scale shape as
+    ``exact_dedup``: only the 8-byte hash of the normalized text shuffles.
+    """
+    from dataprof_ray.pipelines.textstats import make_normalizer
+
+    norm_one = make_normalizer(**norm_kwargs)
+
+    def add_norm(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return batch.append_column(
+            "__norm", pa.array([norm_one(t) for t in texts], pa.string()))
+
+    out = exact_dedup(ds.map_batches(add_norm, batch_format="pyarrow"),
+                      text_col="__norm", id_col=id_col)
+    return out.drop_columns(["__norm"])

@@ -432,19 +432,16 @@ def tfidf_top_terms(ds, k: int = 3, vocab_size: int = 1000,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
-def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id",
-                   nfc: bool = True, strip_accents: bool = True,
-                   lowercase: bool = True, collapse_ws: bool = True):
-    """Canonical text normalization for dedup/tokenization pipelines, in a
-    PINNED order: NFC -> strip accents (NFD, drop combining marks, NFC) ->
-    lowercase -> collapse whitespace runs to one space + strip ends. Each
-    step is independently toggleable; all four match DuckDB's
-    nfc_normalize / strip_accents / LOWER / REGEXP_REPLACE so the oracle
-    can replicate the exact composition. Emits (id, norm_text,
-    changed 0/1). Stateless streaming map_batches — no shuffle."""
+def make_normalizer(nfc: bool = True, strip_accents: bool = True,
+                    lowercase: bool = True, collapse_ws: bool = True):
+    """str -> str canonical normalizer in a PINNED order: NFC -> strip
+    accents (NFD, drop combining marks, NFC) -> lowercase -> collapse
+    whitespace runs to one space + strip ends. Each step independently
+    toggleable; all four match DuckDB's nfc_normalize / strip_accents /
+    LOWER / REGEXP_REPLACE so oracles replicate the exact composition."""
     import unicodedata
 
-    def norm_one(t: str) -> str:
+    def norm_one(t: Optional[str]) -> str:
         s = t or ""
         if nfc:
             s = unicodedata.normalize("NFC", s)
@@ -458,6 +455,17 @@ def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id",
         if collapse_ws:
             s = _WS_SPLIT.sub(" ", s).strip()
         return s
+
+    return norm_one
+
+
+def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id",
+                   nfc: bool = True, strip_accents: bool = True,
+                   lowercase: bool = True, collapse_ws: bool = True):
+    """Canonical text normalization for dedup/tokenization pipelines (see
+    ``make_normalizer`` for the pinned step order). Emits (id, norm_text,
+    changed 0/1). Stateless streaming map_batches — no shuffle."""
+    norm_one = make_normalizer(nfc, strip_accents, lowercase, collapse_ws)
 
     def stage(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()

@@ -400,3 +400,18 @@ class TestWeightedSourceSample:
                       "source": pa.array(["x"] * 100, pa.string())})
         out = weighted_source_sample(_ds(t, 2), {"a": 1.0}).to_pandas()
         assert len(out) == 0
+
+
+class TestNormalizedDedup:
+    def test_merges_case_space_accent_variants(self, ray_session):
+        from dataprof_ray.pipelines.dedup import normalized_dedup
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["Hello  World", "hello world", "héllo wörld",
+                              "different", "HELLO\tWORLD\n"], pa.string()),
+        })
+        out = normalized_dedup(_ds(t, 3)).to_pandas().sort_values("doc_id")
+        assert out.doc_id.tolist() == [1, 4]   # smallest id per norm form
+        assert "__norm" not in out.columns
+        assert out.text.tolist() == ["Hello  World", "different"]
