@@ -1168,15 +1168,12 @@ def _source_mixture_documents(sf_dir: str):
 
 
 def _source_mixture_sql() -> str:
-    def bound(rate: float) -> str:
-        r = min(max(int(round(rate * 10 ** 6)), 0), 10 ** 6)
-        return "g" * 32 if r >= 10 ** 6 else format(r * 16 ** 32 // 10 ** 6,
-                                                    "032x")
+    from dataprof_ray.pipelines.sampling import rate_bound
 
     case = "CASE source"
     for s, r in _MIX_RATES.items():
-        case += f" WHEN '{s}' THEN '{bound(r)}'"
-    case += f" ELSE '{bound(_MIX_DEFAULT)}' END"
+        case += f" WHEN '{s}' THEN '{rate_bound(round(r * 10 ** 6))}'"
+    case += f" ELSE '{rate_bound(round(_MIX_DEFAULT * 10 ** 6))}' END"
     return ("SELECT doc_id, source FROM documents "
             f"WHERE MD5(CAST(doc_id AS VARCHAR)) < {case}")
 
@@ -1689,14 +1686,19 @@ def oracle_sql() -> dict[str, str]:
         "normalized_dedup_documents": (
             "WITH n AS (SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER("
             "STRIP_ACCENTS(NFC_NORMALIZE(COALESCE(text, '')))), "
-            "'\\s+', ' ', 'g'), ' ') AS norm FROM documents) "
+            "'[\\t-\\r\\x1c-\\x1f\\x85\\p{Z}]+', ' ', 'g'), ' ') AS norm "
+            "FROM documents) "
             "SELECT d.* FROM documents d WHERE d.doc_id IN "
             "(SELECT MIN(doc_id) FROM n GROUP BY norm)"
         ),
+        # the whitespace class is RE2's spelling of Python's unicode \s
+        # (ASCII ws + \x1c-\x1f + NEL + all Z-category separators) so the
+        # oracle matches make_normalizer beyond ASCII corpora too
         "normalize_text_documents": (
             "WITH n AS (SELECT doc_id, COALESCE(text, '') AS t, "
             "TRIM(REGEXP_REPLACE(LOWER(STRIP_ACCENTS(NFC_NORMALIZE("
-            "COALESCE(text, '')))), '\\s+', ' ', 'g'), ' ') AS norm_text "
+            "COALESCE(text, '')))), "
+            "'[\\t-\\r\\x1c-\\x1f\\x85\\p{Z}]+', ' ', 'g'), ' ') AS norm_text "
             "FROM documents) "
             "SELECT doc_id, norm_text, "
             "CASE WHEN norm_text != t THEN 1 ELSE 0 END AS changed FROM n"

@@ -20,6 +20,7 @@ from typing import Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def round_away(values, decimals: int):
@@ -323,36 +324,40 @@ def key_skew_stats(ds, keys, top_n: int = 10,
     never the key universe. Shares rounded half-away-from-zero to 6
     decimals. Returns a pandas DataFrame: rank | key columns | cnt | share.
     """
-    import pandas as pd
-
     from dataprof_ray.pipelines.partitioning import (
-        DEFAULT_PARTITIONS, add_part_column, arrow_out)
+        DEFAULT_PARTITIONS, add_part_column)
 
     keys = list(keys)
     parts = partitions or DEFAULT_PARTITIONS
 
+    # Arrow-native throughout: a pandas roundtrip would launder a
+    # null-bearing int key batch to float64, and the partition hash is
+    # dtype-sensitive — the same key would land in different partitions
+    # from null-bearing vs null-free batches (partitioning.py docstring).
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(keys).to_pandas()
-        out = df.groupby(keys, as_index=False, dropna=False).size() \
-            .rename(columns={"size": "cnt"})
-        return pa.Table.from_pandas(out, preserve_index=False) \
-            .replace_schema_metadata(None)
+        out = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return out.rename_columns(keys + ["cnt"])
 
-    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
-        tot = df.groupby(keys, as_index=False, sort=False, dropna=False)[
-            "cnt"].sum()
-        top = tot.sort_values(["cnt"] + keys,
-                              ascending=[False] + [True] * len(keys)) \
-            .head(top_n)
-        return top.assign(__part=df["__part"].iloc[0],
-                          __total=tot["cnt"].sum(), __distinct=len(tot))
+    def reduce_part(t: pa.Table) -> pa.Table:
+        tot = t.group_by(keys).aggregate([("cnt", "sum")]) \
+            .rename_columns(keys + ["cnt"])
+        order = [("cnt", "descending")] + [(k, "ascending") for k in keys]
+        top = tot.sort_by(order).slice(0, top_n)
+        n = top.num_rows
+        part = t.column("__part")[0].as_py()
+        return (top
+                .append_column("__part", pa.array([part] * n, pa.int32()))
+                .append_column("__total", pa.array(
+                    [pc.sum(tot.column("cnt")).as_py() or 0] * n, pa.int64()))
+                .append_column("__distinct", pa.array(
+                    [tot.num_rows] * n, pa.int64())))
 
     cand = (
         ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(lambda b: add_part_column(b, keys, parts),
                      batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(arrow_out(reduce_part), batch_format="pandas")
+        .map_groups(reduce_part, batch_format="pyarrow")
         .to_pandas()
     )
     per_part = cand.groupby("__part").first()

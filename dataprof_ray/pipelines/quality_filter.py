@@ -386,9 +386,13 @@ def url_features(ds, url_col: str = "url", id_col: str = "doc_id"):
         scheme, host, dom, depth, nq, https = [], [], [], [], [], []
         for u in urls:
             p = urlparse(u or "")
+            # hostname, NOT netloc: netloc carries port and userinfo
+            # ('user:pw@h:443'), which would corrupt the eTLD+1 lookup and
+            # leak credentials into a curation table
+            h = p.hostname or ""
             scheme.append(p.scheme)
-            host.append(p.netloc.lower())
-            dom.append(registrable_domain(p.netloc) if p.netloc else "")
+            host.append(h)
+            dom.append(registrable_domain(h) if h else "")
             depth.append(sum(1 for seg in p.path.split("/") if seg))
             nq.append(sum(1 for part in p.query.split("&") if part))
             https.append(int(p.scheme == "https"))

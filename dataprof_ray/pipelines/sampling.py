@@ -314,24 +314,41 @@ def apply_strategy(ds, spec: dict):
 # ------------------------------------------------------------ hash split
 
 
-def split_boundaries(fractions: "dict[str, float]") -> "list[tuple[str, str]]":
-    """(split_name, upper_bound_hex) pairs from cumulative fractions.
+def rate_bound(millionths: int) -> str:
+    """Upper md5-hex boundary for a probability expressed in millionths:
+    a row with ``md5(str(id)) < rate_bound(r)`` is selected with
+    probability r/1e6. md5 hex is uniform over [0, 16^32), and for
+    FIXED-LENGTH lowercase hex, lexicographic order == numeric order, so
+    the decision is a string comparison against a precomputed 32-char
+    boundary. Exact integer arithmetic, so the Ray side and any SQL
+    replica compute identical boundaries — the ONE shared implementation
+    behind hash_split, weighted_source_sample, and their oracles."""
+    r = min(max(int(millionths), 0), 10 ** 6)
+    if r >= 10 ** 6:
+        return "g" * 32  # > any hex digest: always selected
+    return format(r * 16 ** 32 // 10 ** 6, "032x")
 
-    The bucket of a row is the md5 hex digest of its id rendered as a
-    string; md5 hex is uniform over [0, 16^32), and for FIXED-LENGTH
-    lowercase hex, lexicographic order == numeric order, so a split is just
-    a string comparison against precomputed 32-char boundaries. Fractions
-    are snapped to 1e-6 and accumulated in exact integer arithmetic so the
-    Ray side and any SQL replica compute identical boundaries."""
+
+def split_boundaries(fractions: "dict[str, float]") -> "list[tuple[str, str]]":
+    """(split_name, upper_bound_hex) pairs from cumulative fractions (see
+    ``rate_bound`` for the boundary contract). Fractions are snapped to
+    1e-6 and MUST cover the unit interval (sum == 1.0 within snapping
+    slack): the last split is forced to the catch-all bound so no digest
+    can fall through; partial coverage raises (use
+    ``weighted_source_sample`` to keep a fraction of rows)."""
     total = 0
     out = []
     names = list(fractions)
     for i, name in enumerate(names):
         total += int(round(fractions[name] * 10 ** 6))
-        if i == len(names) - 1 and total >= 10 ** 6:
-            bound = "g" * 32  # > any hex digest: catch-all for the last split
+        if i == len(names) - 1:
+            if abs(total - 10 ** 6) > len(names):  # 1-millionth slack/term
+                raise ValueError(
+                    f"fractions must sum to 1.0 (got {total / 10 ** 6:.6f}); "
+                    "every row needs a split")
+            bound = "g" * 32
         else:
-            bound = format(total * 16 ** 32 // 10 ** 6, "032x")
+            bound = rate_bound(total)
         out.append((name, bound))
     return out
 
@@ -376,13 +393,8 @@ def weighted_source_sample(ds, rates: "dict[str, float]",
     Stateless streaming filter — no shuffle, no driver state."""
     import hashlib
 
-    def bound(rate: float) -> str:
-        r = min(max(int(round(rate * 10 ** 6)), 0), 10 ** 6)
-        return "g" * 32 if r >= 10 ** 6 else format(r * 16 ** 32 // 10 ** 6,
-                                                    "032x")
-
-    bounds = {s: bound(r) for s, r in rates.items()}
-    default_bound = bound(default_rate)
+    bounds = {s: rate_bound(round(r * 10 ** 6)) for s, r in rates.items()}
+    default_bound = rate_bound(round(default_rate * 10 ** 6))
 
     def stage(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()

@@ -19,6 +19,22 @@ import pyarrow.compute as pc
 
 _WS_SPLIT = re.compile(r"\s+")
 
+# per-worker-process cache for ray.put broadcasts consumed by stateless
+# tasks: one object-store fetch + deserialize per worker, not per batch
+_BROADCAST_CACHE: dict = {}
+
+
+def _broadcast_cached(ref):
+    import ray
+
+    key = ref.hex()
+    obj = _BROADCAST_CACHE.get(key)
+    if obj is None:
+        obj = ray.get(ref)
+        _BROADCAST_CACHE.clear()  # one live broadcast per worker is plenty
+        _BROADCAST_CACHE[key] = obj
+    return obj
+
 # BPE-ish subword token estimate: runs of letters, digits, or single
 # punctuation — a deterministic stand-in for a real tokenizer's token count.
 _BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]")
@@ -407,7 +423,7 @@ def tfidf_top_terms(ds, k: int = 3, vocab_size: int = 1000,
     idf_ref = ray.put(idf)
 
     def score(batch: pa.Table) -> pa.Table:
-        vocab = ray.get(idf_ref)
+        vocab = _broadcast_cached(idf_ref)
         ids, terms, tfs, scores = [], [], [], []
         for i, t in zip(batch.column(id_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
@@ -438,7 +454,10 @@ def make_normalizer(nfc: bool = True, strip_accents: bool = True,
     accents (NFD, drop combining marks, NFC) -> lowercase -> collapse
     whitespace runs to one space + strip ends. Each step independently
     toggleable; all four match DuckDB's nfc_normalize / strip_accents /
-    LOWER / REGEXP_REPLACE so oracles replicate the exact composition."""
+    LOWER / REGEXP_REPLACE so oracles replicate the exact composition.
+    The whitespace collapse uses Python's unicode ``\\s``; its RE2/DuckDB
+    spelling is ``[\\t-\\r\\x1c-\\x1f\\x85\\p{Z}]`` (verified equal in
+    tests over NBSP / thin space / ideographic space / NEL / \\u2028)."""
     import unicodedata
 
     def norm_one(t: Optional[str]) -> str:

@@ -233,6 +233,19 @@ class TestHashSplit:
         assert b["train"] == "8" + "0" * 31
         assert b["rest"] == "g" * 32
 
+    def test_partial_fractions_rejected(self):
+        """Fractions that don't cover the unit interval would leave rows
+        with NO split (a StopIteration crash before validation existed)."""
+        from dataprof_ray.pipelines.sampling import split_boundaries
+
+        with pytest.raises(ValueError):
+            split_boundaries({"sample": 0.1})
+        with pytest.raises(ValueError):
+            split_boundaries({"a": 0.5, "b": 0.4})
+        # 1/3 snapping slack is tolerated and still gets a catch-all
+        b = split_boundaries({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+        assert b[-1][1] == "g" * 32
+
 
 class TestC4LineStats:
     def test_categorization_partitions_lines(self, ray_session):
@@ -292,9 +305,28 @@ class TestUrlFeatures:
         })
         out = url_features(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
         assert out.domain.tolist() == ["site.co.uk", "host.org", ""]
+        assert out.host.tolist() == ["www.site.co.uk", "host.org", ""]
         assert out.path_depth.tolist() == [2, 0, 0]
         assert out.n_query_params.tolist() == [2, 0, 0]
         assert out.is_https.tolist() == [1, 0, 0]
+
+    def test_port_and_userinfo_stripped(self, ray_session):
+        """netloc carries port/userinfo; host/domain must come from
+        hostname or the eTLD+1 lookup breaks and credentials leak."""
+        import ray.data as rd
+
+        from dataprof_ray.pipelines.quality_filter import url_features
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "url": pa.array([
+                "https://sub.example.co.uk:443/a",
+                "https://user:pw@example.com/x",
+            ], pa.string()),
+        })
+        out = url_features(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+        assert out.host.tolist() == ["sub.example.co.uk", "example.com"]
+        assert out.domain.tolist() == ["example.co.uk", "example.com"]
 
 
 class TestTfidf:
@@ -341,7 +373,10 @@ class TestNormalizeText:
         from dataprof_ray.pipelines.textstats import normalize_text
 
         texts = ["Café  NAÏVE\n\ttext", "école", "Ğö  ûber",
-                 "  plain ascii  ", "", None]
+                 "  plain ascii  ", "", None,
+                 # non-ASCII whitespace: NBSP, thin space,
+                 # ideographic space, NEL — python \\s vs RE2 class
+                 "a\xa0b", "c\u2009d", "e\u3000f", "g\x85h"]
         t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
                       "text": pa.array(texts, pa.string())})
         out = normalize_text(rd.from_arrow(t)).to_pandas() \
@@ -350,12 +385,13 @@ class TestNormalizeText:
         con.register("docs", t.to_pandas())
         want = con.execute(
             "SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(STRIP_ACCENTS("
-            "NFC_NORMALIZE(COALESCE(text, '')))), '\\s+', ' ', 'g'), ' ') "
+            "NFC_NORMALIZE(COALESCE(text, '')))), '[\\t-\\r\\x1c-\\x1f\\x85\\p{Z}]+', ' ', 'g'), ' ') "
             "AS norm_text FROM docs ORDER BY doc_id").df()
         assert out.norm_text.tolist() == want.norm_text.tolist()
         assert out.norm_text[0] == "cafe naive text"
         assert out.norm_text[1] == "ecole"  # NFC-composes then strips
-        assert out.changed.tolist() == [1, 1, 1, 1, 0, 0]
+        assert out.norm_text[6] == "a b"    # NBSP collapsed on BOTH sides
+        assert out.changed.tolist() == [1, 1, 1, 1, 0, 0, 1, 1, 1, 1]
 
     def test_toggles(self, ray_session):
         import ray.data as rd
@@ -415,3 +451,22 @@ class TestNormalizedDedup:
         assert out.doc_id.tolist() == [1, 4]   # smallest id per norm form
         assert "__norm" not in out.columns
         assert out.text.tolist() == ["Hello  World", "different"]
+
+
+def test_key_skew_null_bearing_batches(ray_session):
+    """A null int key in SOME batches must not split a key's counts: the
+    old pandas roundtrip laundered those batches to float64 and the
+    dtype-sensitive partition hash routed the same key to two partitions."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.aggregate import key_skew_stats
+
+    # block 0 has nulls alongside key 7; block 1 is null-free with key 7
+    b0 = pa.table({"k": pa.array([7, None, 7, 1], pa.int64())})
+    b1 = pa.table({"k": pa.array([7] * 5 + [2], pa.int64())})
+    ds = rd.from_arrow(b0).union(rd.from_arrow(b1))
+    out = key_skew_stats(ds, ["k"], top_n=5)
+    top = out[out.k == 7]
+    assert len(top) == 1 and top.iloc[0].cnt == 7  # never split
+    assert out.attrs["total_rows"] == 10
+    assert out.attrs["distinct_keys"] == 4  # 7, 1, 2, null

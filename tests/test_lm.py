@@ -42,7 +42,7 @@ def test_train_matches_single_process_oracle(ray_session):
     import ray.data as rd
 
     ds = rd.from_arrow(_docs_table()).repartition(3)
-    model = LM.train_trigram_lm(ds, concurrency=(1, 2))
+    model = LM.train_trigram_lm(ds)
     want = TrigramLM.from_counts(_oracle_counts(TEXTS))
     np.testing.assert_array_equal(model.log_prob, want.log_prob)
 
@@ -51,7 +51,7 @@ def test_corpus_perplexity_scores(ray_session):
     import ray.data as rd
 
     ds = rd.from_arrow(_docs_table()).repartition(2)
-    out = LM.corpus_perplexity(ds, concurrency=(1, 2)).to_pandas() \
+    out = LM.corpus_perplexity(ds).to_pandas() \
         .sort_values("doc_id")
     want_lm = TrigramLM.from_counts(_oracle_counts(TEXTS))
     want = want_lm.perplexity_batch(TEXTS)
