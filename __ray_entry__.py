@@ -1051,6 +1051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_documents": _normalize_text_documents,
         "source_mixture_documents": _source_mixture_documents,
         "normalized_dedup_documents": _normalized_dedup_documents,
+        "distinct_customers_by_priority": _distinct_customers_by_priority,
         "doc_quality_documents": _doc_quality_documents,
         "embedding_stats": _embedding_stats,
         "langid_documents": _langid_documents,
@@ -1147,6 +1148,16 @@ def _hash_split_documents(sf_dir: str):
     from dataprof_ray.pipelines.sampling import hash_split
 
     return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
+def _distinct_customers_by_priority(sf_dir: str):
+    from dataprof_ray.pipelines.aggregate import group_distinct
+
+    out = group_distinct(
+        _read(sf_dir, "orders", columns=["o_orderpriority", "o_custkey"]),
+        ["o_orderpriority"], "o_custkey")
+    return out.to_pandas().rename(columns={"distinct_count":
+                                           "distinct_customers"})
 
 
 def _normalized_dedup_documents(sf_dir: str):
@@ -1683,6 +1694,10 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms_documents": _tfidf_top_terms_sql(),
         "url_features_documents": _url_features_sql(),
         "source_mixture_documents": _source_mixture_sql(),
+        "distinct_customers_by_priority": (
+            "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS "
+            "distinct_customers FROM orders GROUP BY o_orderpriority"
+        ),
         "normalized_dedup_documents": (
             "WITH n AS (SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER("
             "STRIP_ACCENTS(NFC_NORMALIZE(COALESCE(text, '')))), "

@@ -373,3 +373,52 @@ def key_skew_stats(ds, keys, top_n: int = 10,
     out.attrs["total_rows"] = total
     out.attrs["distinct_keys"] = distinct
     return out
+
+
+def group_distinct(ds, keys, value_col: str,
+                   partitions: int = None):
+    """Distinct ``value_col`` count per key group, exchange-efficient:
+    each batch ships its DISTINCT (key, 64-bit value hash) pairs — the
+    value itself never moves — coarse-partitioned by key hash, then one
+    vectorized ``nunique`` per partition (a key lives wholly in one
+    partition). Null values are excluded, matching SQL COUNT(DISTINCT).
+
+    Exactness: counts are exact modulo 64-bit hash collisions
+    (~n²/2⁶⁵ — negligible below ~10⁸ distinct per key). Worker memory is
+    bounded by one partition's distinct-pair set, the same contract as
+    every coarse-partition operator here; if a single key's distinct set
+    ever outgrows that, swap the per-key exact count for the
+    state.accumulators.CardinalityEstimator HLL spill (mergeable
+    registers), trading exactness for O(16KB)/key."""
+    import pandas as pd
+
+    from dataprof_ray.pipelines.partitioning import (
+        DEFAULT_PARTITIONS, add_part_column, column_hashes)
+
+    keys = list(keys)
+    parts = partitions or DEFAULT_PARTITIONS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + [value_col])
+        mask = pc.is_valid(t.column(value_col))
+        t = t.filter(mask)
+        h = column_hashes(t.column(value_col))
+        pairs = t.select(keys).append_column(
+            "__h", pa.array(h, pa.uint64()))
+        return pairs.group_by(keys + ["__h"]).aggregate([])
+
+    def reduce_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby(keys, dropna=False)["__h"].nunique() \
+            .reset_index().rename(columns={"__h": "distinct_count"})
+        out["distinct_count"] = out["distinct_count"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda b: add_part_column(b, keys, parts),
+                     batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )

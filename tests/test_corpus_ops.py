@@ -470,3 +470,17 @@ def test_key_skew_null_bearing_batches(ray_session):
     assert len(top) == 1 and top.iloc[0].cnt == 7  # never split
     assert out.attrs["total_rows"] == 10
     assert out.attrs["distinct_keys"] == 4  # 7, 1, 2, null
+
+
+def test_group_distinct_nulls_and_partitioning(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.aggregate import group_distinct
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+        "v": pa.array([1, 1, None, 2, 3, 2], pa.int64()),
+    })
+    out = group_distinct(_ds(t, 3), ["g"], "v").to_pandas().sort_values("g")
+    # nulls excluded like COUNT(DISTINCT); duplicates collapse
+    assert dict(zip(out.g, out.distinct_count)) == {"a": 1, "b": 2}
