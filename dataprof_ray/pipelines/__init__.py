@@ -5,6 +5,7 @@ from dataprof_ray.pipelines import (  # noqa: F401
     aggregate,
     dedup,
     drift,
+    export,
     join,
     lm,
     profile,

@@ -1,0 +1,51 @@
+"""Partitioned corpus export: the write side of the curation pipeline.
+
+Resumable-output contract (the property a 10^12-doc run needs): output is
+hive-partitioned Parquet — one directory per partition value, many files
+per directory (one per task) — so a failed run re-writes only the
+partitions it re-processes and downstream readers can prune at the
+directory level (``read_parquet(root)`` recovers the partition column from
+the path). Split assignment is the deterministic md5-boundary function of
+the id (sampling.hash_split), so re-running an export NEVER moves an
+example between train and eval.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+
+def export_partitioned(ds, out_dir: str, by: str, mode: str = "overwrite",
+                       **write_kwargs):
+    """``write_parquet(out_dir, partition_cols=[by])`` with the repo's
+    resumable-output defaults. Distributed write — the driver never sees
+    the data."""
+    ds.write_parquet(out_dir, partition_cols=[by], mode=mode, **write_kwargs)
+    return out_dir
+
+
+def export_splits(ds, out_dir: str, id_col: str = "doc_id",
+                  fractions: "Optional[dict[str, float]]" = None,
+                  mode: str = "overwrite", **write_kwargs):
+    """Assign the deterministic hash split to EVERY row (all columns ride
+    along) and write hive-partitioned Parquet: ``out_dir/split=train/...``
+    etc. One streaming pass, no shuffle; returns ``out_dir``.
+
+    Read back with ``ray.data.read_parquet(out_dir)`` (the ``split``
+    column comes from the directory names) or point a trainer directly at
+    ``out_dir/split=train``."""
+    from dataprof_ray.pipelines.sampling import assign_splits, split_boundaries
+
+    bounds = split_boundaries(fractions or
+                              {"train": 0.9, "val": 0.05, "test": 0.05})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "split", pa.array(assign_splits(batch.column(id_col), bounds),
+                              pa.string()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return export_partitioned(tagged, out_dir, by="split", mode=mode,
+                              **write_kwargs)

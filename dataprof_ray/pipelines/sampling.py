@@ -360,23 +360,31 @@ def hash_split(ds, id_col: str = "doc_id",
     re-run (pure function of the id — the property a 10^12-doc corpus needs
     so resharding never reshuffles examples between train and eval).
     Streaming map_batches, no shuffle; returns (id, split)."""
-    import hashlib
-
     bounds = split_boundaries(fractions or
                               {"train": 0.9, "val": 0.05, "test": 0.05})
 
     def stage(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        splits = []
-        for i in ids:
-            h = hashlib.md5(str(i).encode()).hexdigest()
-            splits.append(next(n for n, b in bounds if h < b))
         return pa.table({
             id_col: batch.column(id_col),
-            "split": pa.array(splits, pa.string()),
+            "split": pa.array(assign_splits(batch.column(id_col), bounds),
+                              pa.string()),
         })
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def assign_splits(id_column, bounds: "list[tuple[str, str]]") -> "list[str]":
+    """Split name per id: first boundary whose hex bound exceeds
+    ``md5(str(id))`` (bounds from ``split_boundaries`` — the last one is
+    the catch-all, so every id gets a split). Shared by ``hash_split`` and
+    the partitioned export writer."""
+    import hashlib
+
+    out = []
+    for i in id_column.to_pylist():
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        out.append(next(n for n, b in bounds if h < b))
+    return out
 
 
 def weighted_source_sample(ds, rates: "dict[str, float]",
