@@ -1070,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _image_features,
         "approx_distinct_lineitem": _approx_distinct_lineitem,
         "corpus_ppl_documents": _corpus_ppl_documents,
+        "curated_split_counts": _curated_split_counts,
     }
 
 
@@ -1148,6 +1149,30 @@ def _hash_split_documents(sf_dir: str):
     from dataprof_ray.pipelines.sampling import hash_split
 
     return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
+def _curated_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Flagship COMPOSITION end-to-end: quality filter + scrub -> line
+    dedup -> normalized dedup -> deterministic split -> hive-partitioned
+    export (to /tmp), reported as per-split row counts. Deterministic
+    (every stage is a pure function of the corpus), exercised in depth by
+    tests/test_curate.py; rows-only here because the pipeline's value is
+    the written corpus, not a relational result."""
+    import tempfile
+
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.curate import curate_corpus
+
+    corpus = _read(sf_dir, "documents").map_batches(
+        _docs_as_corpus_stage, batch_format="pyarrow")
+    with tempfile.TemporaryDirectory(prefix="curate_") as tmp:
+        out = curate_corpus(corpus, tmp)
+        back = rd.read_parquet(out).to_pandas()
+    counts = back.groupby("split", as_index=False).size() \
+        .rename(columns={"size": "n_docs"}).sort_values("split") \
+        .reset_index(drop=True)
+    return counts
 
 
 def _distinct_customers_by_priority(sf_dir: str):

@@ -3,6 +3,7 @@
 
 from dataprof_ray.pipelines import (  # noqa: F401
     aggregate,
+    curate,
     dedup,
     drift,
     export,
