@@ -1071,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_lineitem": _approx_distinct_lineitem,
         "corpus_ppl_documents": _corpus_ppl_documents,
         "curated_split_counts": _curated_split_counts,
+        "quantization_audit": _quantization_audit,
     }
 
 
@@ -1149,6 +1150,51 @@ def _hash_split_documents(sf_dir: str):
     from dataprof_ray.pipelines.sampling import hash_split
 
     return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
+def _quantization_audit(sf_dir: str) -> pd.DataFrame:
+    """Self-measuring int8-quantization audit: recall@10 of cosine top-k
+    over quantized vectors vs the in-repo float brute force, plus the max
+    per-element reconstruction error in units of each vector's scale
+    (bounded by 0.5 for round-to-nearest by construction)."""
+    from dataprof_ray.pipelines.similarity import (_to_matrix,
+                                                   brute_force_topk,
+                                                   quantize_embeddings,
+                                                   quantized_topk)
+
+    queries, qids = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               override_num_blocks=16)
+    exact = brute_force_topk(ds, queries, k=10, concurrency=(1, 4))
+    qds = quantize_embeddings(ds).materialize()
+    approx = quantized_topk(qds, queries, k=10)
+    recalls = []
+    for qi in range(len(qids)):
+        want = set(exact[exact.query_id == qi]["vec_id"])
+        got = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(want & got) / max(len(want), 1))
+
+    # reconstruction error: |scale*q - x| / scale per element, max overall
+    max_err = 0.0
+    orig = {}
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        m = _to_matrix(b.column("embedding"))
+        for i, vid in enumerate(b.column("vec_id").to_pylist()):
+            orig[int(vid)] = m[i]
+    for b in qds.iter_batches(batch_format="pyarrow"):
+        q8 = _to_matrix(b.column("qvec"))
+        scale = b.column("scale").to_numpy(zero_copy_only=False)
+        ids = b.column("vec_id").to_pylist()
+        for i, vid in enumerate(ids):
+            if scale[i] > 0:
+                err = np.abs(q8[i] * scale[i] - orig[int(vid)]) / scale[i]
+                max_err = max(max_err, float(err.max()))
+    return pd.DataFrame([{
+        "n_queries": len(qids), "k": 10,
+        "mean_recall": float(np.mean(recalls)),
+        "min_recall": float(np.min(recalls)),
+        "max_unit_err": max_err,
+    }])
 
 
 def _curated_split_counts(sf_dir: str) -> pd.DataFrame:

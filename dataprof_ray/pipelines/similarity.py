@@ -259,3 +259,76 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_cells: int = 16, nprobe: in
         .head(k)
         .reset_index(drop=True)
     )
+
+
+# -------------------------------------------------------- int8 quantization
+
+
+def quantize_embeddings(ds, vec_col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Per-vector symmetric int8 quantization: ``q = round(x / scale)``
+    with ``scale = max|x| / 127`` (scale 0 for all-zero vectors). 4x
+    smaller at rest and on the wire than float32 — the storage/shuffle
+    footprint lever for 10^9-vector corpora. Streaming map_batches;
+    emits (id, qvec int8 list, scale float64)."""
+    def stage(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch.column(vec_col))
+        if len(m):
+            amax = np.abs(m).max(axis=1)
+            scale = amax / 127.0
+            safe = np.where(scale > 0, scale, 1.0)
+            q = np.clip(np.round(m / safe[:, None]), -127, 127).astype(np.int8)
+        else:
+            scale = np.zeros(0)
+            q = np.zeros((0, 0), dtype=np.int8)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "qvec": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.ravel(), pa.int8()), q.shape[1] if len(m) else 0),
+            "scale": pa.array(scale, pa.float64()),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def quantized_topk(ds, queries: np.ndarray, k: int = 10,
+                   vec_col: str = "qvec", scale_col: str = "scale",
+                   id_col: str = "vec_id"):
+    """Cosine top-k over int8-quantized vectors: dequantize per batch
+    (``scale * q`` — one broadcast multiply), then the same
+    broadcast-queries local-top-k merge as ``brute_force_topk``. Cosine is
+    scale-invariant per vector, so the dequantized score differs from the
+    float score only by rounding error (audited by
+    ``quantization_audit``)."""
+    import ray
+
+    import pandas as pd
+
+    qn = _normalize_rows(np.atleast_2d(np.asarray(queries, np.float64)))
+    q_ref = ray.put(qn)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        qmat = ray.get(q_ref)
+        q8 = _to_matrix(batch.column(vec_col))
+        scale = batch.column(scale_col).to_numpy(zero_copy_only=False)
+        m = _normalize_rows(q8 * np.maximum(scale, 1e-300)[:, None])
+        sims = qmat @ m.T
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[1])
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[idx].tolist())
+            out_cos.extend(sims[qi, idx].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_cos, pa.float64()),
+        })
+
+    cand = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    top = (cand.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True])
+           .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+    return top

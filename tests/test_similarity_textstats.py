@@ -290,3 +290,40 @@ class TestLineage:
         # manifest is whole again: third run skips everything
         s3 = run_resumable_filter(shards, out_root, batch_size=128)
         assert s3["shards_processed"] == 0 and s3["shards_skipped"] == 3
+
+
+class TestQuantization:
+    def test_roundtrip_error_bounded(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.pipelines.similarity import (_to_matrix,
+                                                       quantize_embeddings)
+
+        rng = np.random.default_rng(5)
+        m = rng.normal(size=(40, 16))
+        m[3] = 0.0  # all-zero vector: scale 0, no divide-by-zero
+        t = pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), pa.float64()), 16),
+        })
+        out = quantize_embeddings(rd.from_arrow(t)).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert out.scale[3] == 0.0
+        for i in range(40):
+            if out.scale[i] == 0:
+                continue
+            q = np.array(out.qvec[i], dtype=np.float64)
+            assert np.abs(q).max() <= 127
+            err = np.abs(q * out.scale[i] - m[i]) / out.scale[i]
+            assert err.max() <= 0.5 + 1e-9  # round-to-nearest bound
+
+    def test_quantized_recall_audit(self, ray_session, sf_dir):
+        import sys
+
+        sys.path.insert(0, ".")
+        import __ray_entry__ as E
+
+        row = E.queries()["quantization_audit"](sf_dir).iloc[0]
+        assert row.mean_recall >= 0.9
+        assert row.max_unit_err <= 0.5 + 1e-9
