@@ -1166,29 +1166,31 @@ def _quantization_audit(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                override_num_blocks=16)
     exact = brute_force_topk(ds, queries, k=10, concurrency=(1, 4))
-    qds = quantize_embeddings(ds).materialize()
-    approx = quantized_topk(qds, queries, k=10)
+    approx = quantized_topk(quantize_embeddings(ds), queries, k=10)
     recalls = []
     for qi in range(len(qids)):
         want = set(exact[exact.query_id == qi]["vec_id"])
         got = set(approx[approx.query_id == qi]["vec_id"])
         recalls.append(len(want & got) / max(len(want), 1))
 
-    # reconstruction error: |scale*q - x| / scale per element, max overall
-    max_err = 0.0
-    orig = {}
-    for b in ds.iter_batches(batch_format="pyarrow"):
+    # reconstruction error measured DISTRIBUTED: quantize-and-compare in
+    # one pass per batch, driver folds one scalar per batch (never the
+    # vectors — the driver-never-sees-the-data contract)
+    def err_stage(b: pa.Table) -> pa.Table:
         m = _to_matrix(b.column("embedding"))
-        for i, vid in enumerate(b.column("vec_id").to_pylist()):
-            orig[int(vid)] = m[i]
-    for b in qds.iter_batches(batch_format="pyarrow"):
-        q8 = _to_matrix(b.column("qvec"))
-        scale = b.column("scale").to_numpy(zero_copy_only=False)
-        ids = b.column("vec_id").to_pylist()
-        for i, vid in enumerate(ids):
-            if scale[i] > 0:
-                err = np.abs(q8[i] * scale[i] - orig[int(vid)]) / scale[i]
-                max_err = max(max_err, float(err.max()))
+        if not len(m):
+            return pa.table({"e": pa.array([], pa.float64())})
+        amax = np.abs(m).max(axis=1)
+        scale = amax / 127.0
+        safe = np.where(scale > 0, scale, 1.0)
+        q = np.clip(np.round(m / safe[:, None]), -127, 127)
+        err = np.abs(q * safe[:, None] - m) / safe[:, None]
+        err[scale == 0] = 0.0
+        return pa.table({"e": pa.array([float(err.max())], pa.float64())})
+
+    errs = ds.map_batches(err_stage, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    max_err = float(errs["e"].max()) if len(errs) else 0.0
     return pd.DataFrame([{
         "n_queries": len(qids), "k": 10,
         "mean_recall": float(np.mean(recalls)),

@@ -408,12 +408,10 @@ def group_distinct(ds, keys, value_col: str,
         return pairs.group_by(keys + ["__h"]).aggregate([])
 
     def reduce_part(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        out = df.groupby(keys, dropna=False)["__h"].nunique() \
-            .reset_index().rename(columns={"__h": "distinct_count"})
-        out["distinct_count"] = out["distinct_count"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False) \
-            .replace_schema_metadata(None)
+        # Arrow-native: a pandas roundtrip would launder null-bearing int
+        # keys to float64 (corrupting >2^53 keys and the output dtype)
+        out = t.group_by(keys).aggregate([("__h", "count_distinct")])
+        return out.rename_columns(keys + ["distinct_count"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

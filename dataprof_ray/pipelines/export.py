@@ -1,13 +1,19 @@
 """Partitioned corpus export: the write side of the curation pipeline.
 
-Resumable-output contract (the property a 10^12-doc run needs): output is
-hive-partitioned Parquet — one directory per partition value, many files
-per directory (one per task) — so a failed run re-writes only the
-partitions it re-processes and downstream readers can prune at the
-directory level (``read_parquet(root)`` recovers the partition column from
-the path). Split assignment is the deterministic md5-boundary function of
-the id (sampling.hash_split), so re-running an export NEVER moves an
-example between train and eval.
+Output contract: hive-partitioned Parquet — one directory per partition
+value, many files per directory (one per task) — so downstream readers
+prune at the directory level (``read_parquet(root)`` recovers the
+partition column from the path). Split assignment is the deterministic
+md5-boundary function of the id (sampling.hash_split), so re-running an
+export NEVER moves an example between train and eval.
+
+Failure/resume semantics: the default ``mode="overwrite"`` makes a full
+re-run IDEMPOTENT (it deletes out_dir's data first — a half-written
+previous attempt can't leak stale files into the result) but is NOT an
+incremental resume. For restartable shard-at-a-time 10^12-doc runs,
+drive this writer per input shard under ``state.lineage``'s manifest
+(`run_resumable_filter`'s pattern): one out_dir per shard, manifest
+records completion, and only missing shards re-export.
 """
 
 from __future__ import annotations

@@ -98,6 +98,10 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         fn_constructor_kwargs=dict(query_ref=query_ref, k=k, vec_col=vec_col, id_col=id_col),
         concurrency=concurrency,
     ).to_pandas()
+    if candidates.empty:  # empty corpus: typed empty frame, not a KeyError
+        import pandas as pd
+
+        return pd.DataFrame(columns=["query_id", id_col, "cosine"])
     # driver-side k-way merge of the tiny candidate set
     out = (
         candidates.sort_values(["query_id", "cosine", id_col],
@@ -272,7 +276,16 @@ def quantize_embeddings(ds, vec_col: str = "embedding",
     footprint lever for 10^9-vector corpora. Streaming map_batches;
     emits (id, qvec int8 list, scale float64)."""
     def stage(batch: pa.Table) -> pa.Table:
+        col_type = batch.column(vec_col).type
         m = _to_matrix(batch.column(vec_col))
+        if pa.types.is_fixed_size_list(col_type):
+            d = col_type.list_size
+        elif len(m):
+            d = m.shape[1]
+        else:
+            raise ValueError(
+                "cannot infer embedding dim from an empty variable-list "
+                "batch; use a fixed_size_list column")
         if len(m):
             amax = np.abs(m).max(axis=1)
             scale = amax / 127.0
@@ -280,11 +293,11 @@ def quantize_embeddings(ds, vec_col: str = "embedding",
             q = np.clip(np.round(m / safe[:, None]), -127, 127).astype(np.int8)
         else:
             scale = np.zeros(0)
-            q = np.zeros((0, 0), dtype=np.int8)
+            q = np.zeros((0, d), dtype=np.int8)
         return pa.table({
             id_col: batch.column(id_col),
             "qvec": pa.FixedSizeListArray.from_arrays(
-                pa.array(q.ravel(), pa.int8()), q.shape[1] if len(m) else 0),
+                pa.array(q.ravel(), pa.int8()), d),
             "scale": pa.array(scale, pa.float64()),
         })
 
@@ -293,42 +306,23 @@ def quantize_embeddings(ds, vec_col: str = "embedding",
 
 def quantized_topk(ds, queries: np.ndarray, k: int = 10,
                    vec_col: str = "qvec", scale_col: str = "scale",
-                   id_col: str = "vec_id"):
-    """Cosine top-k over int8-quantized vectors: dequantize per batch
-    (``scale * q`` — one broadcast multiply), then the same
-    broadcast-queries local-top-k merge as ``brute_force_topk``. Cosine is
-    scale-invariant per vector, so the dequantized score differs from the
-    float score only by rounding error (audited by
-    ``quantization_audit``)."""
-    import ray
-
-    import pandas as pd
-
-    qn = _normalize_rows(np.atleast_2d(np.asarray(queries, np.float64)))
-    q_ref = ray.put(qn)
-
-    def stage(batch: pa.Table) -> pa.Table:
-        qmat = ray.get(q_ref)
+                   id_col: str = "vec_id", concurrency=(1, 8)):
+    """Cosine top-k over int8-quantized vectors: a streaming dequantize
+    stage (``scale * q`` — one broadcast multiply per batch) feeding the
+    ONE tested top-k path, ``brute_force_topk``. Cosine is scale-invariant
+    per vector, so the dequantized score differs from the float score only
+    by rounding error (measured by the ``quantization_audit`` query)."""
+    def dequant(batch: pa.Table) -> pa.Table:
         q8 = _to_matrix(batch.column(vec_col))
         scale = batch.column(scale_col).to_numpy(zero_copy_only=False)
-        m = _normalize_rows(q8 * np.maximum(scale, 1e-300)[:, None])
-        sims = qmat @ m.T
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        kk = min(k, sims.shape[1])
-        out_q, out_id, out_cos = [], [], []
-        for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
-            out_q.extend([qi] * kk)
-            out_id.extend(ids[idx].tolist())
-            out_cos.extend(sims[qi, idx].tolist())
+        m = q8 * scale[:, None]
+        d = q8.shape[1] if q8.ndim == 2 else 0
         return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            id_col: pa.array(out_id, pa.int64()),
-            "cosine": pa.array(out_cos, pa.float64()),
+            id_col: batch.column(id_col),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), pa.float64()), max(d, 1)),
         })
 
-    cand = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
-    top = (cand.sort_values(["query_id", "cosine", id_col],
-                            ascending=[True, False, True])
-           .groupby("query_id", sort=True).head(k).reset_index(drop=True))
-    return top
+    dsq = ds.map_batches(dequant, batch_format="pyarrow")
+    return brute_force_topk(dsq, queries, k=k, vec_col="embedding",
+                            id_col=id_col, concurrency=concurrency)

@@ -484,3 +484,46 @@ def test_group_distinct_nulls_and_partitioning(ray_session):
     out = group_distinct(_ds(t, 3), ["g"], "v").to_pandas().sort_values("g")
     # nulls excluded like COUNT(DISTINCT); duplicates collapse
     assert dict(zip(out.g, out.distinct_count)) == {"a": 1, "b": 2}
+
+
+def test_group_distinct_null_and_large_int_keys(ray_session):
+    """Null-bearing int64 keys must stay int64 (no pandas float64
+    laundering): 2^53+1 and 2^53 are distinct keys, and nulls group."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.aggregate import group_distinct
+
+    big = 2 ** 53
+    t = pa.table({
+        "g": pa.array([big, big + 1, None, None], pa.int64()),
+        "v": pa.array([1, 2, 3, 3], pa.int64()),
+    })
+    # consume as ARROW: Dataset.to_pandas would itself launder the
+    # nullable int64 key to float64 and merge 2^53 with 2^53+1
+    got = {}
+    for b in group_distinct(_ds(t, 2), ["g"], "v") \
+            .iter_batches(batch_format="pyarrow"):
+        assert b.column("g").type == pa.int64()
+        for g, c in zip(b.column("g").to_pylist(),
+                        b.column("distinct_count").to_pylist()):
+            got[g] = c
+    assert got == {big: 1, big + 1: 1, None: 1}
+
+
+def test_quantized_topk_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.similarity import (brute_force_topk,
+                                                   quantize_embeddings,
+                                                   quantized_topk)
+
+    empty = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array([], pa.float64()), 8),
+    })
+    q = np.ones((2, 8))
+    out = quantized_topk(quantize_embeddings(rd.from_arrow(empty)), q, k=3)
+    assert len(out) == 0 and "query_id" in out.columns
+    out2 = brute_force_topk(rd.from_arrow(empty), q, k=3)
+    assert len(out2) == 0
