@@ -1052,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture_documents": _source_mixture_documents,
         "normalized_dedup_documents": _normalized_dedup_documents,
         "distinct_customers_by_priority": _distinct_customers_by_priority,
+        "paragraph_dedup_documents": _paragraph_dedup_documents,
         "doc_quality_documents": _doc_quality_documents,
         "embedding_stats": _embedding_stats,
         "langid_documents": _langid_documents,
@@ -1150,6 +1151,14 @@ def _hash_split_documents(sf_dir: str):
     from dataprof_ray.pipelines.sampling import hash_split
 
     return hash_split(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
+def _paragraph_dedup_documents(sf_dir: str):
+    from dataprof_ray.pipelines.linededup import paragraph_dedup
+
+    return paragraph_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        include_text=False)
 
 
 def _quantization_audit(sf_dir: str) -> pd.DataFrame:
@@ -1612,6 +1621,21 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) FILTER (WHERE TRIM(line, ws) <> '' "
             "AND COALESCE(nd, 0) > 1) AS n_removed "
             "FROM L LEFT JOIN F USING (line), W GROUP BY doc_id"
+        ),
+        "paragraph_dedup_documents": (
+            "WITH L AS (SELECT doc_id, UNNEST(STRING_SPLIT("
+            "COALESCE(text, ''), CHR(10) || CHR(10))) AS seg "
+            "FROM documents), "
+            "W AS (SELECT ' ' || CHR(9) || CHR(13) || CHR(10) || CHR(11) "
+            "|| CHR(12) AS ws), "
+            "F AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM L, W "
+            "WHERE TRIM(seg, ws) <> '' GROUP BY seg) "
+            "SELECT doc_id, COUNT(*) AS n_lines, "
+            "COUNT(*) FILTER (WHERE TRIM(seg, ws) = '' "
+            "OR COALESCE(nd, 0) <= 1) AS n_kept, "
+            "COUNT(*) FILTER (WHERE TRIM(seg, ws) <> '' "
+            "AND COALESCE(nd, 0) > 1) AS n_removed "
+            "FROM L LEFT JOIN F USING (seg), W GROUP BY doc_id"
         ),
         "customers_urgent_orders": (
             "SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS "

@@ -51,12 +51,13 @@ _NEWLINE = "\n"
 _WS = " \t\r\n\x0b\x0c"
 
 
-def _split_lines(batch: pa.Table, text_col: str):
-    """(flat line StringArray, per-doc line counts) via the Arrow kernel.
-    Null text behaves like '' (one empty line), matching the SQL oracle's
-    ``coalesce(text, '')``."""
+def _split_lines(batch: pa.Table, text_col: str, sep: str = _NEWLINE):
+    """(flat segment StringArray, per-doc segment counts) via the Arrow
+    kernel. Null text behaves like '' (one empty segment), matching the
+    SQL oracle's ``coalesce(text, '')``. ``sep`` picks the granularity:
+    '\n' for lines, '\n\n' for paragraphs."""
     texts = pc.fill_null(batch.column(text_col), "")
-    lines = pc.split_pattern(texts, pattern=_NEWLINE).combine_chunks()
+    lines = pc.split_pattern(texts, pattern=sep).combine_chunks()
     if isinstance(lines, pa.ChunkedArray):  # single-chunk after combine
         lines = lines.chunk(0)
     counts = np.diff(lines.offsets.to_numpy(zero_copy_only=False))
@@ -82,13 +83,14 @@ def _pack(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
 
 
 def common_line_hashes(ds, text_col: str = "text", max_docs: int = 1,
-                       partitions: int = DEFAULT_PARTITIONS):
+                       partitions: int = DEFAULT_PARTITIONS,
+                       sep: str = _NEWLINE):
     """Dataset of (h1, h2, n_docs) for candidate lines occurring in more
     than ``max_docs`` distinct documents. The counting exchange described in
     the module docstring; one row per over-threshold distinct line."""
 
     def partials(batch: pa.Table) -> pa.Table:
-        flat, counts = _split_lines(batch, text_col)
+        flat, counts = _split_lines(batch, text_col, sep)
         trimmed = pc.utf8_trim(flat, characters=_WS)
         cand = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
         h1, h2 = _hash128(flat)
@@ -120,7 +122,8 @@ def common_line_hashes(ds, text_col: str = "text", max_docs: int = 1,
 def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                max_docs: int = 1, partitions: int = DEFAULT_PARTITIONS,
                include_text: bool = True,
-               keep_cols: Optional[list] = None):
+               keep_cols: Optional[list] = None,
+               sep: str = _NEWLINE):
     """Remove corpus-common lines from every document.
 
     Returns a Dataset with ``id_col``, per-document line accounting
@@ -131,7 +134,7 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray
 
     common = common_line_hashes(ds, text_col=text_col, max_docs=max_docs,
-                                partitions=partitions).to_pandas()
+                                partitions=partitions, sep=sep).to_pandas()
     if common.empty:  # a fully-empty result can drop its columns entirely
         common = pd.DataFrame({"h1": [], "h2": []})
     packed = np.sort(_pack(common["h1"].to_numpy(dtype=np.uint64),
@@ -141,7 +144,7 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def rewrite(batch: pa.Table) -> pa.Table:
         bc = _common_cached(common_ref)
-        flat, counts = _split_lines(batch, text_col)
+        flat, counts = _split_lines(batch, text_col, sep)
         trimmed = pc.utf8_trim(flat, characters=_WS)
         cand = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
         removed = np.zeros(len(flat), dtype=bool)
@@ -164,7 +167,7 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             offsets = np.concatenate([[0], np.cumsum(counts)])
             keep_mask = ~removed
             cols["cleaned_text"] = pa.array(
-                [_NEWLINE.join(kept[offsets[i]:offsets[i + 1]][
+                [sep.join(kept[offsets[i]:offsets[i + 1]][
                     keep_mask[offsets[i]:offsets[i + 1]]])
                  for i in range(len(counts))], pa.string())
         for c in passthrough:
@@ -246,3 +249,20 @@ def c4_line_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table(cols)
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                    max_docs: int = 1,
+                    partitions: int = DEFAULT_PARTITIONS,
+                    include_text: bool = True,
+                    keep_cols: Optional[list] = None):
+    """Cross-document PARAGRAPH dedup: ``line_dedup`` at blank-line
+    granularity (segments split on '\n\n'). Catches multi-line
+    boilerplate blocks (footers, license headers, nav sections) that
+    line-level dedup only removes piecemeal. Same scale shape: 16-byte
+    segment hashes shuffle, the over-threshold set broadcasts, the
+    rewrite is shuffle-free."""
+    return line_dedup(ds, text_col=text_col, id_col=id_col,
+                      max_docs=max_docs, partitions=partitions,
+                      include_text=include_text, keep_cols=keep_cols,
+                      sep="\n\n")

@@ -91,3 +91,23 @@ def test_keep_cols_and_stats_only(ray_session):
     assert "cleaned_text" not in out.columns
     assert out["lang"].tolist() == ["en", "it"]
     assert out["n_removed"].tolist() == [1, 1]
+
+
+def test_paragraph_dedup_removes_common_blocks(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.linededup import paragraph_dedup
+
+    footer = "contact us\nall rights reserved"
+    docs = [f"unique body {i}\n\n{footer}" for i in range(4)] + ["solo doc"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = paragraph_dedup(rd.from_arrow(t).repartition(2)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # the shared two-line footer block is removed from all four docs
+    assert out.n_removed.tolist() == [1, 1, 1, 1, 0]
+    assert out.cleaned_text[0] == "unique body 0"
+    assert out.cleaned_text[4] == "solo doc"
+    # line-level dedup would NOT remove it piecemeal here unless each
+    # line crossed the doc threshold on its own — paragraph granularity
+    # removes the block atomically
