@@ -17,6 +17,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1053,6 +1055,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup_documents": _normalized_dedup_documents,
         "distinct_customers_by_priority": _distinct_customers_by_priority,
         "paragraph_dedup_documents": _paragraph_dedup_documents,
+        "cap_per_source_documents": _cap_per_source_documents,
+        "budget_select_documents": _budget_select_documents,
+        "dsir_bucket_counts": _dsir_bucket_counts,
         "doc_quality_documents": _doc_quality_documents,
         "embedding_stats": _embedding_stats,
         "langid_documents": _langid_documents,
@@ -1073,6 +1078,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_ppl_documents": _corpus_ppl_documents,
         "curated_split_counts": _curated_split_counts,
         "quantization_audit": _quantization_audit,
+        "dsir_weights_documents": _dsir_weights_documents,
+        "dsir_top_documents": _dsir_top_documents,
+        "semantic_dedup_embeddings": _semantic_dedup_embeddings,
+        "pca_audit_embeddings": _pca_audit_embeddings,
     }
 
 
@@ -1845,6 +1854,14 @@ def oracle_sql() -> dict[str, str]:
             "LIST_MAX(CAST(embedding AS DOUBLE[])) AS vmax "
             "FROM embeddings"
         ),
+        "cap_per_source_documents": (
+            "SELECT doc_id, source FROM documents "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) "
+            f"<= {_CAP_PER_SOURCE}"
+        ),
+        "budget_select_documents": _budget_select_sql(),
+        "dsir_bucket_counts": _dsir_bucket_counts_sql(),
         "topk_cosine": (
             "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
             "FROM embeddings WHERE vec_id < 5), "
@@ -1856,3 +1873,151 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, ROUND(cos, 4) AS cosine FROM r WHERE rn <= 10"
         ),
     }
+
+
+# ------------------------------------------------- round-3 selection family
+
+
+_CAP_PER_SOURCE = 15
+_BUDGET_FRACTION = 0.5
+_DSIR_BUCKETS = 256
+_NON_ALPHA = re.compile(r"[^A-Za-z]")
+
+
+def _cap_per_source_documents(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.sampling import cap_per_key
+
+    return cap_per_key(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        ["source"], per_key=_CAP_PER_SOURCE)
+
+
+def _score_tokens_stage(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, score) with score = [A-Za-z] char fraction —
+    chosen because both terms are exactly SQL-replicable (the IEEE division
+    of two identical ints matches DuckDB bit-for-bit)."""
+    from dataprof_ray.pipelines.textstats import token_count
+
+    texts = batch.column("text").to_pylist()
+    toks = np.fromiter((token_count(t) for t in texts), dtype=np.int64,
+                       count=len(texts))
+    score = np.fromiter(
+        (len(_NON_ALPHA.sub("", t or "")) / max(len(t or ""), 1)
+         for t in texts), dtype=np.float64, count=len(texts))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(toks, pa.int64()),
+        "score": pa.array(score, pa.float64()),
+    })
+
+
+def _budget_select_documents(sf_dir: str):
+    from dataprof_ray.pipelines.selection import select_by_budget
+
+    scored = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_score_tokens_stage, batch_format="pyarrow")
+    out = select_by_budget(scored, budget_fraction=_BUDGET_FRACTION,
+                           score_col="score", weight_col="n_tokens")
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+def _budget_select_sql() -> str:
+    return (
+        "WITH scored AS (SELECT doc_id, "
+        "CASE WHEN TRIM(text, ' \t\n\r') = '' THEN 0 "
+        "ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text, ' \t\n\r'), '\\s+')) "
+        "END AS n_tokens, "
+        "LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) * 1.0 "
+        "/ GREATEST(LENGTH(text), 1) AS score FROM documents), "
+        "tot AS (SELECT SUM(n_tokens) * 1.0 AS t FROM scored), "
+        "cum AS (SELECT doc_id, n_tokens, SUM(n_tokens) OVER ("
+        "ORDER BY score DESC, doc_id "
+        "ROWS UNBOUNDED PRECEDING) AS c FROM scored) "
+        f"SELECT doc_id, n_tokens FROM cum, tot WHERE c <= {_BUDGET_FRACTION} * t"
+    )
+
+
+def _dsir_bucket_counts(sf_dir: str) -> pd.DataFrame:
+    from dataprof_ray.pipelines.selection import hashed_token_counts
+
+    counts = hashed_token_counts(
+        _read(sf_dir, "documents", columns=["text"]), buckets=_DSIR_BUCKETS)
+    nz = np.nonzero(counts)[0]
+    return pd.DataFrame({"bucket": nz.astype(np.int64), "cnt": counts[nz]})
+
+
+def _dsir_bucket_counts_sql() -> str:
+    return (
+        "WITH term AS (SELECT LOWER(UNNEST(REGEXP_SPLIT_TO_ARRAY("
+        "TRIM(text, ' \t\n\r'), '\\s+'))) AS term FROM documents "
+        "WHERE TRIM(text, ' \t\n\r') != '') "
+        "SELECT ('0x' || SUBSTR(MD5(term), 1, 8))::BIGINT "
+        f"% {_DSIR_BUCKETS} AS bucket, COUNT(*) AS cnt "
+        "FROM term GROUP BY bucket ORDER BY bucket"
+    )
+
+
+def _dsir_weighted(sf_dir: str):
+    """Shared DSIR pipeline: target = src0 docs, raw = whole corpus."""
+    import pyarrow.compute as pc
+
+    from dataprof_ray.pipelines.selection import (dsir_log_ratios,
+                                                  dsir_weights,
+                                                  hashed_token_counts)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    target = docs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("source"), "src0")),
+        batch_format="pyarrow")
+    raw_counts = hashed_token_counts(docs, buckets=1024)
+    tgt_counts = hashed_token_counts(target, buckets=1024)
+    return dsir_weights(docs, dsir_log_ratios(tgt_counts, raw_counts))
+
+
+def _dsir_weights_documents(sf_dir: str):
+    """Per-doc DSIR importance weight (target = src0). Non-SQL-expressible
+    (log of smoothed count ratios diverges across libm builds); pinned to
+    a single-process oracle by tests/test_selection.py."""
+    return _dsir_weighted(sf_dir)
+
+
+def _dsir_top_documents(sf_dir: str) -> pd.DataFrame:
+    """Gumbel-top-50 DSIR resample — deterministic (md5-seeded Gumbel
+    noise), pinned by tests/test_selection.py."""
+    from dataprof_ray.pipelines.selection import dsir_select
+
+    out = dsir_select(_dsir_weighted(sf_dir), k=50).to_pandas()
+    return out.sort_values("gumbel_key", ascending=False) \
+        .reset_index(drop=True)[["doc_id", "n_tokens"]]
+
+
+def _semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup over the embeddings table. Rows-only: k-means is
+    iterative (non-SQL); the greedy-keep semantics are pinned by
+    tests/test_dedup.py planted-clone + invariant tests. max_cos rounded
+    so block-order float noise cannot flip a hash."""
+    from dataprof_ray.pipelines.dedup import semantic_dedup
+
+    out = semantic_dedup(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.45, n_cells=8).to_pandas()
+    out["max_cos_to_kept"] = out["max_cos_to_kept"].round(4)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _pca_audit_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Self-measuring distributed PCA: reconstruction MSE must equal the
+    dropped-eigenvalue sum (exact PCA identity) — rel_gap is the numeric
+    error of the covariance-partials pipeline, asserted tiny in
+    tests/test_selection.py."""
+    from dataprof_ray.pipelines.similarity import pca_audit
+
+    a = pca_audit(_read(sf_dir, "embeddings",
+                        columns=["vec_id", "embedding"]), k=8)
+    return pd.DataFrame([{
+        "d": a["d"], "k": a["k"], "n": a["n"],
+        "explained_ratio": round(a["explained_ratio"], 6),
+        "recon_mse": round(a["recon_mse"], 6),
+        "expected_mse": round(a["expected_mse"], 6),
+        "rel_gap_e12": round(a["rel_gap"] * 1e12, 2),
+    }])

@@ -178,7 +178,10 @@ def argmax_by(
                 .drop_duplicates(keys, keep=keep))
 
     out = (
-        ds.map_batches(reduce_batch, batch_format="pandas")
+        # arrow_out: a raw DataFrame return attaches b'pandas' schema
+        # metadata, which the downstream Sort can't hash (one warning +
+        # an O(blocks) schema unify per block without it)
+        ds.map_batches(arrow_out(reduce_batch), batch_format="pandas")
         .map_batches(lambda b: add_part_column(b, keys, parts),
                      batch_format="pyarrow")
         .groupby("__part")
@@ -298,7 +301,10 @@ def topk_per_group(
                 .groupby(keys, sort=False, dropna=False).head(k))
 
     out = (
-        ds.map_batches(reduce_batch, batch_format="pandas")
+        # arrow_out: a raw DataFrame return attaches b'pandas' schema
+        # metadata, which the downstream Sort can't hash (one warning +
+        # an O(blocks) schema unify per block without it)
+        ds.map_batches(arrow_out(reduce_batch), batch_format="pandas")
         .map_batches(lambda b: add_part_column(b, keys, parts),
                      batch_format="pyarrow")
         .groupby("__part")

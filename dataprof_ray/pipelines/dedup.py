@@ -1250,3 +1250,93 @@ def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     out = exact_dedup(ds.map_batches(add_norm, batch_format="pyarrow"),
                       text_col="__norm", id_col=id_col)
     return out.drop_columns(["__norm"])
+
+
+# ------------------------------------------------------------- semantic dedup
+
+
+def semantic_dedup(ds, threshold: float = 0.9, n_cells: int = 16,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   distributed_training: bool = False, seed: int = 5):
+    """SemDeDup (Abbas et al. 2023, "Semantic deduplication" —
+    arXiv:2303.09540, public): k-means cluster the embedding space, then
+    within each cluster greedily keep a document iff its max cosine to every
+    already-kept cluster member is below ``threshold``. Scanning in
+    ascending-id order makes the kept set a pure function of (corpus,
+    centroids): stable across partitionings and re-runs.
+
+    Scale design: centroids default to the sample-seeded trainer (the
+    limit-prefix sample is partition-stable, so the whole operator is
+    bit-deterministic — tested); ``distributed_training=True`` switches to
+    the full-data Lloyd pass (driver holds n_cells x d only) whose
+    centroids are exact up to the float fold order of per-batch partials —
+    use it when 4k sampled rows can't see the corpus's structure.
+    Either way centroids are broadcast; the ONE all-to-all
+    exchange ships each vector exactly once, keyed by its cell id —
+    ``n_cells`` coarse groups, never per-document groups. Per-cell work is
+    O(|cell|^2 d) flops as incremental BLAS matvecs with O(|cell| d)
+    memory, so size ``n_cells`` to make a cell fit one worker (the paper
+    runs 50k clusters for 5B docs for exactly this reason). Cross-cluster
+    near-dups are out of scope by construction — that recall loss is the
+    algorithm's documented trade, not an implementation shortcut.
+
+    Returns (id, cell, kept, max_cos_to_kept) — ``max_cos_to_kept`` is the
+    witness similarity against the kept set at scan time (-1.0 for the
+    first doc of a cell), making every drop decision auditable."""
+    import ray
+
+    from dataprof_ray.pipelines.similarity import (_normalize_rows,
+                                                   _to_matrix,
+                                                   train_centroids,
+                                                   train_centroids_distributed)
+    from dataprof_ray.pipelines.textstats import _broadcast_cached
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if distributed_training:
+        centroids = train_centroids_distributed(ds, n_cells=n_cells,
+                                                vec_col=vec_col, seed=seed)
+    else:
+        centroids = train_centroids(ds, n_cells=n_cells, vec_col=vec_col,
+                                    seed=seed)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _broadcast_cached(cref)
+        vecs = _normalize_rows(_to_matrix(batch.column(vec_col)))
+        cells = ((vecs @ c.T).argmax(axis=1).astype(np.int32)
+                 if len(vecs) else np.zeros(0, np.int32))
+        return pa.table({
+            id_col: batch.column(id_col),
+            vec_col: batch.column(vec_col),
+            "cell": pa.array(cells, pa.int32()),
+        })
+
+    def dedup_cell(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        m = _normalize_rows(_to_matrix(group.column(vec_col)))
+        order = np.argsort(ids, kind="stable")
+        ids_o, m = ids[order], m[order]
+        n = len(ids_o)
+        kept = np.zeros(n, dtype=bool)
+        witness = np.full(n, -1.0)
+        kept_rows = np.empty_like(m)
+        nk = 0
+        for i in range(n):
+            if nk:
+                witness[i] = float((kept_rows[:nk] @ m[i]).max())
+            if witness[i] < threshold:
+                kept_rows[nk] = m[i]
+                nk += 1
+                kept[i] = True
+        cell = group.column("cell")[0].as_py() if n else 0
+        return pa.table({
+            id_col: pa.array(ids_o),
+            "cell": pa.array(np.full(n, cell, dtype=np.int32), pa.int32()),
+            "kept": pa.array(kept, pa.bool_()),
+            "max_cos_to_kept": pa.array(witness, pa.float64()),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(dedup_cell, batch_format="pyarrow"))

@@ -387,6 +387,37 @@ def assign_splits(id_column, bounds: "list[tuple[str, str]]") -> "list[str]":
     return out
 
 
+def cap_per_key(ds, keys: Sequence[str], per_key: int,
+                id_col: str = "doc_id", partitions: int = None):
+    """Deterministic per-key cap for domain balancing (the "at most K pages
+    per host" rule of web curation): keep at most ``per_key`` rows per key,
+    chosen by md5(str(id)) order — an unbiased, rerun-stable pseudo-random
+    subset per domain drawn from the same hash stream as ``hash_split``,
+    so capping never biases toward any natural ordering of the corpus.
+    SQL-equivalent: ``QUALIFY ROW_NUMBER() OVER (PARTITION BY keys ORDER BY
+    MD5(CAST(id AS VARCHAR)), id) <= per_key``.
+
+    Scale design: reuses ``topk_per_group``'s combiner — each batch keeps
+    at most ``per_key`` rows per key it contains, so the shuffle moves
+    per_key x keys-per-batch candidates into 64 coarse key-hash partitions,
+    never the full corpus. Returns a pandas DataFrame without the helper
+    order column."""
+    import hashlib
+
+    from dataprof_ray.pipelines.aggregate import topk_per_group
+
+    def add_ord(batch: pa.Table) -> pa.Table:
+        hexes = [hashlib.md5(str(i).encode()).hexdigest()
+                 for i in batch.column(id_col).to_pylist()]
+        return batch.append_column("__capord", pa.array(hexes, pa.string()))
+
+    out = topk_per_group(
+        ds.map_batches(add_ord, batch_format="pyarrow"),
+        list(keys), ["__capord", id_col], per_key, descending=False,
+        partitions=partitions)
+    return out.drop(columns="__capord").reset_index(drop=True)
+
+
 def weighted_source_sample(ds, rates: "dict[str, float]",
                            source_col: str = "source",
                            id_col: str = "doc_id",

@@ -326,3 +326,135 @@ def quantized_topk(ds, queries: np.ndarray, k: int = 10,
     dsq = ds.map_batches(dequant, batch_format="pyarrow")
     return brute_force_topk(dsq, queries, k=k, vec_col="embedding",
                             id_col=id_col, concurrency=concurrency)
+
+
+# ------------------------------------------------------------ distributed PCA
+
+
+def pca_fit(ds, k: int = 8, vec_col: str = "embedding") -> dict:
+    """Distributed PCA over an embedding column via covariance partials:
+    each batch emits (n, column-sum, X^T X) — d and d*d floats regardless
+    of batch size — and the driver folds them into one d x d covariance,
+    then takes the top-k eigenvectors (``np.linalg.eigh`` on a matrix that
+    fits any driver for embedding-scale d). The corpus never shuffles and
+    the driver never sees a row; this is the exact-moments sibling of the
+    streaming accumulators in state/.
+
+    Component signs are canonicalized (largest-|coefficient| entry made
+    positive) so the model is deterministic up to eigenvalue ties. Returns
+    {mean (d,), components (k, d), explained_variance (k,),
+    total_variance (scalar), n}."""
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _to_matrix(batch.column(vec_col))
+        if not len(x):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "xtx": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "xtx": pa.array([(x.T @ x).ravel().tolist()],
+                            pa.list_(pa.float64())),
+        })
+
+    n = 0
+    s = None
+    xtx = None
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for bn, bs, bx in zip(b.column("n").to_pylist(),
+                              b.column("s").to_pylist(),
+                              b.column("xtx").to_pylist()):
+            n += bn
+            if s is None:
+                s = np.asarray(bs)
+                xtx = np.asarray(bx)
+            else:
+                s = s + np.asarray(bs)
+                xtx = xtx + np.asarray(bx)
+    if n < 2:
+        raise ValueError(f"PCA needs >= 2 rows, got {n}")
+    d = len(s)
+    mean = s / n
+    cov = (xtx.reshape(d, d) - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    idx = np.argsort(evals)[::-1][:min(k, d)]
+    comps = evecs[:, idx].T.copy()
+    for row in comps:  # deterministic sign convention
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    return {"mean": mean, "components": comps,
+            "explained_variance": evals[idx],
+            "total_variance": float(evals.sum()), "n": n}
+
+
+def pca_transform(ds, model: dict, vec_col: str = "embedding",
+                  id_col: str = "vec_id", out_col: str = "pc"):
+    """Project each vector onto the fitted components: a streaming
+    broadcast-multiply stage emitting (id, pc fixed_size_list<k>). The
+    model (k x d + d floats) rides the object store once."""
+    import ray
+
+    from dataprof_ray.pipelines.textstats import _broadcast_cached
+
+    mref = ray.put((model["mean"], model["components"]))
+    k = len(model["components"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        mean, comps = _broadcast_cached(mref)
+        x = _to_matrix(batch.column(vec_col))
+        p = (x - mean) @ comps.T if len(x) else np.zeros((0, k))
+        return pa.table({
+            id_col: batch.column(id_col),
+            out_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(p.ravel(), pa.float64()), k),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def pca_audit(ds, k: int = 8, vec_col: str = "embedding") -> dict:
+    """Self-measuring PCA check: fit, then measure the mean squared
+    reconstruction error in a SECOND distributed pass (per-batch residual
+    sums, driver folds scalars) and compare it against the eigenvalue
+    identity ``mse == (sum of dropped eigenvalues) * (n-1)/n`` — an exact
+    property of PCA, so the relative gap is a pure numeric-error meter of
+    the partials pipeline. Returns {d, k, n, explained_ratio, recon_mse,
+    expected_mse, rel_gap}."""
+    import ray
+
+    from dataprof_ray.pipelines.textstats import _broadcast_cached
+
+    model = pca_fit(ds, k=k, vec_col=vec_col)
+    mref = ray.put((model["mean"], model["components"]))
+
+    def residual(batch: pa.Table) -> pa.Table:
+        mean, comps = _broadcast_cached(mref)
+        x = _to_matrix(batch.column(vec_col))
+        if not len(x):
+            return pa.table({"sq": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        c = x - mean
+        p = c @ comps.T
+        resid = c - p @ comps
+        return pa.table({"sq": pa.array([float((resid ** 2).sum())]),
+                         "n": pa.array([len(x)], pa.int64())})
+
+    sq = 0.0
+    n = 0
+    for b in (ds.map_batches(residual, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        sq += sum(b.column("sq").to_pylist())
+        n += sum(b.column("n").to_pylist())
+    d = len(model["mean"])
+    dropped = model["total_variance"] - float(model["explained_variance"].sum())
+    expected = dropped * (n - 1) / n  # eigh variance is sample (n-1) scaled
+    mse = sq / n
+    denom = max(abs(expected), 1e-300)
+    return {
+        "d": d, "k": len(model["components"]), "n": n,
+        "explained_ratio": float(model["explained_variance"].sum()
+                                 / model["total_variance"]),
+        "recon_mse": mse, "expected_mse": expected,
+        "rel_gap": abs(mse - expected) / denom,
+    }
