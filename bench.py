@@ -87,6 +87,10 @@ def bench_queries() -> dict[str, float]:
         # perplexity, TF-IDF with broadcast vocabulary
         "gopher_signals_documents", "corpus_ppl_documents",
         "tfidf_top_terms_documents",
+        # round 3 additions: token-budget selection, DSIR importance
+        # weights, SemDeDup over embeddings
+        "budget_select_documents", "dsir_weights_documents",
+        "semantic_dedup_embeddings",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
