@@ -276,7 +276,8 @@ def topk_per_group(
     k: int,
     descending: bool = True,
     partitions: int = None,
-) -> pd.DataFrame:
+    as_pandas: bool = True,
+):
     """Top-k rows per key group under the lexicographic ``order_cols``
     order (SQL ``QUALIFY ROW_NUMBER() OVER (PARTITION BY keys ORDER BY
     order_cols DESC) <= k``). ``order_cols`` must totally order each group
@@ -285,7 +286,11 @@ def topk_per_group(
     Scale design: the ``argmax_by`` combiner generalized — each batch
     keeps at most k rows per key it contains, so the shuffle moves
     k x |keys-in-batch| x |batches| candidates; the final reduce is one
-    vectorized pandas pass per COARSE hash(key) partition."""
+    vectorized pandas pass per COARSE hash(key) partition.
+
+    ``as_pandas=False`` returns the result as a Dataset instead of
+    collecting it — required when k x distinct-keys is itself corpus-sized
+    (e.g. a per-domain cap over billions of domains feeding an export)."""
     from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
                                                      add_part_column)
 
@@ -309,9 +314,10 @@ def topk_per_group(
                      batch_format="pyarrow")
         .groupby("__part")
         .map_groups(arrow_out(reduce_batch), batch_format="pandas")
-        .to_pandas()
-        .drop(columns="__part")
     )
+    if not as_pandas:
+        return out.drop_columns(["__part"])
+    out = out.to_pandas().drop(columns="__part")
     return out.sort_values(keys + order_cols).reset_index(drop=True)
 
 

@@ -388,7 +388,8 @@ def assign_splits(id_column, bounds: "list[tuple[str, str]]") -> "list[str]":
 
 
 def cap_per_key(ds, keys: Sequence[str], per_key: int,
-                id_col: str = "doc_id", partitions: int = None):
+                id_col: str = "doc_id", partitions: int = None,
+                as_pandas: bool = True):
     """Deterministic per-key cap for domain balancing (the "at most K pages
     per host" rule of web curation): keep at most ``per_key`` rows per key,
     chosen by md5(str(id)) order — an unbiased, rerun-stable pseudo-random
@@ -401,7 +402,9 @@ def cap_per_key(ds, keys: Sequence[str], per_key: int,
     at most ``per_key`` rows per key it contains, so the shuffle moves
     per_key x keys-per-batch candidates into 64 coarse key-hash partitions,
     never the full corpus. Returns a pandas DataFrame without the helper
-    order column."""
+    order column; ``as_pandas=False`` keeps the capped rows as a Dataset —
+    the corpus-scale form, where the kept set is itself too big to collect
+    (it feeds the export/curation stages downstream)."""
     import hashlib
 
     from dataprof_ray.pipelines.aggregate import topk_per_group
@@ -414,7 +417,9 @@ def cap_per_key(ds, keys: Sequence[str], per_key: int,
     out = topk_per_group(
         ds.map_batches(add_ord, batch_format="pyarrow"),
         list(keys), ["__capord", id_col], per_key, descending=False,
-        partitions=partitions)
+        partitions=partitions, as_pandas=as_pandas)
+    if not as_pandas:
+        return out.drop_columns(["__capord"])
     return out.drop(columns="__capord").reset_index(drop=True)
 
 

@@ -197,6 +197,23 @@ def test_cap_per_key_matches_sql_qualify(ray_session):
     assert got.groupby("source").size().max() <= 12
 
 
+def test_cap_per_key_dataset_form_matches_pandas_form(ray_session):
+    from dataprof_ray.pipelines.sampling import cap_per_key
+
+    rng = np.random.default_rng(8)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(200), pa.int64()),
+        "source": pa.array([f"s{v}" for v in rng.integers(0, 5, 200)]),
+    })
+    df = cap_per_key(_ds(t, 4), ["source"], per_key=9)
+    ds_out = cap_per_key(_ds(t, 4), ["source"], per_key=9,
+                         as_pandas=False)
+    assert hasattr(ds_out, "iter_batches")  # stays a Dataset
+    got = ds_out.to_pandas()
+    assert sorted(got.columns) == ["doc_id", "source"]
+    assert set(got["doc_id"]) == set(df["doc_id"])
+
+
 def test_cap_per_key_small_groups_uncapped(ray_session):
     from dataprof_ray.pipelines.sampling import cap_per_key
 
