@@ -287,6 +287,39 @@ def _contamination_documents(sf_dir: str) -> pd.DataFrame:
     return DC.contamination_check(docs, bench, n=8)
 
 
+def _contamination_bloom_audit(sf_dir: str) -> pd.DataFrame:
+    """Self-measuring audit of the Bloom-filter decontamination path (the
+    broadcast form for eval suites too big to ship as a frozenset): runs
+    the same every-20th-doc scan with the exact set AND the Bloom filter
+    and reports agreement. ``false_negative_docs`` must be 0 by
+    construction (Bloom filters cannot miss); ``extra_flagged_docs`` is
+    bounded by the fp rate. Pinned by tests/test_bloom.py +
+    tests/test_entry_contract.py."""
+    from dataprof_ray.pipelines import decontam as DC
+
+    def every_20th(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 20 == 0))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench_ds = docs.map_batches(every_20th, batch_format="pyarrow")
+    exact = DC.contamination_check(
+        docs, DC.benchmark_ngram_set(bench_ds, n=8), n=8)
+    bloom = DC.benchmark_ngram_bloom(bench_ds, n=8, fp_rate=1e-4)
+    approx = DC.contamination_check(docs, bloom, n=8)
+    e_hit = exact["n_contaminated"] > 0
+    b_hit = approx["n_contaminated"] > 0
+    return pd.DataFrame([{
+        "n_docs": len(exact),
+        "exact_contaminated_docs": int(e_hit.sum()),
+        "bloom_contaminated_docs": int(b_hit.sum()),
+        "false_negative_docs": int((e_hit & ~b_hit).sum()),
+        "extra_flagged_docs": int((~e_hit & b_hit).sum()),
+        "bloom_mb": round(bloom.bits.nbytes / 2**20, 3),
+        "bloom_fill_ratio": round(bloom.fill_ratio(), 4),
+    }])
+
+
 def _top3_orders_per_priority(sf_dir: str) -> pd.DataFrame:
     """Group-wise top-k: the 3 most expensive orders per priority."""
     from dataprof_ray.pipelines.aggregate import topk_per_group
@@ -1082,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_top_documents": _dsir_top_documents,
         "semantic_dedup_embeddings": _semantic_dedup_embeddings,
         "pca_audit_embeddings": _pca_audit_embeddings,
+        "contamination_bloom_audit": _contamination_bloom_audit,
     }
 
 

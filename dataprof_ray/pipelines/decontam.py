@@ -43,9 +43,62 @@ def benchmark_ngram_set(bench_ds, n: int = 8, text_col: str = "text") -> frozens
     return frozenset(tbl["g"])
 
 
+def benchmark_ngram_bloom(bench_ds, n: int = 8, text_col: str = "text",
+                          fp_rate: float = 1e-4,
+                          capacity: int = None) -> "BloomFilter":
+    """Bloom-filter form of :func:`benchmark_ngram_set` — the broadcast
+    object for LARGE eval suites. A frozenset costs ~100 B/gram; the Bloom
+    filter costs ~``-1.44 log2(fp_rate)`` bits/gram (~2.4 MB per 10^6 grams
+    at 1e-4) and has no false negatives, so decontamination can only
+    over-flag, never leak a contaminated document.
+
+    Scale design: pass 1 counts total n-gram positions per batch (a cheap
+    sum — an upper bound on distinct grams, so the realized fp rate is at
+    most ``fp_rate``) unless ``capacity`` is given; pass 2 builds one local
+    filter per batch with the identical (m, k) shape and OR-folds the
+    partials on the driver. Partials are ``m/8`` bytes each — for filters
+    so large that P partials strain the driver, pre-fold with the same
+    tree-merge used by the profiler."""
+    from dataprof_ray.state.bloom import BloomFilter
+
+    grams_only = bench_ds.select_columns([text_col])
+
+    if capacity is None:
+        def count(batch: pa.Table) -> pa.Table:
+            tot = 0
+            for t in batch.column(text_col).to_pylist():
+                toks = _WS_SPLIT.split((t or "").lower().strip())
+                if toks != [""]:
+                    tot += max(0, len(toks) - n + 1)
+            return pa.table({"c": pa.array([tot], pa.int64())})
+
+        capacity = int(grams_only.map_batches(count, batch_format="pyarrow")
+                       .sum("c") or 0)
+    capacity = max(1, capacity)
+
+    def build(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fp_rate)
+        for t in batch.column(text_col).to_pylist():
+            bf.add_many(_doc_ngrams(t, n))
+        return pa.table({
+            "bits": pa.array([bf.bits.tobytes()], pa.large_binary()),
+            "n_added": pa.array([bf.n_added], pa.int64()),
+        })
+
+    merged = BloomFilter(capacity, fp_rate)
+    import numpy as np
+    for part in (grams_only.map_batches(build, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")):
+        for bits, n_added in zip(part.column("bits").to_pylist(),
+                                 part.column("n_added").to_pylist()):
+            merged.bits |= np.frombuffer(bits, dtype=np.uint64)
+            merged.n_added += n_added
+    return merged
+
+
 def contamination_check(
     ds,
-    benchmark: frozenset,
+    benchmark,
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -53,8 +106,12 @@ def contamination_check(
     """Per-document contamination report: total n-gram positions, how many
     hit the benchmark set, and the contaminated fraction (half-away rounded,
     4 places — oracle-aligned). Documents shorter than ``n`` tokens emit
-    0 / 0 / 0.0. The benchmark set is shipped via ``ray.put`` once and
-    resolved per task (zero-copy object-store read, not per-batch
+    0 / 0 / 0.0. ``benchmark`` is anything supporting ``in`` — a frozenset
+    from :func:`benchmark_ngram_set` (exact, small suites) or a
+    :class:`~dataprof_ray.state.bloom.BloomFilter` from
+    :func:`benchmark_ngram_bloom` (huge suites; no false negatives, so any
+    divergence from exact is over-flagging). Shipped via ``ray.put`` once
+    and resolved per task (zero-copy object-store read, not per-batch
     reserialization)."""
     import ray
 

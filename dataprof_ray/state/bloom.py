@@ -1,0 +1,97 @@
+"""Mergeable Bloom filter for broadcast membership at corpus scale.
+
+The decontamination scan (`pipelines/decontam.py`) broadcasts the
+benchmark n-gram set; a frozenset costs ~100 B per entry, so a 10^8-gram
+eval suite would ship tens of GB to every worker. A Bloom filter at the
+same false-positive rate costs ~``-1.44 log2(p)`` BITS per entry (~18 MB
+per 10^7 entries at p=1e-4), with NO false negatives — a miss is always a
+real miss, so decontamination can only over-flag, never leak a
+contaminated doc.
+
+Standard construction (public: Bloom 1970; Kirsch & Mitzenmacher 2006
+double hashing): two independent 64-bit halves of one blake2b digest
+generate all k probe positions. Filters of identical (m, k) merge by OR —
+per-batch local filters fold associatively, so the build is one streaming
+pass with KB..MB-scale partials.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+
+class BloomFilter:
+    """Fixed-size bit-array Bloom filter. Deterministic (pure function of
+    the inserted set), mergeable via :meth:`merge`, picklable (rides
+    ``ray.put`` as one numpy buffer), and usable anywhere a set is read:
+    ``"x" in bf``."""
+
+    def __init__(self, capacity: int, fp_rate: float = 1e-4):
+        if capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {capacity}")
+        if not (0.0 < fp_rate < 1.0):
+            raise ValueError(f"fp_rate must be in (0, 1), got {fp_rate}")
+        ln2 = math.log(2.0)
+        self.m = max(64, int(math.ceil(-capacity * math.log(fp_rate) / ln2 ** 2)))
+        self.k = max(1, round(self.m / capacity * ln2))
+        self.capacity = capacity
+        self.fp_rate = fp_rate
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+        self.n_added = 0
+
+    # ------------------------------------------------------------- probes
+
+    def _positions(self, item: str) -> np.ndarray:
+        d = hashlib.blake2b(item.encode("utf-8"), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1  # odd => full-period step
+        return (h1 + np.arange(self.k, dtype=np.uint64) * np.uint64(h2)) \
+            % np.uint64(self.m)
+
+    # ------------------------------------------------------------ mutation
+
+    def add(self, item: str) -> None:
+        pos = self._positions(item)
+        np.bitwise_or.at(self.bits, pos >> 6,
+                         np.uint64(1) << (pos & np.uint64(63)))
+        self.n_added += 1
+
+    def add_many(self, items) -> None:
+        for it in items:
+            self.add(it)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        """OR-fold another filter built with identical (m, k) parameters."""
+        if (self.m, self.k) != (other.m, other.k):
+            raise ValueError(
+                f"cannot merge Bloom filters with different shapes: "
+                f"(m={self.m}, k={self.k}) vs (m={other.m}, k={other.k})")
+        self.bits |= other.bits
+        self.n_added += other.n_added
+        return self
+
+    # ------------------------------------------------------------- queries
+
+    def __contains__(self, item: str) -> bool:
+        pos = self._positions(item)
+        word = self.bits[pos >> 6]
+        return bool(((word >> (pos & np.uint64(63))) & np.uint64(1)).all())
+
+    def fill_ratio(self) -> float:
+        """Fraction of set bits — the saturation meter: observed
+        false-positive rate is ``fill_ratio ** k``."""
+        return float(np.unpackbits(self.bits.view(np.uint8)).sum()) / self.m
+
+    def observed_fp_rate(self) -> float:
+        return self.fill_ratio() ** self.k
+
+    def __getstate__(self):
+        return (self.m, self.k, self.capacity, self.fp_rate,
+                self.n_added, self.bits.tobytes())
+
+    def __setstate__(self, state):
+        self.m, self.k, self.capacity, self.fp_rate, self.n_added, raw = state
+        self.bits = np.frombuffer(raw, dtype=np.uint64).copy()
