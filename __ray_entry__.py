@@ -250,6 +250,23 @@ def _dedup_exact_documents(sf_dir: str):
     return D.exact_dedup(_read(sf_dir, "documents"))
 
 
+def _incremental_dedup_documents(sf_dir: str):
+    """Incremental crawl dedup: prior corpus = every third document (a
+    stand-in earlier crawl), new corpus = all documents; survivors are the
+    docs whose text never appeared in the prior crawl. Exercises the Bloom
+    prefilter + exact-verify rescue path end to end."""
+    from dataprof_ray.pipelines import dedup as D
+
+    def every_3rd(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    docs = _read(sf_dir, "documents")
+    prior = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(every_3rd, batch_format="pyarrow")
+    return D.dedup_against_prior(docs, prior)
+
+
 def _fingerprint_md5(sf_dir: str):
     import hashlib
 
@@ -1045,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_documents": _token_stats_documents,
         "char_classes_documents": _char_classes_documents,
         "dedup_exact_documents": _dedup_exact_documents,
+        "incremental_dedup_documents": _incremental_dedup_documents,
         "fingerprint_md5": _fingerprint_md5,
         "topk_cosine": _topk_cosine,
         "stratified_customer": _stratified_customer,
@@ -1567,6 +1585,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": (
             "SELECT * FROM documents "
             "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"
+        ),
+        "incremental_dedup_documents": (
+            "SELECT * FROM documents d WHERE NOT EXISTS ("
+            "SELECT 1 FROM documents p WHERE p.doc_id % 3 = 0 "
+            "AND p.text = d.text)"
         ),
         "fingerprint_md5": "SELECT doc_id, MD5(text) AS md5 FROM documents",
         "stratified_customer": (

@@ -1340,3 +1340,138 @@ def semantic_dedup(ds, threshold: float = 0.9, n_cells: int = 16,
     return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("cell")
             .map_groups(dedup_cell, batch_format="pyarrow"))
+
+
+# --------------------------------------------------- incremental (vs prior)
+
+
+def prior_corpus_bloom(prior_ds, text_col: str = "text",
+                       fp_rate: float = 1e-6, capacity: int = None):
+    """Bloom filter over the content hashes of a PRIOR corpus — the seen-set
+    for incremental crawl dedup. One streaming pass; per-batch local filters
+    OR-fold on the driver (``m/8`` bytes each, ~3.5 MB per 10^6 docs at
+    fp=1e-6). ``capacity`` defaults to the prior row count (an upper bound
+    on distinct hashes, so the realized fp rate is at most ``fp_rate``)."""
+    from dataprof_ray.state.bloom import BloomFilter
+
+    prior = prior_ds.select_columns([text_col])
+    if capacity is None:
+        capacity = prior.count()
+    capacity = max(1, int(capacity))
+
+    def build(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fp_rate)
+        h = add_content_hash(batch, text_col).column("content_hash")
+        bf.add_u64(h.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "bits": pa.array([bf.bits.tobytes()], pa.large_binary()),
+            "n_added": pa.array([bf.n_added], pa.int64()),
+        })
+
+    merged = BloomFilter(capacity, fp_rate)
+    for part in (prior.map_batches(build, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")):
+        for bits, n_added in zip(part.column("bits").to_pylist(),
+                                 part.column("n_added").to_pylist()):
+            merged.bits |= np.frombuffer(bits, dtype=np.uint64)
+            merged.n_added += n_added
+    return merged
+
+
+def dedup_against_prior(new_ds, prior_ds, text_col: str = "text",
+                        id_col: str = "doc_id", fp_rate: float = 1e-6,
+                        verify: bool = True):
+    """Incremental crawl dedup: drop documents whose text already appeared
+    in a PRIOR corpus, without shuffling either corpus's text. Equality is
+    64-bit content-hash equality (same contract as :func:`exact_dedup`).
+
+    Scale design (Bloom prefilter + exact verify):
+
+    1. build the prior seen-set as a Bloom filter (one ``ray.put``
+       broadcast; misses are definitive "new").
+    2. scan the new corpus once, emitting only (hash, id) of the HITS —
+       candidates are ``true dups + fp_rate x corpus``, never the text.
+    3. exact verify: candidate hashes cogroup with the prior's hash column
+       on 64 coarse partitions; candidates absent from the prior there are
+       Bloom FALSE POSITIVES — a set of expected size ``fp_rate x new``,
+       collected to the driver and broadcast as a rescue set.
+    4. second streaming pass keeps misses plus rescued false positives.
+
+    ``verify=False`` skips 3-4's prior-hash shuffle and second pass and
+    drops ALL hits: cheaper, but wrongly drops ~``fp_rate`` of genuinely
+    new documents — acceptable for crawl dedup at fp=1e-6, never for
+    anything that must be exact."""
+    bloom = prior_corpus_bloom(prior_ds, text_col, fp_rate)
+    import ray
+
+    bloom_ref = ray.put(bloom)
+
+    def keep_misses(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        h = add_content_hash(batch, text_col).column("content_hash")
+        hit = bf.contains_u64(h.to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(~hit))
+
+    if not verify:
+        return new_ds.map_batches(keep_misses, batch_format="pyarrow")
+
+    def hit_hashes(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        h = add_content_hash(batch, text_col).column("content_hash") \
+            .to_numpy(zero_copy_only=False)
+        hit = bf.contains_u64(h)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[hit]
+        hh = h[hit]
+        return pa.table({
+            "content_hash": pa.array(hh, pa.uint64()),
+            id_col: pa.array(ids),
+            "is_prior": pa.array(np.zeros(len(hh), dtype=bool)),
+            "part": pa.array((hh % np.uint64(_EDGE_PARTITIONS))
+                             .astype(np.int32), pa.int32()),
+        })
+
+    def prior_hashes(batch: pa.Table) -> pa.Table:
+        h = add_content_hash(batch, text_col).column("content_hash") \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "content_hash": pa.array(h, pa.uint64()),
+            id_col: pa.array(np.full(len(h), -1, dtype=np.int64)),
+            "is_prior": pa.array(np.ones(len(h), dtype=bool)),
+            "part": pa.array((h % np.uint64(_EDGE_PARTITIONS))
+                             .astype(np.int32), pa.int32()),
+        })
+
+    def rescue_partition(df: pd.DataFrame) -> pd.DataFrame:
+        seen = df.loc[df["is_prior"], "content_hash"]
+        cand = df[~df["is_prior"]]
+        fp = cand[~cand["content_hash"].isin(set(seen))]
+        return fp[[id_col]]
+
+    cand = new_ds.select_columns([id_col, text_col]) \
+        .map_batches(hit_hashes, batch_format="pyarrow")
+    prior_h = prior_ds.select_columns([text_col]) \
+        .map_batches(prior_hashes, batch_format="pyarrow")
+    # rescued ids = Bloom false positives only: expected fp_rate x |new|,
+    # safe to collect and broadcast.
+    rescued = (cand.union(prior_h)
+               .groupby("part")
+               .map_groups(arrow_out(rescue_partition), batch_format="pandas")
+               .to_pandas())
+    rescue_ref = ray.put(
+        np.sort(rescued[id_col].to_numpy()) if len(rescued)
+        else np.empty(0, dtype=np.int64))
+
+    def keep_final(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        rescue = ray.get(rescue_ref)
+        h = add_content_hash(batch, text_col).column("content_hash")
+        hit = bf.contains_u64(h.to_numpy(zero_copy_only=False))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = ~hit
+        if len(rescue):
+            idx = np.searchsorted(rescue, ids)
+            idx[idx >= len(rescue)] = len(rescue) - 1
+            keep |= rescue[idx] == ids
+        return batch.filter(pa.array(keep))
+
+    return new_ds.map_batches(keep_final, batch_format="pyarrow")

@@ -73,6 +73,49 @@ class BloomFilter:
         self.n_added += other.n_added
         return self
 
+    # --------------------------------------------------- vectorized uint64
+
+    # splitmix64 finalizer constants (public domain, Steele et al. 2014) —
+    # turn one 64-bit content hash into two independent probe hashes with
+    # pure numpy (no per-item hashlib call in the corpus-scan hot path).
+    _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+    _MIX2 = np.uint64(0x94D049BB133111EB)
+    _SALT = np.uint64(0x9E3779B97F4A7C15)
+
+    @staticmethod
+    def _splitmix(x: np.ndarray) -> np.ndarray:
+        x = (x ^ (x >> np.uint64(30))) * BloomFilter._MIX1
+        x = (x ^ (x >> np.uint64(27))) * BloomFilter._MIX2
+        return x ^ (x >> np.uint64(31))
+
+    def _positions_u64(self, items: np.ndarray) -> np.ndarray:
+        """(n, k) probe positions for an array of uint64 items."""
+        items = items.astype(np.uint64, copy=False)
+        h1 = self._splitmix(items)
+        h2 = self._splitmix(items + self._SALT) | np.uint64(1)
+        ks = np.arange(self.k, dtype=np.uint64)
+        return (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(self.m)
+
+    def add_u64(self, items: np.ndarray) -> None:
+        """Vectorized insert of a uint64 array (e.g. per-batch content
+        hashes); one numpy pass, no Python per-item loop."""
+        if len(items) == 0:
+            return
+        pos = self._positions_u64(items)
+        np.bitwise_or.at(self.bits, pos >> np.uint64(6),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        self.n_added += len(items)
+
+    def contains_u64(self, items: np.ndarray) -> np.ndarray:
+        """Vectorized membership test; returns a boolean array. No false
+        negatives; positives are true with probability ~1 - fp_rate."""
+        if len(items) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions_u64(items)
+        word = self.bits[pos >> np.uint64(6)]
+        return (((word >> (pos & np.uint64(63))) & np.uint64(1))
+                .all(axis=1))
+
     # ------------------------------------------------------------- queries
 
     def __contains__(self, item: str) -> bool:

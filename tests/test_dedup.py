@@ -324,3 +324,64 @@ def test_ngram_jaccard_pairs(ray_session, doc_table):
         assert (j, 80 + j) in found
     for _, row in pairs.iterrows():
         assert row.jaccard >= 0.8
+
+
+# --------------------------------------------------- incremental (vs prior)
+
+
+def _inc_corpora():
+    import ray
+
+    prior_texts = [f"previously crawled page number {i} with stable text"
+                   for i in range(40)]
+    new_only = [f"freshly discovered page {i} entirely new content"
+                for i in range(25)]
+    # new corpus = 15 re-crawled prior pages + 25 genuinely new ones
+    new_texts = prior_texts[:15] + new_only
+    prior = pa.table({
+        "doc_id": pa.array(range(1000, 1000 + len(prior_texts)), pa.int64()),
+        "text": pa.array(prior_texts)})
+    new = pa.table({
+        "doc_id": pa.array(range(len(new_texts)), pa.int64()),
+        "text": pa.array(new_texts)})
+    return (ray.data.from_arrow(prior).repartition(3),
+            ray.data.from_arrow(new).repartition(4))
+
+
+def test_dedup_against_prior_exact(ray_session):
+    prior, new = _inc_corpora()
+    out = D.dedup_against_prior(new, prior).to_pandas()
+    # survivors = exactly the 25 genuinely-new docs (ids 15..39)
+    assert sorted(out["doc_id"]) == list(range(15, 40))
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_dedup_against_prior_verify_rescues_false_positives(ray_session):
+    # fp_rate=0.5 makes the Bloom prefilter flag roughly half the new docs
+    # as "seen"; the exact verify stage must rescue every false positive.
+    prior, new = _inc_corpora()
+    bloom = D.prior_corpus_bloom(prior, fp_rate=0.5)
+    new_tbl = pa.Table.from_pandas(new.to_pandas())
+    h = D.add_content_hash(new_tbl)
+    hits = bloom.contains_u64(h.column("content_hash").to_numpy())
+    assert hits.sum() > 15  # prefilter really does over-flag
+    out = D.dedup_against_prior(new, prior, fp_rate=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(15, 40))
+
+
+def test_dedup_against_prior_noverify_drops_all_hits(ray_session):
+    prior, new = _inc_corpora()
+    out = D.dedup_against_prior(new, prior, fp_rate=1e-9,
+                                verify=False).to_pandas()
+    # at fp=1e-9 on 40 docs no false positive occurs: same exact answer
+    assert sorted(out["doc_id"]) == list(range(15, 40))
+
+
+def test_dedup_against_prior_empty_prior(ray_session):
+    import ray
+
+    _, new = _inc_corpora()
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
+    out = D.dedup_against_prior(new, empty).to_pandas()
+    assert len(out) == new.count()
