@@ -304,6 +304,62 @@ def _contamination_documents(sf_dir: str) -> pd.DataFrame:
     return DC.contamination_check(docs, bench, n=8)
 
 
+def _quality_classifier_audit(sf_dir: str) -> pd.DataFrame:
+    """Self-measuring audit of the trainable fastText-style quality
+    classifier (`pipelines/classifier.py`): every document yields a clean
+    copy (label 1) and a deterministically corrupted copy with half its
+    words replaced by seeded gibberish (label 0); the model trains on
+    doc_id % 5 != 0 and is scored on the held-out fifth. A working
+    training loop must reach AUC ~1 on this separable task — pinned
+    >= 0.95 in tests/test_entry_contract.py. Test scores are collected to
+    the driver for the rank-sum AUC (test split is sampled and bounded by
+    construction at scale)."""
+    from dataprof_ray.pipelines.classifier import (auc_score,
+                                                   score_with_classifier,
+                                                   train_text_classifier)
+
+    def make_pairs(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        out_id, out_text, out_label = [], [], []
+        for i, t in zip(ids, texts):
+            rng = np.random.default_rng(int(i))
+            words = (t or "").split()
+            bad = " ".join(
+                "zq" + rng.bytes(3).hex() if k % 2 else w
+                for k, w in enumerate(words))
+            out_id += [int(i), int(i)]
+            out_text += [t, bad]
+            out_label += [1, 0]
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+            "label": pa.array(out_label, pa.int64()),
+        })
+
+    pairs = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(make_pairs, batch_format="pyarrow")
+    def split(keep_test: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 5 == 0) if keep_test else (ids % 5 != 0)
+            return b.filter(pa.array(mask))
+        return f
+
+    train = pairs.map_batches(split(False), batch_format="pyarrow")
+    test = pairs.map_batches(split(True), batch_format="pyarrow")
+    clf = train_text_classifier(train, rounds=2, local_steps=30)
+    scored = score_with_classifier(test, clf).to_pandas()
+    auc = auc_score(scored["label"].to_numpy(), scored["clf_score"].to_numpy())
+    acc = float(((scored["clf_score"] > 0.5).astype(int)
+                 == scored["label"]).mean())
+    return pd.DataFrame([{
+        "n_train": int(train.count()), "n_test": len(scored),
+        "test_auc": round(float(auc), 4), "test_acc": round(acc, 4),
+        "model_kb": round(clf.w.nbytes / 1024, 1),
+    }])
+
+
 def _contamination_bloom_audit(sf_dir: str) -> pd.DataFrame:
     """Self-measuring audit of the Bloom-filter decontamination path (the
     broadcast form for eval suites too big to ship as a frozenset): runs
@@ -1134,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": _semantic_dedup_embeddings,
         "pca_audit_embeddings": _pca_audit_embeddings,
         "contamination_bloom_audit": _contamination_bloom_audit,
+        "quality_classifier_audit": _quality_classifier_audit,
     }
 
 
