@@ -304,6 +304,28 @@ def _contamination_documents(sf_dir: str) -> pd.DataFrame:
     return DC.contamination_check(docs, bench, n=8)
 
 
+def _pack_sequences_documents(sf_dir: str):
+    """Concat-and-chunk sequence packing: per-document (partition, token
+    offset, first/last sequence index) under max_len=128 over doc_id % 8
+    partition streams. Exact SQL window-function oracle."""
+    from dataprof_ray.pipelines.packing import pack_concat_chunk
+
+    return pack_concat_chunk(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_len=128, parts=8)
+
+
+def _packing_efficiency_audit(sf_dir: str) -> pd.DataFrame:
+    """Self-measuring audit of first-fit-decreasing bin packing: bins used
+    vs the token lower bound, oversize docs, and the max bin fill (must
+    be <= max_len by construction; pinned in tests/test_entry_contract)."""
+    from dataprof_ray.pipelines.packing import packing_efficiency
+
+    return packing_efficiency(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_len=256, parts=8)
+
+
 def _quality_classifier_audit(sf_dir: str) -> pd.DataFrame:
     """Self-measuring audit of the trainable fastText-style quality
     classifier (`pipelines/classifier.py`): every document yields a clean
@@ -1190,7 +1212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": _semantic_dedup_embeddings,
         "pca_audit_embeddings": _pca_audit_embeddings,
         "contamination_bloom_audit": _contamination_bloom_audit,
+        "pack_sequences_documents": _pack_sequences_documents,
         "quality_classifier_audit": _quality_classifier_audit,
+        "packing_efficiency_audit": _packing_efficiency_audit,
     }
 
 
@@ -1642,6 +1666,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": (
             "SELECT * FROM documents "
             "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"
+        ),
+        "pack_sequences_documents": (
+            "WITH toks AS (SELECT doc_id, doc_id % 8 AS part, "
+            "CASE WHEN TRIM(text, ' \t\n\r') = '' THEN 0 "
+            "ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text, ' \t\n\r'), '\\s+')) END "
+            "AS n_tokens FROM documents), offs AS ("
+            "SELECT doc_id, part, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER ("
+            "PARTITION BY part ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset FROM toks) "
+            "SELECT doc_id, n_tokens, part, tok_offset, "
+            "CAST(tok_offset // 128 AS BIGINT) AS seq_start, "
+            "CAST(CASE WHEN n_tokens = 0 THEN tok_offset // 128 "
+            "ELSE (tok_offset + n_tokens - 1) // 128 END AS BIGINT) AS seq_end "
+            "FROM offs"
         ),
         "incremental_dedup_documents": (
             "SELECT * FROM documents d WHERE NOT EXISTS ("
