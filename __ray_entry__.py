@@ -304,6 +304,14 @@ def _contamination_documents(sf_dir: str) -> pd.DataFrame:
     return DC.contamination_check(docs, bench, n=8)
 
 
+def _global_shuffle_documents(sf_dir: str):
+    """Deterministic global shuffle: stable (shard, pos) training order
+    from md5(doc_id); 16 shards. SQL ROW_NUMBER oracle."""
+    from dataprof_ray.pipelines.sampling import global_shuffle
+
+    return global_shuffle(_read(sf_dir, "documents", columns=["doc_id"]))
+
+
 def _pack_sequences_documents(sf_dir: str):
     """Concat-and-chunk sequence packing: per-document (partition, token
     offset, first/last sequence index) under max_len=128 over doc_id % 8
@@ -1213,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_audit_embeddings": _pca_audit_embeddings,
         "contamination_bloom_audit": _contamination_bloom_audit,
         "pack_sequences_documents": _pack_sequences_documents,
+        "global_shuffle_documents": _global_shuffle_documents,
         "quality_classifier_audit": _quality_classifier_audit,
         "packing_efficiency_audit": _packing_efficiency_audit,
     }
@@ -1666,6 +1675,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": (
             "SELECT * FROM documents "
             "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"
+        ),
+        "global_shuffle_documents": (
+            "SELECT doc_id, "
+            "CAST(STRPOS('0123456789abcdef', "
+            "SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) "
+            "ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos "
+            "FROM documents"
         ),
         "pack_sequences_documents": (
             "WITH toks AS (SELECT doc_id, doc_id % 8 AS part, "

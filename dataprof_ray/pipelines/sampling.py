@@ -449,3 +449,46 @@ def weighted_source_sample(ds, rates: "dict[str, float]",
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def global_shuffle(ds, id_col: str = "doc_id", hex_digits: int = 1):
+    """Deterministic global shuffle for training order: every row gets a
+    stable pseudo-random position as (shard, pos) where shard is the
+    first ``hex_digits`` of ``md5(str(id))`` (16^hex_digits shards) and
+    pos is the row's rank within its shard under md5-key order. Reading
+    shards 0..N-1 in pos order IS the shuffled corpus; the assignment is
+    a pure function of the id, so re-runs and resharding never change
+    the training order (the resumability property a 10^12-doc run needs).
+
+    Scale design: only (id, 32-char key, shard) shuffles (~45 B/doc; the
+    key could be truncated to 8 bytes when SQL parity is not required);
+    ranking is one vectorized sort per shard partition. Texts never move
+    — export joins the (shard, pos) assignment back or writes with
+    ``export.partitioned_export`` using shard as the key."""
+    import hashlib
+
+    if not (1 <= hex_digits <= 4):
+        raise ValueError(f"hex_digits must be in 1..4, got {hex_digits}")
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        shard = np.fromiter((int(k[:hex_digits], 16) for k in keys),
+                            dtype=np.int64, count=len(keys))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "__key": pa.array(keys, pa.string()),
+            "shard": pa.array(shard, pa.int64()),
+        })
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__key", id_col]).reset_index(drop=True)
+        df["pos"] = np.arange(len(df), dtype=np.int64)
+        return df.drop(columns="__key")
+
+    from dataprof_ray.pipelines.partitioning import arrow_out
+
+    return (ds.select_columns([id_col])
+            .map_batches(stage, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(arrow_out(rank), batch_format="pandas"))

@@ -527,3 +527,38 @@ def test_quantized_topk_empty_corpus(ray_session):
     assert len(out) == 0 and "query_id" in out.columns
     out2 = brute_force_topk(rd.from_arrow(empty), q, k=3)
     assert len(out2) == 0
+
+
+def test_global_shuffle_is_stable_permutation(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.sampling import global_shuffle
+
+    ids = pa.table({"doc_id": pa.array(range(300), pa.int64())})
+    out = (global_shuffle(rd.from_arrow(ids, override_num_blocks=4))
+           .to_pandas())
+    assert len(out) == 300
+    assert set(out.columns) == {"doc_id", "shard", "pos"}
+    # every shard's positions are exactly 0..n-1 (a permutation)
+    for _, g in out.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    # stable under repartitioning: pure function of the id
+    out2 = (global_shuffle(rd.from_arrow(ids, override_num_blocks=11))
+            .to_pandas())
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # it is actually shuffled, not identity order
+    s0 = out[out["shard"] == out["shard"].iloc[0]].sort_values("pos")
+    assert list(s0["doc_id"]) != sorted(s0["doc_id"])
+
+
+def test_global_shuffle_validates_hex_digits(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.sampling import global_shuffle
+
+    ids = pa.table({"doc_id": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        global_shuffle(rd.from_arrow(ids), hex_digits=0)
