@@ -91,6 +91,10 @@ def bench_queries() -> dict[str, float]:
         # weights, SemDeDup over embeddings
         "budget_select_documents", "dsir_weights_documents",
         "semantic_dedup_embeddings",
+        # round 3 additions: incremental crawl dedup (Bloom prefilter +
+        # exact verify), sequence packing, trainable quality classifier
+        "incremental_dedup_documents", "pack_sequences_documents",
+        "quality_classifier_audit",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
