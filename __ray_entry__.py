@@ -304,6 +304,16 @@ def _contamination_documents(sf_dir: str) -> pd.DataFrame:
     return DC.contamination_check(docs, bench, n=8)
 
 
+def _temperature_mixture_documents(sf_dir: str) -> pd.DataFrame:
+    """Temperature mixture rates (count^0.5, keep ~50%): alpha=0.5 is
+    IEEE-exact sqrt on both engines, so the 6-place rounding matches."""
+    from dataprof_ray.pipelines.sampling import temperature_mixture_rates
+
+    return temperature_mixture_rates(
+        _read(sf_dir, "documents", columns=["source"]),
+        alpha=0.5, target_fraction=0.5)
+
+
 def _global_shuffle_documents(sf_dir: str):
     """Deterministic global shuffle: stable (shard, pos) training order
     from md5(doc_id); 16 shards. SQL ROW_NUMBER oracle."""
@@ -1222,6 +1232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_bloom_audit": _contamination_bloom_audit,
         "pack_sequences_documents": _pack_sequences_documents,
         "global_shuffle_documents": _global_shuffle_documents,
+        "temperature_mixture_documents": _temperature_mixture_documents,
         "quality_classifier_audit": _quality_classifier_audit,
         "packing_efficiency_audit": _packing_efficiency_audit,
     }
@@ -1675,6 +1686,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": (
             "SELECT * FROM documents "
             "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"
+        ),
+        "temperature_mixture_documents": (
+            "WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents "
+            "GROUP BY source), t AS (SELECT SUM(SQRT(n_docs)) AS z, "
+            "SUM(n_docs) AS tot FROM c) "
+            "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+            "ROUND(LEAST(1.0, 0.5 * tot * SQRT(n_docs) / z / n_docs), 6) AS rate "
+            "FROM c, t"
         ),
         "global_shuffle_documents": (
             "SELECT doc_id, "

@@ -55,3 +55,49 @@ def export_splits(ds, out_dir: str, id_col: str = "doc_id",
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     return export_partitioned(tagged, out_dir, by="split", mode=mode,
                               **write_kwargs)
+
+
+def export_shuffled(ds, out_dir: str, id_col: str = "doc_id",
+                    hex_digits: int = 1, mode: str = "overwrite",
+                    **write_kwargs):
+    """Write the corpus in deterministic shuffled training order:
+    ``out_dir/shard=K/...`` with a ``pos`` column giving each row's rank
+    within its shard under md5-key order (`sampling.global_shuffle`'s
+    assignment, with the full rows riding along). A trainer reads shards
+    0..16^hex_digits-1, sorting each shard by ``pos`` (file order within
+    a hive directory is not guaranteed; pos makes order recovery a cheap
+    shard-local sort). Pure function of the ids — re-exports reproduce
+    the identical order.
+
+    This is the one export that MUST move the corpus (an all-to-all of
+    full rows into shard partitions — the honest cost of a global
+    shuffle); everything upstream of it shuffles only ids/hashes."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from dataprof_ray.pipelines.partitioning import arrow_out
+    from dataprof_ray.pipelines.sampling import global_shuffle  # noqa: F401  (contract twin)
+
+    if not (1 <= hex_digits <= 4):
+        raise ValueError(f"hex_digits must be in 1..4, got {hex_digits}")
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        shard = np.fromiter((int(k[:hex_digits], 16) for k in keys),
+                            dtype=np.int64, count=len(keys))
+        return (batch.append_column("__key", pa.array(keys, pa.string()))
+                .append_column("shard", pa.array(shard, pa.int64())))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__key", id_col]).reset_index(drop=True)
+        df["pos"] = np.arange(len(df), dtype=np.int64)
+        return df.drop(columns="__key")
+
+    ordered = (ds.map_batches(stage, batch_format="pyarrow")
+               .groupby("shard")
+               .map_groups(arrow_out(rank), batch_format="pandas"))
+    return export_partitioned(ordered, out_dir, by="shard", mode=mode,
+                              **write_kwargs)

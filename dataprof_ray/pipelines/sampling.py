@@ -492,3 +492,43 @@ def global_shuffle(ds, id_col: str = "doc_id", hex_digits: int = 1):
             .map_batches(stage, batch_format="pyarrow")
             .groupby("shard")
             .map_groups(arrow_out(rank), batch_format="pandas"))
+
+
+def temperature_mixture_rates(ds, source_col: str = "source",
+                              alpha: float = 0.5,
+                              target_fraction: float = 0.5) -> pd.DataFrame:
+    """Temperature-based mixture rates (the multilingual/mixing rule of
+    mC4/PaLM, public): per-source keep probability so the sampled corpus
+    draws sources proportionally to ``count^alpha`` (alpha<1 upweights
+    small sources) while keeping ~``target_fraction`` of all rows.
+    ``rate_s = min(1, target_fraction * total * count_s^alpha / Z /
+    count_s)``, Z = sum of count^alpha.
+
+    Returns (source, n_docs, rate) — feed the rates straight into
+    :func:`weighted_source_sample` for the deterministic Bernoulli
+    apply. Per-source counts come from per-batch partials (source
+    cardinality is small by definition — a mixture over millions of
+    sources is a per-domain cap, use :func:`cap_per_key`); the driver
+    folds one tiny frame per batch."""
+    from dataprof_ray.pipelines.aggregate import round_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = batch.group_by(source_col).aggregate([([], "count_all")])
+        return c.rename_columns([source_col, "n"])
+
+    counts = (ds.select_columns([source_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .to_pandas().groupby(source_col, as_index=False)["n"].sum()
+              .sort_values(source_col).reset_index(drop=True))
+    n = counts["n"].to_numpy(dtype=np.float64)
+    tot = n.sum()
+    p = np.power(n, alpha)
+    z = p.sum()
+    rates = np.minimum(1.0, target_fraction * tot * p / z / n)
+    return pd.DataFrame({
+        "source": counts[source_col],
+        "n_docs": counts["n"].astype("int64"),
+        "rate": round_away(rates, 6),
+    })

@@ -62,3 +62,34 @@ def test_export_partitioned_by_key(ray_session, tmp_path):
         ["k=a", "k=b", "k=c"]
     ds = rd.read_parquet(out, columns=["k", "v"])
     assert ds.count() == 4
+
+
+def test_export_shuffled_roundtrip(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.export import export_shuffled
+    from dataprof_ray.pipelines.sampling import global_shuffle
+
+    t = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(200)]),
+    })
+    out = str(tmp_path / "shuffled")
+    export_shuffled(rd.from_arrow(t, override_num_blocks=4), out)
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == 200
+    assert {"doc_id", "text", "shard", "pos"} <= set(back.columns)
+    # per-shard pos order matches the global_shuffle assignment exactly
+    want = (global_shuffle(rd.from_arrow(t, override_num_blocks=3))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = (back[["doc_id", "shard", "pos"]].astype({"shard": "int64"})
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(want)
+    # re-export reproduces the identical order (pure function of ids)
+    export_shuffled(rd.from_arrow(t, override_num_blocks=7), out)
+    back2 = rd.read_parquet(out).to_pandas()
+    a = back.sort_values("doc_id").reset_index(drop=True)
+    b = back2.sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "pos"]].equals(b[["doc_id", "pos"]])

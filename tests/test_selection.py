@@ -353,3 +353,40 @@ def test_pca_fit_needs_two_rows(ray_session):
     _, t = _emb_table(n=1)
     with pytest.raises(ValueError, match=">= 2 rows"):
         pca_fit(_ds(t, 1), k=2)
+
+
+def test_temperature_mixture_rates(ray_session):
+    from dataprof_ray.pipelines.sampling import (temperature_mixture_rates,
+                                                 weighted_source_sample)
+
+    rng = np.random.default_rng(5)
+    srcs = (["big"] * 700) + (["mid"] * 200) + (["tiny"] * 100)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(1000), pa.int64()),
+        "source": pa.array(srcs),
+    })
+    rates = temperature_mixture_rates(_ds(t, 4), alpha=0.5,
+                                      target_fraction=0.5)
+    r = dict(zip(rates["source"], rates["rate"]))
+    # alpha<1 upweights small sources: tiny gets the highest keep rate
+    assert r["tiny"] > r["mid"] > r["big"]
+    # expected kept fraction ~ target (before the min-1 cap binds)
+    n = dict(zip(rates["source"], rates["n_docs"]))
+    expected = sum(r[s] * n[s] for s in r) / 1000
+    assert abs(expected - 0.5) < 0.02
+    # rates feed the deterministic apply
+    kept = weighted_source_sample(_ds(t, 4), rates=r).to_pandas()
+    assert 0.35 < len(kept) / 1000 < 0.65
+    assert set(kept["source"]) == {"big", "mid", "tiny"}
+
+
+def test_temperature_mixture_alpha_one_is_uniform_rate(ray_session):
+    from dataprof_ray.pipelines.sampling import temperature_mixture_rates
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(300), pa.int64()),
+        "source": pa.array((["a"] * 200) + (["b"] * 100)),
+    })
+    rates = temperature_mixture_rates(_ds(t, 3), alpha=1.0,
+                                      target_fraction=0.4)
+    assert set(np.round(rates["rate"], 6)) == {0.4}
