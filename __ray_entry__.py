@@ -304,6 +304,15 @@ def _contamination_documents(sf_dir: str) -> pd.DataFrame:
     return DC.contamination_check(docs, bench, n=8)
 
 
+def _compression_ratio_documents(sf_dir: str):
+    """zlib compression-ratio quality signal; deterministic (pure function
+    of bytes + zlib level) — pinned golden, not SQL-expressible."""
+    from dataprof_ray.pipelines.textstats import compression_ratio
+
+    return compression_ratio(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _temperature_mixture_documents(sf_dir: str) -> pd.DataFrame:
     """Temperature mixture rates (count^0.5, keep ~50%): alpha=0.5 is
     IEEE-exact sqrt on both engines, so the 6-place rounding matches."""
@@ -1234,6 +1243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_shuffle_documents": _global_shuffle_documents,
         "temperature_mixture_documents": _temperature_mixture_documents,
         "quality_classifier_audit": _quality_classifier_audit,
+        "compression_ratio_documents": _compression_ratio_documents,
         "packing_efficiency_audit": _packing_efficiency_audit,
     }
 

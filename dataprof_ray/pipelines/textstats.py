@@ -497,3 +497,43 @@ def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def compression_ratio_stage(batch: pa.Table, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            level: int = 6) -> pa.Table:
+    import zlib
+
+    from dataprof_ray.pipelines.aggregate import round_away
+
+    texts = batch.column(text_col).to_pylist()
+    n_bytes, n_comp = [], []
+    for t in texts:
+        raw = (t or "").encode("utf-8")
+        n_bytes.append(len(raw))
+        n_comp.append(len(zlib.compress(raw, level)))
+    ratio = [round_away([c / b], 4)[0] if b else 0.0
+             for b, c in zip(n_bytes, n_comp)]
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_bytes": pa.array(n_bytes, pa.int64()),
+        "n_compressed": pa.array(n_comp, pa.int64()),
+        "compression_ratio": pa.array(ratio, pa.float64()),
+    })
+
+
+def compression_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
+                      level: int = 6):
+    """Per-document zlib compression ratio — the classic cheap
+    repetition/boilerplate quality signal (highly repetitive or
+    templated pages compress far below ~0.4x; random/encrypted blobs
+    sit near 1.0). Deterministic: zlib output is a pure function of
+    (bytes, level) for a given zlib build, so values are pinned by a
+    golden test rather than a SQL oracle. Stateless streaming scan, no
+    shuffle."""
+    from functools import partial
+
+    return ds.map_batches(
+        partial(compression_ratio_stage, text_col=text_col, id_col=id_col,
+                level=level),
+        batch_format="pyarrow")

@@ -36,6 +36,7 @@ PINNED = [
     "image_features",
     "approx_distinct_lineitem",
     "ivf_topk",
+    "compression_ratio_documents",
 ]
 
 

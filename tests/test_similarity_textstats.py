@@ -327,3 +327,25 @@ class TestQuantization:
         row = E.queries()["quantization_audit"](sf_dir).iloc[0]
         assert row.mean_recall >= 0.9
         assert row.max_unit_err <= 0.5 + 1e-9
+
+
+def test_compression_ratio_orders_repetitive_below_random(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.textstats import compression_ratio
+
+    rng = np.random.default_rng(0)
+    texts = [
+        "spam " * 400,                                   # highly repetitive
+        " ".join(rng.bytes(4).hex() for _ in range(300)),  # high entropy
+        "",                                              # empty -> 0.0
+    ]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts)})
+    out = (compression_ratio(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "compression_ratio"] < 0.05
+    assert out.loc[1, "compression_ratio"] > 0.5
+    assert out.loc[2, "compression_ratio"] == 0.0
+    assert out.loc[2, "n_bytes"] == 0
+    assert (out["n_compressed"] > 0).all()  # zlib header even for empty
