@@ -395,6 +395,10 @@ def _quality_classifier_audit(sf_dir: str) -> pd.DataFrame:
             return b.filter(pa.array(mask))
         return f
 
+    # materialize once: the corruption pipeline would otherwise re-run
+    # for featurize, scoring, and the count (audit corpus is 2x docs)
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
     train = pairs.map_batches(split(False), batch_format="pyarrow")
     test = pairs.map_batches(split(True), batch_format="pyarrow")
     clf = train_text_classifier(train, rounds=2, local_steps=30)
@@ -403,7 +407,7 @@ def _quality_classifier_audit(sf_dir: str) -> pd.DataFrame:
     acc = float(((scored["clf_score"] > 0.5).astype(int)
                  == scored["label"]).mean())
     return pd.DataFrame([{
-        "n_train": int(train.count()), "n_test": len(scored),
+        "n_train": n_pairs - len(scored), "n_test": len(scored),
         "test_auc": round(float(auc), 4), "test_acc": round(acc, 4),
         "model_kb": round(clf.w.nbytes / 1024, 1),
     }])

@@ -213,10 +213,9 @@ def auc_score(y_true: np.ndarray, scores: np.ndarray) -> float:
         return float("nan")
     order = np.argsort(s, kind="mergesort")
     ranks = np.empty(len(s), dtype=np.float64)
-    ranks[order] = np.arange(1, len(s) + 1)
     # average ranks over tied score groups
     sorted_s = s[order]
-    uniq, start = np.unique(sorted_s, return_index=True)
+    _, start = np.unique(sorted_s, return_index=True)
     group_end = np.append(start[1:], len(s))
     avg = (start + 1 + group_end) / 2.0
     tied = np.repeat(avg, group_end - start)

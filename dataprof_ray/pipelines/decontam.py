@@ -26,6 +26,19 @@ def _doc_ngrams(text: str, n: int) -> list:
     return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
 
 
+def _gram_hashes(grams: list) -> "np.ndarray":
+    """Stable 64-bit hashes for a flat gram list (fixed-seed xxhash via
+    polars — the same kernel as ``dedup.add_content_hash``). The Bloom
+    build and the scan both go through this, so gram-to-u64 collisions
+    (~2^-64) can only ADD false positives, never create a false miss."""
+    import numpy as np
+    import polars as pl
+
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return pl.Series(grams).hash(seed=0).to_numpy().astype(np.uint64)
+
+
 def benchmark_ngram_set(bench_ds, n: int = 8, text_col: str = "text") -> frozenset:
     """Distinct word n-grams of the benchmark dataset, collected to the
     driver (benchmark sets are small; the corpus never is — never call
@@ -58,7 +71,9 @@ def benchmark_ngram_bloom(bench_ds, n: int = 8, text_col: str = "text",
     filter per batch with the identical (m, k) shape and OR-folds the
     partials on the driver. Partials are ``m/8`` bytes each — for filters
     so large that P partials strain the driver, pre-fold with the same
-    tree-merge used by the profiler."""
+    tree-merge used by the profiler. Grams enter the filter as 64-bit
+    xxhashes (``_gram_hashes``) so both the build and the scan are one
+    vectorized numpy call per batch."""
     from dataprof_ray.state.bloom import BloomFilter
 
     grams_only = bench_ds.select_columns([text_col])
@@ -78,21 +93,21 @@ def benchmark_ngram_bloom(bench_ds, n: int = 8, text_col: str = "text",
 
     def build(batch: pa.Table) -> pa.Table:
         bf = BloomFilter(capacity, fp_rate)
+        grams: list = []
         for t in batch.column(text_col).to_pylist():
-            bf.add_many(_doc_ngrams(t, n))
+            grams.extend(_doc_ngrams(t, n))
+        bf.add_u64(_gram_hashes(grams))
         return pa.table({
             "bits": pa.array([bf.bits.tobytes()], pa.large_binary()),
             "n_added": pa.array([bf.n_added], pa.int64()),
         })
 
     merged = BloomFilter(capacity, fp_rate)
-    import numpy as np
     for part in (grams_only.map_batches(build, batch_format="pyarrow")
                  .iter_batches(batch_format="pyarrow")):
         for bits, n_added in zip(part.column("bits").to_pylist(),
                                  part.column("n_added").to_pylist()):
-            merged.bits |= np.frombuffer(bits, dtype=np.uint64)
-            merged.n_added += n_added
+            merged.merge_bytes(bits, n_added)
     return merged
 
 
@@ -117,18 +132,44 @@ def contamination_check(
 
     from dataprof_ray.pipelines.aggregate import round_away
 
+    from dataprof_ray.state.bloom import BloomFilter
+
     bench_ref = ray.put(benchmark)
+    is_bloom = isinstance(benchmark, BloomFilter)
 
     def scan(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         bench = ray.get(bench_ref)
         ids = batch.column(id_col)
-        total, hit, frac = [], [], []
-        for t in batch.column(text_col).to_pylist():
-            grams = _doc_ngrams(t, n)
-            c = sum(g in bench for g in grams)
-            total.append(len(grams))
-            hit.append(c)
-            frac.append(c / len(grams) if grams else 0.0)
+        if is_bloom:
+            # vectorized path: one xxhash + one contains_u64 call per
+            # batch, not a per-gram Python probe
+            grams: list = []
+            counts: list = []
+            for t in batch.column(text_col).to_pylist():
+                g = _doc_ngrams(t, n)
+                grams.extend(g)
+                counts.append(len(g))
+            total = np.asarray(counts, dtype=np.int64)
+            if grams:
+                hits = bench.contains_u64(_gram_hashes(grams))
+                doc_of = np.repeat(np.arange(len(total)), total)
+                hit = np.bincount(doc_of, weights=hits,
+                                  minlength=len(total)).astype(np.int64)
+            else:
+                hit = np.zeros(len(total), dtype=np.int64)
+            with np.errstate(invalid="ignore"):
+                frac = np.where(total > 0, hit / np.maximum(total, 1), 0.0)
+            total, hit, frac = total.tolist(), hit.tolist(), frac.tolist()
+        else:
+            total, hit, frac = [], [], []
+            for t in batch.column(text_col).to_pylist():
+                grams = _doc_ngrams(t, n)
+                c = sum(g in bench for g in grams)
+                total.append(len(grams))
+                hit.append(c)
+                frac.append(c / len(grams) if grams else 0.0)
         return pa.table({
             id_col: ids,
             "n_grams": pa.array(total, pa.int64()),

@@ -1373,8 +1373,7 @@ def prior_corpus_bloom(prior_ds, text_col: str = "text",
                  .iter_batches(batch_format="pyarrow")):
         for bits, n_added in zip(part.column("bits").to_pylist(),
                                  part.column("n_added").to_pylist()):
-            merged.bits |= np.frombuffer(bits, dtype=np.uint64)
-            merged.n_added += n_added
+            merged.merge_bytes(bits, n_added)
     return merged
 
 

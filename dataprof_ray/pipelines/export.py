@@ -71,33 +71,13 @@ def export_shuffled(ds, out_dir: str, id_col: str = "doc_id",
 
     This is the one export that MUST move the corpus (an all-to-all of
     full rows into shard partitions — the honest cost of a global
-    shuffle); everything upstream of it shuffles only ids/hashes."""
-    import hashlib
+    shuffle); everything upstream of it shuffles only ids/hashes. The
+    (shard, pos) assignment comes from the same `sampling.shuffle_rank`
+    engine as `global_shuffle` (structurally, not by convention), whose
+    hierarchical subshard offsets bound every sort task to
+    corpus / 16^4 rows even with full rows riding along."""
+    from dataprof_ray.pipelines.sampling import shuffle_rank
 
-    import numpy as np
-    import pandas as pd
-
-    from dataprof_ray.pipelines.partitioning import arrow_out
-    from dataprof_ray.pipelines.sampling import global_shuffle  # noqa: F401  (contract twin)
-
-    if not (1 <= hex_digits <= 4):
-        raise ValueError(f"hex_digits must be in 1..4, got {hex_digits}")
-
-    def stage(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        shard = np.fromiter((int(k[:hex_digits], 16) for k in keys),
-                            dtype=np.int64, count=len(keys))
-        return (batch.append_column("__key", pa.array(keys, pa.string()))
-                .append_column("shard", pa.array(shard, pa.int64())))
-
-    def rank(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["__key", id_col]).reset_index(drop=True)
-        df["pos"] = np.arange(len(df), dtype=np.int64)
-        return df.drop(columns="__key")
-
-    ordered = (ds.map_batches(stage, batch_format="pyarrow")
-               .groupby("shard")
-               .map_groups(arrow_out(rank), batch_format="pandas"))
+    ordered = shuffle_rank(ds, id_col=id_col, hex_digits=hex_digits)
     return export_partitioned(ordered, out_dir, by="shard", mode=mode,
                               **write_kwargs)

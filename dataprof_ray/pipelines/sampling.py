@@ -451,6 +451,82 @@ def weighted_source_sample(ds, rates: "dict[str, float]",
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def shuffle_rank(ds, id_col: str = "doc_id", hex_digits: int = 1,
+                 sub_digits: int = 3):
+    """Shared engine of :func:`global_shuffle` and
+    ``export.export_shuffled``: append (shard, pos) to every row, where
+    shard is the first ``hex_digits`` of ``md5(str(id))`` and pos is the
+    row's rank within its shard under md5-key order.
+
+    Scale design (two passes, bounded group size): the rank is computed
+    HIERARCHICALLY so no single task ever sorts a whole shard — pass 1
+    folds sparse per-batch subshard counts (subshard = first
+    ``hex_digits + sub_digits`` hex chars; 16^total cells, <=0.5 MB
+    dense at the max total of 4) into broadcast prefix offsets; pass 2
+    sorts each SUBSHARD group (corpus / 16^total rows) and adds its
+    offset. Because the subshard is a prefix of the key, ascending
+    subshards + in-subshard key order IS the shard's global key order."""
+    import hashlib
+
+    import ray
+
+    if not (1 <= hex_digits <= 4):
+        raise ValueError(f"hex_digits must be in 1..4, got {hex_digits}")
+    if not (0 <= sub_digits and hex_digits + sub_digits <= 4):
+        raise ValueError(
+            f"hex_digits + sub_digits must be in 1..4, got "
+            f"{hex_digits}+{sub_digits}")
+    total = hex_digits + sub_digits
+    n_subs = 16 ** total
+    sub_shift = 4 * sub_digits
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        sub = np.fromiter((int(k[:total], 16) for k in keys),
+                          dtype=np.int64, count=len(keys))
+        return (batch.append_column("__key", pa.array(keys, pa.string()))
+                .append_column("__sub", pa.array(sub, pa.int64()))
+                .append_column("shard",
+                               pa.array(sub >> sub_shift, pa.int64())))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        sub, cnt = np.unique(
+            batch.column("__sub").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"sub": pa.array(sub, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    keyed = ds.map_batches(stage, batch_format="pyarrow")
+    counts = np.zeros(n_subs, dtype=np.int64)
+    for part in (keyed.select_columns(["__sub"])
+                 .map_batches(count_partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")):
+        np.add.at(counts, part.column("sub").to_numpy(zero_copy_only=False),
+                  part.column("cnt").to_numpy(zero_copy_only=False))
+    # offset of each subshard within its shard: exclusive prefix sum that
+    # restarts at every shard boundary
+    csum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    shard_starts = csum[::16 ** sub_digits]
+    offsets = csum - np.repeat(shard_starts, 16 ** sub_digits)
+    offsets_ref = ray.put(offsets)
+
+    from dataprof_ray.pipelines.partitioning import arrow_out
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.drop(columns=["__key", "__sub"])
+            out["pos"] = pd.Series([], dtype=np.int64)
+            return out
+        base = int(ray.get(offsets_ref)[int(df["__sub"].iloc[0])])
+        df = df.sort_values(["__key", id_col]).reset_index(drop=True)
+        df["pos"] = base + np.arange(len(df), dtype=np.int64)
+        return df.drop(columns=["__key", "__sub"])
+
+    return (keyed.groupby("__sub")
+            .map_groups(arrow_out(rank), batch_format="pandas"))
+
+
 def global_shuffle(ds, id_col: str = "doc_id", hex_digits: int = 1):
     """Deterministic global shuffle for training order: every row gets a
     stable pseudo-random position as (shard, pos) where shard is the
@@ -460,38 +536,12 @@ def global_shuffle(ds, id_col: str = "doc_id", hex_digits: int = 1):
     a pure function of the id, so re-runs and resharding never change
     the training order (the resumability property a 10^12-doc run needs).
 
-    Scale design: only (id, 32-char key, shard) shuffles (~45 B/doc; the
-    key could be truncated to 8 bytes when SQL parity is not required);
-    ranking is one vectorized sort per shard partition. Texts never move
-    — export joins the (shard, pos) assignment back or writes with
-    ``export.partitioned_export`` using shard as the key."""
-    import hashlib
-
-    if not (1 <= hex_digits <= 4):
-        raise ValueError(f"hex_digits must be in 1..4, got {hex_digits}")
-
-    def stage(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        shard = np.fromiter((int(k[:hex_digits], 16) for k in keys),
-                            dtype=np.int64, count=len(keys))
-        return pa.table({
-            id_col: batch.column(id_col),
-            "__key": pa.array(keys, pa.string()),
-            "shard": pa.array(shard, pa.int64()),
-        })
-
-    def rank(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["__key", id_col]).reset_index(drop=True)
-        df["pos"] = np.arange(len(df), dtype=np.int64)
-        return df.drop(columns="__key")
-
-    from dataprof_ray.pipelines.partitioning import arrow_out
-
-    return (ds.select_columns([id_col])
-            .map_batches(stage, batch_format="pyarrow")
-            .groupby("shard")
-            .map_groups(arrow_out(rank), batch_format="pandas"))
+    Scale design: only (id, 32-char key, subshard) rows move (~50 B/doc),
+    and :func:`shuffle_rank` bounds every sort task to corpus / 16^4 rows
+    via hierarchical subshard offsets. Texts never move — export joins
+    the (shard, pos) assignment back or writes with
+    ``export.export_shuffled``."""
+    return shuffle_rank(ds.select_columns([id_col]), id_col, hex_digits)
 
 
 def temperature_mixture_rates(ds, source_col: str = "source",
@@ -513,8 +563,6 @@ def temperature_mixture_rates(ds, source_col: str = "source",
     from dataprof_ray.pipelines.aggregate import round_away
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         c = batch.group_by(source_col).aggregate([([], "count_all")])
         return c.rename_columns([source_col, "n"])
 

@@ -512,8 +512,10 @@ def compression_ratio_stage(batch: pa.Table, text_col: str = "text",
         raw = (t or "").encode("utf-8")
         n_bytes.append(len(raw))
         n_comp.append(len(zlib.compress(raw, level)))
-    ratio = [round_away([c / b], 4)[0] if b else 0.0
-             for b, c in zip(n_bytes, n_comp)]
+    b = np.asarray(n_bytes, dtype=np.float64)
+    c = np.asarray(n_comp, dtype=np.float64)
+    ratio = round_away(np.divide(c, b, out=np.zeros_like(c),
+                                 where=b > 0), 4)
     return pa.table({
         id_col: batch.column(id_col),
         "n_bytes": pa.array(n_bytes, pa.int64()),

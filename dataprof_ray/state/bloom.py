@@ -73,6 +73,20 @@ class BloomFilter:
         self.n_added += other.n_added
         return self
 
+    def merge_bytes(self, bits: bytes, n_added: int) -> "BloomFilter":
+        """OR-fold a serialized partial (``bits.tobytes()`` of a filter
+        built with the same (m, k)) — the driver-side fold for per-batch
+        partials, with the same shape guard as :meth:`merge`."""
+        arr = np.frombuffer(bits, dtype=np.uint64)
+        if len(arr) != len(self.bits):
+            raise ValueError(
+                f"cannot merge Bloom partial of {len(arr)} words into a "
+                f"filter of {len(self.bits)} words (mismatched capacity "
+                f"or fp_rate)")
+        self.bits |= arr
+        self.n_added += int(n_added)
+        return self
+
     # --------------------------------------------------- vectorized uint64
 
     # splitmix64 finalizer constants (public domain, Steele et al. 2014) —
