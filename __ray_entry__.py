@@ -353,6 +353,36 @@ def _packing_efficiency_audit(sf_dir: str) -> pd.DataFrame:
         max_len=256, parts=8)
 
 
+def _neardup_vs_prior_audit(sf_dir: str) -> pd.DataFrame:
+    """Self-measuring audit of incremental near-dup screening: prior =
+    every 3rd document, new = all documents. Docs that ARE prior members
+    have identical MinHash signatures, so all 16 bands must hit (recall
+    1.0 on exact dups — pinned in tests); the flag rate among the rest
+    reports LSH near-dup + false-positive incidence."""
+    from dataprof_ray.pipelines import dedup as D
+
+    def every_3rd(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"],
+                 override_num_blocks=16)
+    prior = docs.map_batches(every_3rd, batch_format="pyarrow")
+    out = (D.neardup_flags_vs_prior(docs, prior).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    is_prior = (out["doc_id"] % 3 == 0).to_numpy()
+    return pd.DataFrame([{
+        "n_docs": len(out),
+        "prior_members": int(is_prior.sum()),
+        "prior_members_flagged": int(out.loc[is_prior, "flagged"].sum()),
+        "prior_members_full_hits": int(
+            (out.loc[is_prior, "n_band_hits"] == 16).sum()),
+        "others_flagged": int(out.loc[~is_prior, "flagged"].sum()),
+        "others_flag_rate": round(
+            float(out.loc[~is_prior, "flagged"].mean()), 4),
+    }])
+
+
 def _quality_classifier_audit(sf_dir: str) -> pd.DataFrame:
     """Self-measuring audit of the trainable fastText-style quality
     classifier (`pipelines/classifier.py`): every document yields a clean
@@ -1248,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mixture_documents": _temperature_mixture_documents,
         "quality_classifier_audit": _quality_classifier_audit,
         "compression_ratio_documents": _compression_ratio_documents,
+        "neardup_vs_prior_audit": _neardup_vs_prior_audit,
         "packing_efficiency_audit": _packing_efficiency_audit,
     }
 

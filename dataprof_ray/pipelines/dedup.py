@@ -1474,3 +1474,85 @@ def dedup_against_prior(new_ds, prior_ds, text_col: str = "text",
         return batch.filter(pa.array(keep))
 
     return new_ds.map_batches(keep_final, batch_format="pyarrow")
+
+
+def _band_keys(batch: pa.Table) -> np.ndarray:
+    """Fold (band_id, band_hash) into one uint64 key: band_hash XOR a
+    splitmix of the band id, so identical band content in DIFFERENT bands
+    cannot alias."""
+    from dataprof_ray.state.bloom import BloomFilter
+
+    bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+    bid = batch.column("band_id").to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    return bh ^ BloomFilter._splitmix(bid + np.uint64(0x5851F42D4C957F2D))
+
+
+def neardup_flags_vs_prior(new_ds, prior_ds, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 128,
+                           bands: int = 16, shingle_k: int = 5,
+                           fp_rate: float = 1e-6,
+                           signature_concurrency=(1, 8)):
+    """Incremental NEAR-dup screening: flag new documents that MinHash-LSH
+    collide with any document of a PRIOR corpus, without shuffling either
+    corpus. The prior's (band_id, band_hash) keys stream into a Bloom
+    filter (one broadcast); each new doc is flagged with the count of its
+    bands that hit.
+
+    Contract (candidates, not verified duplicates): an EXACT copy of a
+    prior doc has identical signatures, so all bands hit and it is always
+    flagged (Bloom misses are impossible) — recall 1.0 on exact dups. A
+    near-dup at Jaccard s is flagged with the standard banded-LSH
+    probability 1-(1-s^(num_perm/bands))^bands (~0.9996 at s=0.9 with
+    128/16); dissimilar docs are flagged at ~bands x (band-collision +
+    fp_rate) — use the flags to route candidates into a verified pipeline
+    (e.g. `dedup_against_prior` for exact, or a cosine/Jaccard verify
+    against a fetched prior subset) when over-flagging matters.
+
+    Returns a Dataset of (id, n_band_hits, flagged)."""
+    import ray
+
+    from dataprof_ray.state.bloom import BloomFilter
+
+    prior_sigs = prior_ds.select_columns([id_col, text_col]).map_batches(
+        MinHashStage, fn_constructor_args=(text_col, id_col, num_perm,
+                                           bands, shingle_k),
+        batch_format="pyarrow", concurrency=signature_concurrency)
+    capacity = max(1, prior_ds.count() * bands)
+
+    def build(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fp_rate)
+        bf.add_u64(_band_keys(batch))
+        return pa.table({
+            "bits": pa.array([bf.bits.tobytes()], pa.large_binary()),
+            "n_added": pa.array([bf.n_added], pa.int64()),
+        })
+
+    merged = BloomFilter(capacity, fp_rate)
+    for part in (prior_sigs.map_batches(build, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")):
+        for bits, n_added in zip(part.column("bits").to_pylist(),
+                                 part.column("n_added").to_pylist()):
+            merged.merge_bytes(bits, n_added)
+    bloom_ref = ray.put(merged)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        # MinHashStage emits every band of a doc inside the same output
+        # batch, so per-batch per-doc aggregation is complete.
+        bf = ray.get(bloom_ref)
+        hits = bf.contains_u64(_band_keys(batch))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        n_hits = np.bincount(inv, weights=hits,
+                             minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(uniq, pa.int64()),
+            "n_band_hits": pa.array(n_hits, pa.int64()),
+            "flagged": pa.array(n_hits > 0, pa.bool_()),
+        })
+
+    new_sigs = new_ds.select_columns([id_col, text_col]).map_batches(
+        MinHashStage, fn_constructor_args=(text_col, id_col, num_perm,
+                                           bands, shingle_k),
+        batch_format="pyarrow", concurrency=signature_concurrency)
+    return new_sigs.map_batches(scan, batch_format="pyarrow")

@@ -385,3 +385,31 @@ def test_dedup_against_prior_empty_prior(ray_session):
         "doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}))
     out = D.dedup_against_prior(new, empty).to_pandas()
     assert len(out) == new.count()
+
+
+def test_neardup_flags_vs_prior(ray_session):
+    import ray
+
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets slowly behind the ancient mountain range in autumn")
+    prior_texts = [f"{base} variant {i} " + " ".join(
+        f"tok{i}_{j}" for j in range(20)) for i in range(20)]
+    near = prior_texts[0].replace("autumn", "winter")  # tiny edit
+    fresh = [f"completely different subject {i} about cooking pasta "
+             + " ".join(f"y{i}_{j}" for j in range(20)) for i in range(10)]
+    new_texts = [prior_texts[3], near] + fresh
+    prior = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(100, 100 + len(prior_texts)), pa.int64()),
+        "text": pa.array(prior_texts)})).repartition(3)
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(new_texts)), pa.int64()),
+        "text": pa.array(new_texts)})).repartition(2)
+    out = (D.neardup_flags_vs_prior(new, prior, signature_concurrency=(1, 2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # exact copy of a prior doc: every band hits, always flagged
+    assert out.loc[0, "flagged"]
+    assert out.loc[0, "n_band_hits"] == 16
+    # near-dup (one-word edit): banded LSH flags it
+    assert out.loc[1, "flagged"]
+    # genuinely new docs: none flagged at fp=1e-6
+    assert not out.loc[2:, "flagged"].any()
