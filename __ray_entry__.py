@@ -353,6 +353,31 @@ def _packing_efficiency_audit(sf_dir: str) -> pd.DataFrame:
         max_len=256, parts=8)
 
 
+def _heavy_hitters_cms_audit(sf_dir: str) -> pd.DataFrame:
+    """Self-measuring audit of the count-min-sketch heavy hitters: recall
+    of the CMS top-20 terms against the exact partial-Counter top-20,
+    plus the worst overcount (CMS estimates can only overcount, by at
+    most error_bound with ~98% per-item probability)."""
+    from dataprof_ray.pipelines.textstats import heavy_hitters_cms, top_terms
+
+    docs = _read(sf_dir, "documents", columns=["text"],
+                 override_num_blocks=16)
+    exact = top_terms(docs, k=20)
+    approx = heavy_hitters_cms(docs, k=20)
+    true = dict(zip(exact["term"], exact["term_count"]))
+    matched = [t for t in approx["term"] if t in true]
+    overcount = max((int(e) - int(true[t])
+                     for t, e in zip(approx["term"], approx["est_count"])
+                     if t in true), default=0)
+    return pd.DataFrame([{
+        "k": 20,
+        "recall": round(len(set(approx["term"]) & set(exact["term"])) / 20, 4),
+        "n_matched": len(matched),
+        "max_overcount": overcount,
+        "error_bound": round(float(approx.attrs["error_bound"]), 1),
+    }])
+
+
 def _neardup_vs_prior_audit(sf_dir: str) -> pd.DataFrame:
     """Self-measuring audit of incremental near-dup screening: prior =
     every 3rd document, new = all documents. Docs that ARE prior members
@@ -1279,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier_audit": _quality_classifier_audit,
         "compression_ratio_documents": _compression_ratio_documents,
         "neardup_vs_prior_audit": _neardup_vs_prior_audit,
+        "heavy_hitters_cms_audit": _heavy_hitters_cms_audit,
         "packing_efficiency_audit": _packing_efficiency_audit,
     }
 

@@ -539,3 +539,77 @@ def compression_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
         partial(compression_ratio_stage, text_col=text_col, id_col=id_col,
                 level=level),
         batch_format="pyarrow")
+
+
+def heavy_hitters_cms(ds, k: int = 20, n: int = 1, width: int = 2 ** 16,
+                      depth: int = 4, text_col: str = "text",
+                      min_len: int = 1, candidates_per_batch: int = None):
+    """Bounded-memory top-k terms/n-grams via a count-min sketch — the
+    scale path for when the distinct-gram universe outgrows the exact
+    partial-Counter shuffle of :func:`top_ngrams` (open-vocabulary
+    n-grams at 100 TB). Each batch emits ONE row: its CMS partial
+    (``depth x width`` int64, shape-validated merge) plus its local
+    top-``candidates_per_batch`` terms; the driver folds the sketches,
+    estimates every candidate against the MERGED sketch (estimates never
+    undercount), and keeps the global top-k.
+
+    Contract: counts are CMS estimates, ``true <= est <= true +
+    error_bound()``; the candidate union can miss a globally-heavy term
+    that is locally light EVERYWHERE (rare for true heavy hitters —
+    `heavy_hitters_cms_audit` measures recall against the exact path).
+    Tokenization matches :func:`top_ngrams` exactly."""
+    from collections import Counter
+
+    import pandas as pd
+    import polars as pl
+
+    from dataprof_ray.state.cms import CountMinSketch
+
+    m = candidates_per_batch or max(4 * k, 64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            toks = _WS_SPLIT.split((t or "").lower().strip())
+            if toks == [""]:
+                continue
+            if min_len > 1:
+                toks = [w for w in toks if len(w) >= min_len]
+            for i in range(len(toks) - n + 1):
+                counts[" ".join(toks[i: i + n])] += 1
+        cms = CountMinSketch(width, depth)
+        if counts:
+            terms = list(counts.keys())
+            vals = np.fromiter(counts.values(), dtype=np.int64,
+                               count=len(terms))
+            keys = pl.Series(terms).hash(seed=0).to_numpy().astype(np.uint64)
+            cms.add_u64(keys, vals)
+        cand = [t for t, _ in sorted(counts.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:m]]
+        return pa.table({
+            "counts": pa.array([cms.counts.tobytes()], pa.large_binary()),
+            "total": pa.array([cms.total], pa.int64()),
+            "cand": pa.array([cand], pa.list_(pa.string())),
+        })
+
+    merged = CountMinSketch(width, depth)
+    candidates: set = set()
+    for part in (ds.select_columns([text_col])
+                 .map_batches(partial, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")):
+        for counts, total, cand in zip(part.column("counts").to_pylist(),
+                                       part.column("total").to_pylist(),
+                                       part.column("cand").to_pylist()):
+            merged.merge_bytes(counts, total)
+            candidates.update(cand)
+    if not candidates:
+        return pd.DataFrame({"term": pd.Series([], dtype=str),
+                             "est_count": pd.Series([], dtype="int64")})
+    terms = sorted(candidates)
+    keys = pl.Series(terms).hash(seed=0).to_numpy().astype(np.uint64)
+    est = merged.estimate_u64(keys)
+    out = (pd.DataFrame({"term": terms, "est_count": est})
+           .sort_values(["est_count", "term"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out.attrs["error_bound"] = merged.error_bound()
+    return out
