@@ -103,7 +103,8 @@ def benchmark_ngram_bloom(bench_ds, n: int = 8, text_col: str = "text",
         })
 
     merged = BloomFilter(capacity, fp_rate)
-    for part in (grams_only.map_batches(build, batch_format="pyarrow")
+    for part in (grams_only.map_batches(build, batch_format="pyarrow",
+                                        batch_size=None)
                  .iter_batches(batch_format="pyarrow")):
         for bits, n_added in zip(part.column("bits").to_pylist(),
                                  part.column("n_added").to_pylist()):

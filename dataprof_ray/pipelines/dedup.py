@@ -1369,7 +1369,8 @@ def prior_corpus_bloom(prior_ds, text_col: str = "text",
         })
 
     merged = BloomFilter(capacity, fp_rate)
-    for part in (prior.map_batches(build, batch_format="pyarrow")
+    for part in (prior.map_batches(build, batch_format="pyarrow",
+                                   batch_size=None)
                  .iter_batches(batch_format="pyarrow")):
         for bits, n_added in zip(part.column("bits").to_pylist(),
                                  part.column("n_added").to_pylist()):
@@ -1529,7 +1530,8 @@ def neardup_flags_vs_prior(new_ds, prior_ds, text_col: str = "text",
         })
 
     merged = BloomFilter(capacity, fp_rate)
-    for part in (prior_sigs.map_batches(build, batch_format="pyarrow")
+    for part in (prior_sigs.map_batches(build, batch_format="pyarrow",
+                                        batch_size=None)
                  .iter_batches(batch_format="pyarrow")):
         for bits, n_added in zip(part.column("bits").to_pylist(),
                                  part.column("n_added").to_pylist()):

@@ -595,7 +595,8 @@ def heavy_hitters_cms(ds, k: int = 20, n: int = 1, width: int = 2 ** 16,
     merged = CountMinSketch(width, depth)
     candidates: set = set()
     for part in (ds.select_columns([text_col])
-                 .map_batches(partial, batch_format="pyarrow")
+                 .map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
                  .iter_batches(batch_format="pyarrow")):
         for counts, total, cand in zip(part.column("counts").to_pylist(),
                                        part.column("total").to_pylist(),
