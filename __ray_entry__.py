@@ -342,6 +342,17 @@ def _pack_sequences_documents(sf_dir: str):
         max_len=128, parts=8)
 
 
+def _packed_sequences_documents(sf_dir: str) -> pd.DataFrame:
+    """Materialized training sequences (concat-and-chunk, max_len=128,
+    8 partition streams): deterministic -> pinned golden; consistency
+    with the ★pack_sequences_documents mapping is asserted in pytest."""
+    from dataprof_ray.pipelines.packing import packed_sequences
+
+    return packed_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_len=128, parts=8, docs_per_bucket=64)
+
+
 def _packing_efficiency_audit(sf_dir: str) -> pd.DataFrame:
     """Self-measuring audit of first-fit-decreasing bin packing: bins used
     vs the token lower bound, oversize docs, and the max bin fill (must
@@ -1305,6 +1316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio_documents": _compression_ratio_documents,
         "neardup_vs_prior_audit": _neardup_vs_prior_audit,
         "heavy_hitters_cms_audit": _heavy_hitters_cms_audit,
+        "packed_sequences_documents": _packed_sequences_documents,
         "packing_efficiency_audit": _packing_efficiency_audit,
     }
 

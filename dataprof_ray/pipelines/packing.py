@@ -147,3 +147,139 @@ def packing_efficiency(ds, max_len: int = 2048, parts: int = DEFAULT_PARTS,
         "max_bin_tokens": int(per_part["max_bin_tokens"].max()),
         "max_len": max_len,
     }])
+
+
+def packed_sequences(ds, max_len: int = 2048, parts: int = DEFAULT_PARTS,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     docs_per_bucket: int = 4096,
+                     assemble_parts: int = None):
+    """Materialize the actual concat-and-chunk training sequences: one row
+    per sequence with ``(part, seq_id, n_tokens, text)``, where text is the
+    space-joined token stream slice (whitespace tokenization — the packed
+    text is normalized to single spaces; byte-exact reconstruction is the
+    export_shuffled + trainer-side-tokenize path).
+
+    Scale design — no task ever holds a whole partition stream:
+
+    1. offsets pass (ids only): per-batch partial token counts per
+       (part, id-bucket) fold into broadcast prefix offsets, exactly the
+       `sampling.shuffle_rank` pattern (bucket = ``doc_id //
+       docs_per_bucket``; within a part, ascending buckets = ascending
+       doc_id = stream order).
+    2. fragment pass: docs group by (part, bucket) — bounded at
+       ``docs_per_bucket`` rows — compute their exact token offsets from
+       the bucket base, and emit one FRAGMENT per (doc x sequence it
+       touches): (part, seq_id, frag_offset, fragment text).
+    3. assembly: fragments cogroup on ``hash(part, seq) %
+       assemble_parts`` COARSE partitions; one vectorized pandas pass
+       per partition joins each sequence's fragments in offset order.
+
+    Text moves twice ((part,bucket) grouping, then sequence assembly) —
+    the unavoidable cost of materializing sequences that span document
+    and bucket boundaries."""
+    import ray
+
+    from dataprof_ray.pipelines.textstats import _WS_SPLIT
+
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    a_parts = assemble_parts or DEFAULT_PARTS
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        part = (ids % parts).astype(np.int64)
+        bucket = ids // docs_per_bucket
+        n_tok = np.fromiter(
+            (token_count(t) for t in batch.column(text_col).to_pylist()),
+            dtype=np.int64, count=len(ids))
+        return (batch.select([id_col, text_col])
+                .append_column("part", pa.array(part, pa.int64()))
+                .append_column("__bucket", pa.array(bucket, pa.int64()))
+                .append_column("n_tokens", pa.array(n_tok, pa.int64())))
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    # ---- pass 1: (part, bucket) token totals -> base offsets (driver-side
+    # fold of sparse partials; cells = distinct buckets, bounded by
+    # n_docs / docs_per_bucket x parts spread)
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "part": batch.column("part").to_numpy(zero_copy_only=False),
+            "bucket": batch.column("__bucket").to_numpy(zero_copy_only=False),
+            "tok": batch.column("n_tokens").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["part", "bucket"], as_index=False)["tok"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = (keyed_ds.select_columns(["part", "__bucket", "n_tokens"])
+              .map_batches(count_partial, batch_format="pyarrow",
+                           batch_size=None)
+              .to_pandas()
+              .groupby(["part", "bucket"], as_index=False)["tok"].sum()
+              .sort_values(["part", "bucket"]))
+    folded["base"] = (folded.groupby("part")["tok"].cumsum()
+                      - folded["tok"])
+    base_of = {(int(p), int(b)): int(o) for p, b, o in
+               zip(folded["part"], folded["bucket"], folded["base"])}
+    base_ref = ray.put(base_of)
+
+    # ---- pass 2: per-(part,bucket) group -> fragments
+    def fragments(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"part": pd.Series([], dtype=np.int64),
+                                 "seq_id": pd.Series([], dtype=np.int64),
+                                 "frag_off": pd.Series([], dtype=np.int64),
+                                 "frag": pd.Series([], dtype=str)})
+        bases = ray.get(base_ref)
+        part = int(df["part"].iloc[0])
+        off = bases[(part, int(df["__bucket"].iloc[0]))]
+        df = df.sort_values(id_col)
+        rows = []
+        for t, n in zip(df[text_col], df["n_tokens"]):
+            n = int(n)
+            if n == 0:
+                continue
+            toks = _WS_SPLIT.split((t or "").strip())
+            for s in range(off // max_len, (off + n - 1) // max_len + 1):
+                lo = max(0, s * max_len - off)
+                hi = min(n, (s + 1) * max_len - off)
+                rows.append((part, s, off + lo, " ".join(toks[lo:hi])))
+            off += n
+        return pd.DataFrame(rows, columns=["part", "seq_id", "frag_off",
+                                           "frag"])
+
+    frag_ds = (keyed_ds
+               .groupby(["part", "__bucket"])
+               .map_groups(arrow_out(fragments), batch_format="pandas"))
+
+    # ---- pass 3: coarse assembly
+    def add_akey(batch: pa.Table) -> pa.Table:
+        p = batch.column("part").to_numpy(zero_copy_only=False)
+        s = batch.column("seq_id").to_numpy(zero_copy_only=False)
+        ak = ((p.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + s)
+              % np.uint64(a_parts)).astype(np.int64)
+        return batch.append_column("__akey", pa.array(ak, pa.int64()))
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["part", "seq_id", "frag_off"])
+        g = df.groupby(["part", "seq_id"], as_index=False).agg(
+            text=("frag", " ".join))
+        g["n_tokens"] = [len(_WS_SPLIT.split(t)) if t else 0
+                         for t in g["text"]]
+        return g[["part", "seq_id", "n_tokens", "text"]]
+
+    return (frag_ds.map_batches(add_akey, batch_format="pyarrow")
+            .groupby("__akey")
+            .map_groups(arrow_out(assemble), batch_format="pandas"))
+
+
+def export_packed_sequences(ds, out_dir: str, max_len: int = 2048,
+                            parts: int = DEFAULT_PARTS, mode: str = "overwrite",
+                            **kwargs):
+    """Write :func:`packed_sequences` hive-partitioned by part:
+    ``out_dir/part=K/...``; a trainer reads a part and sorts by seq_id."""
+    from dataprof_ray.pipelines.export import export_partitioned
+
+    return export_partitioned(
+        packed_sequences(ds, max_len=max_len, parts=parts, **kwargs),
+        out_dir, by="part", mode=mode)

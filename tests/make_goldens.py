@@ -37,6 +37,7 @@ PINNED = [
     "approx_distinct_lineitem",
     "ivf_topk",
     "compression_ratio_documents",
+    "packed_sequences_documents",
 ]
 
 

@@ -84,3 +84,61 @@ def test_max_len_validated(ray_session):
         pack_concat_chunk(_ds(_tbl([1])), max_len=0)
     with pytest.raises(ValueError):
         pack_bins(_ds(_tbl([1])), max_len=-5)
+
+
+def test_packed_sequences_reconstructs_partition_streams(ray_session):
+    import re
+
+    from dataprof_ray.pipelines.packing import packed_sequences
+
+    rng = np.random.default_rng(13)
+    counts = rng.integers(0, 40, 120).tolist()
+    tbl = _tbl(counts)
+    out = (packed_sequences(_ds(tbl, 5), max_len=16, parts=4,
+                            docs_per_bucket=10)
+           .to_pandas().sort_values(["part", "seq_id"])
+           .reset_index(drop=True))
+    ws = re.compile(r"\s+")
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    for p in range(4):
+        stream = []
+        for i, t in sorted((i, t) for i, t in zip(ids, texts) if i % 4 == p):
+            tt = (t or "").strip()
+            if tt:
+                stream.extend(ws.split(tt))
+        want = [" ".join(stream[s:s + 16])
+                for s in range(0, len(stream), 16)]
+        got = out[out["part"] == p]
+        assert list(got["seq_id"]) == list(range(len(want)))
+        assert list(got["text"]) == want
+        full = got["n_tokens"].to_list()
+        assert all(v == 16 for v in full[:-1])  # only the tail is short
+        if full:
+            assert 1 <= full[-1] <= 16
+
+
+def test_packed_sequences_stable_across_partitionings(ray_session):
+    from dataprof_ray.pipelines.packing import packed_sequences
+
+    counts = list(np.random.default_rng(17).integers(1, 30, 80))
+    a = (packed_sequences(_ds(_tbl(counts), 2), max_len=24, parts=4,
+                          docs_per_bucket=7)
+         .to_pandas().sort_values(["part", "seq_id"]).reset_index(drop=True))
+    b = (packed_sequences(_ds(_tbl(counts), 9), max_len=24, parts=4,
+                          docs_per_bucket=33)
+         .to_pandas().sort_values(["part", "seq_id"]).reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_export_packed_sequences_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.packing import export_packed_sequences
+
+    out = str(tmp_path / "packed")
+    export_packed_sequences(_ds(_tbl([10] * 50), 3), out, max_len=16,
+                            parts=4)
+    back = rd.read_parquet(out).to_pandas()
+    assert back["n_tokens"].sum() == 500
+    assert set(back.columns) == {"part", "seq_id", "n_tokens", "text"}
