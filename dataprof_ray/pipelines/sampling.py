@@ -511,19 +511,37 @@ def shuffle_rank(ds, id_col: str = "doc_id", hex_digits: int = 1,
     offsets = csum - np.repeat(shard_starts, 16 ** sub_digits)
     offsets_ref = ray.put(offsets)
 
-    from dataprof_ray.pipelines.partitioning import arrow_out
+    from dataprof_ray.pipelines.partitioning import (arrow_out,
+                                                     DEFAULT_PARTITIONS)
+
+    # COARSE-partition the rank: one Ray group per hash bucket of
+    # subshards (64 vectorized pandas tasks), never one per subshard
+    # (16^4 tiny groups is the measured per-tiny-group hotspot). The
+    # subshard offsets still make every sub independent, so a task only
+    # needs ITS rows: task memory = corpus / partitions — raise
+    # ``partitions`` with the cluster, the offsets table doesn't change.
+    rank_parts = DEFAULT_PARTITIONS
+
+    def add_rpart(batch: pa.Table) -> pa.Table:
+        sub = batch.column("__sub").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__rpart", pa.array(sub % rank_parts, pa.int64()))
 
     def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__rpart")
         if df.empty:
             out = df.drop(columns=["__key", "__sub"])
             out["pos"] = pd.Series([], dtype=np.int64)
             return out
-        base = int(ray.get(offsets_ref)[int(df["__sub"].iloc[0])])
-        df = df.sort_values(["__key", id_col]).reset_index(drop=True)
-        df["pos"] = base + np.arange(len(df), dtype=np.int64)
+        offs = ray.get(offsets_ref)
+        df = df.sort_values(["__sub", "__key", id_col]).reset_index(drop=True)
+        base = offs[df["__sub"].to_numpy()]
+        within = df.groupby("__sub").cumcount().to_numpy()
+        df["pos"] = base + within
         return df.drop(columns=["__key", "__sub"])
 
-    return (keyed.groupby("__sub")
+    return (keyed.map_batches(add_rpart, batch_format="pyarrow")
+            .groupby("__rpart")
             .map_groups(arrow_out(rank), batch_format="pandas"))
 
 
