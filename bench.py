@@ -95,6 +95,11 @@ def bench_queries() -> dict[str, float]:
         # exact verify), sequence packing, trainable quality classifier
         "incremental_dedup_documents", "pack_sequences_documents",
         "quality_classifier_audit",
+        # round 3 additions: deterministic global shuffle, materialized
+        # packed sequences, incremental near-dup screening, CMS heavy
+        # hitters
+        "global_shuffle_documents", "packed_sequences_documents",
+        "neardup_vs_prior_audit", "heavy_hitters_cms_audit",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
