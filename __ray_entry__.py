@@ -250,6 +250,17 @@ def _dedup_exact_documents(sf_dir: str):
     return D.exact_dedup(_read(sf_dir, "documents"))
 
 
+def _substring_dedup_documents(sf_dir: str):
+    """Cross-document substring REMOVAL (Lee et al. action for the
+    ★duplicate_spans_documents signal): 13-gram spans occurring in >= 2
+    docs survive only in the smallest doc_id. Deterministic -> pinned
+    golden."""
+    from dataprof_ray.pipelines import dedup as D
+
+    return D.remove_duplicate_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _incremental_dedup_documents(sf_dir: str):
     """Incremental crawl dedup: prior corpus = every third document (a
     stand-in earlier crawl), new corpus = all documents; survivors are the
@@ -1238,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_classes_documents": _char_classes_documents,
         "dedup_exact_documents": _dedup_exact_documents,
         "incremental_dedup_documents": _incremental_dedup_documents,
+        "substring_dedup_documents": _substring_dedup_documents,
         "fingerprint_md5": _fingerprint_md5,
         "topk_cosine": _topk_cosine,
         "stratified_customer": _stratified_customer,

@@ -1558,3 +1558,95 @@ def neardup_flags_vs_prior(new_ds, prior_ds, text_col: str = "text",
                                            bands, shingle_k),
         batch_format="pyarrow", concurrency=signature_concurrency)
     return new_sigs.map_batches(scan, batch_format="pyarrow")
+
+
+def remove_duplicate_spans(ds, n: int = 13, id_col: str = "doc_id",
+                           text_col: str = "text"):
+    """Cross-document exact SUBSTRING removal (the action behind
+    :func:`duplicate_span_stats`; Lee et al. 2022 semantics adapted to a
+    canonical-owner rule): every word n-gram that occurs in >= 2 documents
+    keeps its tokens only in the document with the SMALLEST doc_id that
+    contains it; every other document drops the tokens covered by that
+    span. Deterministic pure function of the corpus; output text is
+    whitespace-normalized, lowercase (the gram/token contract of
+    `_wordgram_hashes` — byte-faithful reconstruction is not a goal of a
+    span-scrub stage).
+
+    Scale design, mirroring duplicate_span_stats: pass 1 ships (8-byte
+    gram hash, 8-byte doc id) pairs into 64 coarse partitions and reduces
+    to (dup gram -> min doc id); the broadcast is two aligned arrays
+    bounded by the CROSS-DOC duplicated vocabulary (swap for a gram-hash
+    semi-join when that outgrows a worker). Pass 2 re-streams the corpus,
+    masks covered token positions whose gram owner is another document,
+    and rewrites the text — no shuffle."""
+    import ray
+
+    parts = _EDGE_PARTITIONS
+
+    def gram_doc_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        hs, ds_ = [], []
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            u = np.unique(_wordgram_hashes(t, n))
+            hs.append(u)
+            ds_.append(np.full(len(u), i, dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        d = np.concatenate(ds_) if ds_ else np.empty(0, dtype=np.int64)
+        return pa.table({
+            "h": pa.array(h, pa.uint64()),
+            "d": pa.array(d, pa.int64()),
+            "__part": pa.array((h % np.uint64(parts)).astype(np.int32),
+                               pa.int32()),
+        })
+
+    def dup_owners(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h")["d"].agg(["count", "min"])
+        g = g[g["count"] >= 2]
+        return pd.DataFrame({
+            "h": g.index.to_numpy(dtype=np.uint64),
+            "owner": g["min"].to_numpy(dtype=np.int64),
+        })
+
+    dup = (ds.select_columns([id_col, text_col])
+           .map_batches(gram_doc_pairs, batch_format="pyarrow")
+           .groupby("__part")
+           .map_groups(arrow_out(dup_owners), batch_format="pandas")
+           .to_pandas())
+    if "h" in dup.columns and len(dup):
+        order = np.argsort(dup["h"].to_numpy().astype(np.uint64))
+        dup_h = dup["h"].to_numpy().astype(np.uint64)[order]
+        dup_owner = dup["owner"].to_numpy().astype(np.int64)[order]
+    else:
+        dup_h = np.empty(0, dtype=np.uint64)
+        dup_owner = np.empty(0, dtype=np.int64)
+    dup_ref = ray.put((dup_h, dup_owner))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        h_arr, owner_arr = ray.get(dup_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_text, n_tok, n_removed = [], [], []
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            toks = re.split(r"\s+", (t or "").lower().strip())
+            if toks == [""]:
+                toks = []
+            hs = _wordgram_hashes(t, n)
+            keep = np.ones(len(toks), dtype=bool)
+            if len(hs) and len(h_arr):
+                pos = np.searchsorted(h_arr, hs)
+                pos[pos == len(h_arr)] = 0
+                isdup = (h_arr[pos] == hs) & (owner_arr[pos] != i)
+                for j in np.flatnonzero(isdup):
+                    keep[j: j + n] = False
+            kept = [w for w, k in zip(toks, keep) if k]
+            out_text.append(" ".join(kept))
+            n_tok.append(len(toks))
+            n_removed.append(len(toks) - len(kept))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text": pa.array(out_text, pa.string()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scrub, batch_format="pyarrow")

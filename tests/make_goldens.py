@@ -38,6 +38,7 @@ PINNED = [
     "ivf_topk",
     "compression_ratio_documents",
     "packed_sequences_documents",
+    "substring_dedup_documents",
 ]
 
 

@@ -413,3 +413,63 @@ def test_neardup_flags_vs_prior(ray_session):
     assert out.loc[1, "flagged"]
     # genuinely new docs: none flagged at fp=1e-6
     assert not out.loc[2:, "flagged"].any()
+
+
+def test_remove_duplicate_spans(ray_session):
+    import ray
+
+    shared = " ".join(f"boiler{j}" for j in range(8))  # 8-token shared span
+    docs = [
+        f"alpha one two three {shared} tail0 end0",
+        f"beta four five six {shared} tail1 end1",
+        f"gamma seven eight nine {shared} tail2 end2",
+        "delta wholly original text with no repeats anywhere here at all",
+    ]
+    t = pa.table({"doc_id": pa.array([10, 20, 30, 40], pa.int64()),
+                  "text": pa.array(docs)})
+    out = (D.remove_duplicate_spans(
+        ray.data.from_arrow(t).repartition(2), n=8)
+        .to_pandas().set_index("doc_id"))
+    # canonical owner (smallest id) keeps the span
+    assert shared in out.loc[10, "text"]
+    assert out.loc[10, "n_removed"] == 0
+    # every other doc loses exactly the span's 8 tokens
+    for i in (20, 30):
+        assert shared not in out.loc[i, "text"]
+        assert out.loc[i, "n_removed"] == 8
+        assert f"tail{(i // 10) - 1}" in out.loc[i, "text"]  # rest survives
+    # untouched doc is identical (modulo the lowercase/ws contract)
+    assert out.loc[40, "text"] == docs[3]
+    assert out.loc[40, "n_removed"] == 0
+
+
+def test_remove_duplicate_spans_exact_dup_docs(ray_session):
+    import ray
+
+    text = " ".join(f"w{j}" for j in range(30))
+    t = pa.table({"doc_id": pa.array([2, 1, 3], pa.int64()),
+                  "text": pa.array([text, text, text])})
+    out = (D.remove_duplicate_spans(ray.data.from_arrow(t), n=13)
+           .to_pandas().set_index("doc_id"))
+    # smallest id keeps everything; the clones are fully scrubbed
+    assert out.loc[1, "text"] == text
+    assert out.loc[2, "text"] == ""
+    assert out.loc[3, "text"] == ""
+    assert out.loc[2, "n_removed"] == 30
+
+
+def test_remove_duplicate_spans_deterministic_across_partitionings(ray_session):
+    import ray
+
+    rng = np.random.default_rng(9)
+    vocab = [f"v{i}" for i in range(400)]
+    texts = [" ".join(vocab[j] for j in rng.integers(0, 400, 40))
+             for _ in range(30)]
+    texts += [texts[0] + " " + texts[1]]  # composite dup content
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    a = (D.remove_duplicate_spans(ray.data.from_arrow(t).repartition(2), n=10)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (D.remove_duplicate_spans(ray.data.from_arrow(t).repartition(7), n=10)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
