@@ -430,6 +430,23 @@ def _neardup_vs_prior_audit(sf_dir: str) -> pd.DataFrame:
     }])
 
 
+def _neardup_vs_prior_verified(sf_dir: str) -> pd.DataFrame:
+    """Verified incremental near-dup matching (prior = every 3rd doc):
+    every prior-member document is an exact dup of itself in the prior
+    corpus, so it MUST be matched (pinned in tests); other matches are
+    true near-dup families crossing the corpus boundary."""
+    from dataprof_ray.pipelines import dedup as D
+
+    def every_3rd(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 3 == 0))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"],
+                 override_num_blocks=16)
+    prior = docs.map_batches(every_3rd, batch_format="pyarrow")
+    return D.neardup_vs_prior_verified(docs, prior, threshold=0.7)
+
+
 def _quality_classifier_audit(sf_dir: str) -> pd.DataFrame:
     """Self-measuring audit of the trainable fastText-style quality
     classifier (`pipelines/classifier.py`): every document yields a clean
@@ -1327,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier_audit": _quality_classifier_audit,
         "compression_ratio_documents": _compression_ratio_documents,
         "neardup_vs_prior_audit": _neardup_vs_prior_audit,
+        "neardup_vs_prior_verified": _neardup_vs_prior_verified,
         "heavy_hitters_cms_audit": _heavy_hitters_cms_audit,
         "packed_sequences_documents": _packed_sequences_documents,
         "packing_efficiency_audit": _packing_efficiency_audit,

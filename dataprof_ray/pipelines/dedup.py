@@ -1684,3 +1684,81 @@ def remove_duplicate_spans(ds, n: int = 13, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         scrub, batch_format="pyarrow")
+
+
+def neardup_vs_prior_verified(new_ds, prior_ds, threshold: float = 0.8,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              num_perm: int = 128, bands: int = 16,
+                              shingle_k: int = 5) -> pd.DataFrame:
+    """VERIFIED incremental near-dup matching: which NEW documents belong
+    to a near-duplicate family (exact shingle Jaccard >= ``threshold``)
+    that contains at least one PRIOR document. Where
+    :func:`neardup_flags_vs_prior` emits unverified candidates with zero
+    shuffles, this runs the full precision pipeline and is
+    transitivity-aware: a new doc that matches another new doc that
+    matches a prior doc is reported (family membership, not direct-pair
+    luck of the LSH buckets).
+
+    Implementation is a composition of the existing machinery over the
+    TAGGED UNION of both corpora (ids encode as ``2*id + is_prior`` —
+    requires ids < 2^62): stateless signatures -> coarse bucket-min
+    candidate edges -> distributed Jaccard verify against a broadcast
+    candidate shingle dict -> ``connected_components`` -> families with a
+    prior member. Returns (new_id, prior_witness = smallest prior id in
+    the family), driver-bounded by docs in >=2-member families (the same
+    contract as ``minhash_lsh_duplicate_groups``)."""
+    import ray
+
+    def tag(is_prior: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            if len(ids) and ids.max() >= 2 ** 62:
+                raise ValueError("ids must be < 2^62 for union encoding")
+            enc = ids.astype(np.int64) * 2 + is_prior
+            return pa.table({
+                id_col: pa.array(enc, pa.int64()),
+                text_col: batch.column(text_col),
+            })
+        return f
+
+    union = (new_ds.select_columns([id_col, text_col])
+             .map_batches(tag(0), batch_format="pyarrow")
+             .union(prior_ds.select_columns([id_col, text_col])
+                    .map_batches(tag(1), batch_format="pyarrow")))
+
+    edges = _dedup_edges(_lsh_candidate_edges(
+        union, text_col, id_col, num_perm, bands, shingle_k,
+        concurrency=None)).materialize()
+    empty = pd.DataFrame({"new_id": pd.Series([], dtype=np.int64),
+                          "prior_witness": pd.Series([], dtype=np.int64)})
+    if edges.count() == 0:
+        return empty
+
+    def edge_ids(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"id": pa.array(np.concatenate([s, d]), pa.int64())})
+
+    cand_ids = set(edges.map_batches(edge_ids, batch_format="pyarrow")
+                   .unique("id"))
+    shingles_ref = ray.put(
+        _fetch_shingle_sets(union, cand_ids, text_col, id_col, shingle_k))
+    verified = edges.map_batches(
+        lambda b: _verify_edges(b, shingles_ref, threshold),
+        batch_format="pyarrow").materialize()
+    n_edges = verified.count()
+    if n_edges == 0:
+        return empty
+    parts = int(min(_EDGE_PARTITIONS, max(1, n_edges // 100_000)))
+    labels = connected_components(verified, partitions=parts).to_pandas()
+    labels["is_prior"] = (labels["node"] % 2).astype(bool)
+    labels["orig"] = labels["node"] // 2
+    witness = (labels[labels["is_prior"]]
+               .groupby("label")["orig"].min())
+    news = labels[~labels["is_prior"]].copy()
+    news["prior_witness"] = news["label"].map(witness)
+    out = news.dropna(subset=["prior_witness"])
+    return (pd.DataFrame({
+        "new_id": out["orig"].astype(np.int64),
+        "prior_witness": out["prior_witness"].astype(np.int64),
+    }).sort_values("new_id").reset_index(drop=True))

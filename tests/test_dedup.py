@@ -473,3 +473,39 @@ def test_remove_duplicate_spans_deterministic_across_partitionings(ray_session):
     b = (D.remove_duplicate_spans(ray.data.from_arrow(t).repartition(7), n=10)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_neardup_vs_prior_verified_transitive_family(ray_session):
+    import ray
+
+    vocab = [f"base{j}" for j in range(60)]
+    core = " ".join(vocab)
+    # chain: new0 ~ new2 ~ prior100 (one-word steps), plus a fresh new doc
+    new0 = core
+    new2 = core.replace("base7", "step1")
+    prior = core.replace("base7", "step1").replace("base20", "step2")
+    fresh = " ".join(f"other{j} totally unrelated" for j in range(25))
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 2, 4], pa.int64()),
+        "text": pa.array([new0, new2, fresh])})).repartition(2)
+    prior_ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array([prior, " ".join(
+            f"prior{j} standalone content" for j in range(25))])}))
+    out = D.neardup_vs_prior_verified(new, prior_ds, threshold=0.7)
+    got = dict(zip(out["new_id"], out["prior_witness"]))
+    # both chain members match (new0 only TRANSITIVELY via new2)
+    assert got == {0: 100, 2: 100}
+
+
+def test_neardup_vs_prior_verified_no_match(ray_session):
+    import ray
+
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([" ".join(f"x{j} fresh words" for j in range(20))])}))
+    prior = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array([" ".join(f"y{j} old words" for j in range(20))])}))
+    out = D.neardup_vs_prior_verified(new, prior, threshold=0.7)
+    assert len(out) == 0
