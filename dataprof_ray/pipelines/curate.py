@@ -32,6 +32,10 @@ def curate_corpus(
     line_dedup_max_docs: int = 1,
     mixture_rates: Optional[dict] = None,
     split_fractions: Optional[dict] = None,
+    benchmark_ds=None,
+    decontam_n: int = 8,
+    decontam_max_frac: float = 0.05,
+    prior_ds=None,
     score_concurrency=(1, 8),
     batch_size: int = 2048,
 ) -> str:
@@ -40,7 +44,13 @@ def curate_corpus(
 
     The exported rows carry: url, warc_ts, lang, langid, langid_conf,
     perplexity, quality_score, pii_replacements, text (scrubbed +
-    line-deduped), and the directory-encoded split."""
+    line-deduped), and the directory-encoded split.
+
+    Optional corpus-hygiene steps: ``benchmark_ds`` (an eval corpus with
+    a ``text`` column) drops documents whose benchmark n-gram overlap
+    exceeds ``decontam_max_frac`` via the Bloom broadcast; ``prior_ds``
+    (an earlier crawl with url+text) drops documents whose text already
+    appeared there (`dedup.dedup_against_prior`, exact)."""
     from dataprof_ray.pipelines.dedup import normalized_dedup
     from dataprof_ray.pipelines.export import export_splits
     from dataprof_ray.pipelines.linededup import line_dedup
@@ -65,6 +75,15 @@ def curate_corpus(
 
     kept = filtered.map_batches(kept_only, batch_format="pyarrow")
 
+    if benchmark_ds is not None:
+        from dataprof_ray.pipelines.decontam import (benchmark_ngram_bloom,
+                                                     decontaminate)
+
+        bloom = benchmark_ngram_bloom(benchmark_ds, n=decontam_n)
+        kept = decontaminate(kept, bloom, n=decontam_n,
+                             max_frac=decontam_max_frac, id_col="url",
+                             text_col="scrubbed_text")
+
     deduped_lines = line_dedup(
         kept, text_col="scrubbed_text", id_col="url",
         max_docs=line_dedup_max_docs,
@@ -82,6 +101,12 @@ def curate_corpus(
     cleaned = deduped_lines.map_batches(finish_text, batch_format="pyarrow")
 
     unique = normalized_dedup(cleaned, text_col="text", id_col="url")
+
+    if prior_ds is not None:
+        from dataprof_ray.pipelines.dedup import dedup_against_prior
+
+        unique = dedup_against_prior(unique, prior_ds, text_col="text",
+                                     id_col="url")
 
     if mixture_rates is not None:
         unique = unique.map_batches(

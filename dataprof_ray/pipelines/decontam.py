@@ -141,38 +141,11 @@ def contamination_check(
     def scan(batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        bench = ray.get(bench_ref)
-        ids = batch.column(id_col)
-        if is_bloom:
-            # vectorized path: one xxhash + one contains_u64 call per
-            # batch, not a per-gram Python probe
-            grams: list = []
-            counts: list = []
-            for t in batch.column(text_col).to_pylist():
-                g = _doc_ngrams(t, n)
-                grams.extend(g)
-                counts.append(len(g))
-            total = np.asarray(counts, dtype=np.int64)
-            if grams:
-                hits = bench.contains_u64(_gram_hashes(grams))
-                doc_of = np.repeat(np.arange(len(total)), total)
-                hit = np.bincount(doc_of, weights=hits,
-                                  minlength=len(total)).astype(np.int64)
-            else:
-                hit = np.zeros(len(total), dtype=np.int64)
-            with np.errstate(invalid="ignore"):
-                frac = np.where(total > 0, hit / np.maximum(total, 1), 0.0)
-            total, hit, frac = total.tolist(), hit.tolist(), frac.tolist()
-        else:
-            total, hit, frac = [], [], []
-            for t in batch.column(text_col).to_pylist():
-                grams = _doc_ngrams(t, n)
-                c = sum(g in bench for g in grams)
-                total.append(len(grams))
-                hit.append(c)
-                frac.append(c / len(grams) if grams else 0.0)
+        total, hit, frac = _contam_stats(
+            ray.get(bench_ref), is_bloom,
+            batch.column(text_col).to_pylist(), n)
         return pa.table({
-            id_col: ids,
+            id_col: batch.column(id_col),
             "n_grams": pa.array(total, pa.int64()),
             "n_contaminated": pa.array(hit, pa.int64()),
             "contam_frac": pa.array(round_away(frac, 4), pa.float64()),
@@ -183,3 +156,63 @@ def contamination_check(
             .to_pandas()
             .sort_values(id_col)
             .reset_index(drop=True))
+
+
+def _contam_stats(bench, is_bloom: bool, texts, n: int):
+    """Per-doc (total grams, contaminated grams, fraction) lists for one
+    batch — shared by the report and the streaming filter."""
+    import numpy as np
+
+    if is_bloom:
+        # vectorized path: one xxhash + one contains_u64 call per batch,
+        # not a per-gram Python probe
+        grams: list = []
+        counts: list = []
+        for t in texts:
+            g = _doc_ngrams(t, n)
+            grams.extend(g)
+            counts.append(len(g))
+        total = np.asarray(counts, dtype=np.int64)
+        if grams:
+            hits = bench.contains_u64(_gram_hashes(grams))
+            doc_of = np.repeat(np.arange(len(total)), total)
+            hit = np.bincount(doc_of, weights=hits,
+                              minlength=len(total)).astype(np.int64)
+        else:
+            hit = np.zeros(len(total), dtype=np.int64)
+        frac = np.where(total > 0, hit / np.maximum(total, 1), 0.0)
+        return total.tolist(), hit.tolist(), frac.tolist()
+    total, hit, frac = [], [], []
+    for t in texts:
+        grams = _doc_ngrams(t, n)
+        c = sum(g in bench for g in grams)
+        total.append(len(grams))
+        hit.append(c)
+        frac.append(c / len(grams) if grams else 0.0)
+    return total, hit, frac
+
+
+def decontaminate(ds, benchmark, n: int = 8, max_frac: float = 0.0,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Streaming decontamination FILTER (the composable form of
+    :func:`contamination_check`): drop every document whose contaminated
+    n-gram fraction exceeds ``max_frac`` (0.0 = drop on any overlap). All
+    columns ride through; no shuffle, one broadcast. With a Bloom-filter
+    benchmark, over-dropping is bounded by the fp rate and under-dropping
+    is impossible."""
+    import ray
+
+    from dataprof_ray.state.bloom import BloomFilter
+
+    bench_ref = ray.put(benchmark)
+    is_bloom = isinstance(benchmark, BloomFilter)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        _, _, frac = _contam_stats(
+            ray.get(bench_ref), is_bloom,
+            batch.column(text_col).to_pylist(), n)
+        return batch.filter(pa.array(np.asarray(frac) <= max_frac))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

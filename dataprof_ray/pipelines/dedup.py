@@ -1441,6 +1441,9 @@ def dedup_against_prior(new_ds, prior_ds, text_col: str = "text",
     import ray
 
     bloom_ref = ray.put(bloom)
+    # the verify union needs one id column type; prior rows carry typed
+    # nulls (their ids are never read), so string ids (urls) work too
+    id_type = new_ds.schema().base_schema.field(id_col).type         if hasattr(new_ds.schema(), "base_schema")         else new_ds.schema().field(id_col).type
 
     def keep_misses(batch: pa.Table) -> pa.Table:
         bf = ray.get(bloom_ref)
@@ -1471,7 +1474,7 @@ def dedup_against_prior(new_ds, prior_ds, text_col: str = "text",
             .to_numpy(zero_copy_only=False)
         return pa.table({
             "content_hash": pa.array(h, pa.uint64()),
-            id_col: pa.array(np.full(len(h), -1, dtype=np.int64)),
+            id_col: pa.nulls(len(h), id_type),
             "is_prior": pa.array(np.ones(len(h), dtype=bool)),
             "part": pa.array((h % np.uint64(_EDGE_PARTITIONS))
                              .astype(np.int32), pa.int32()),
@@ -1495,7 +1498,7 @@ def dedup_against_prior(new_ds, prior_ds, text_col: str = "text",
                .to_pandas())
     rescue_ref = ray.put(
         np.sort(rescued[id_col].to_numpy()) if len(rescued)
-        else np.empty(0, dtype=np.int64))
+        else np.empty(0, dtype=object))
 
     def keep_final(batch: pa.Table) -> pa.Table:
         bf = ray.get(bloom_ref)

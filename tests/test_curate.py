@@ -60,3 +60,34 @@ def test_curate_with_mixture(ray_session, corpus_file, tmp_path):
                           score_concurrency=(1, 2), batch_size=256)
     # default_rate=1.0 keeps unknown hosts: same row count as full
     assert rd.read_parquet(mixed).count() == n_full
+
+
+def test_curate_with_hygiene_steps(ray_session, corpus_file, tmp_path):
+    """Decontamination + incremental dedup slot into the composition:
+    a benchmark built FROM some kept docs must remove those docs; a prior
+    corpus containing some final texts must remove those too."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.curate import curate_corpus
+
+    base = rd.read_parquet(
+        curate_corpus(corpus_file, str(tmp_path / "base"),
+                      score_concurrency=(1, 2), batch_size=256)).to_pandas()
+    assert len(base) > 20
+    # benchmark = the scrubbed text of 5 exported docs; prior = 5 others
+    bench_rows = base.sort_values("url").head(5)
+    prior_rows = base.sort_values("url").tail(5)
+    bench_ds = rd.from_arrow(pa.table({"text": pa.array(bench_rows["text"])}))
+    prior_ds = rd.from_arrow(pa.table({
+        "url": pa.array("p-" + prior_rows["url"]),
+        "text": pa.array(prior_rows["text"])}))
+    out = rd.read_parquet(curate_corpus(
+        corpus_file, str(tmp_path / "hyg"), score_concurrency=(1, 2),
+        batch_size=256, benchmark_ds=bench_ds, prior_ds=prior_ds,
+        decontam_max_frac=0.0)).to_pandas()
+    # every benchmark-sourced and prior-sourced doc is gone
+    assert not set(bench_rows["url"]) & set(out["url"])
+    assert not set(prior_rows["text"]) & set(out["text"])
+    # and plenty of clean docs survive
+    assert len(out) >= len(base) - 25

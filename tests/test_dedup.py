@@ -509,3 +509,19 @@ def test_neardup_vs_prior_verified_no_match(ray_session):
         "text": pa.array([" ".join(f"y{j} old words" for j in range(20))])}))
     out = D.neardup_vs_prior_verified(new, prior, threshold=0.7)
     assert len(out) == 0
+
+
+def test_dedup_against_prior_string_ids(ray_session):
+    import ray
+
+    prior = ray.data.from_arrow(pa.table({
+        "url": pa.array([f"https://old{i}.com" for i in range(6)]),
+        "text": pa.array([f"old page {i} text body" for i in range(6)]),
+    }))
+    new = ray.data.from_arrow(pa.table({
+        "url": pa.array([f"https://new{i}.com" for i in range(4)]),
+        "text": pa.array(["old page 2 text body", "old page 5 text body",
+                          "fresh a", "fresh b"]),
+    })).repartition(2)
+    out = D.dedup_against_prior(new, prior, id_col="url").to_pandas()
+    assert sorted(out["url"]) == ["https://new2.com", "https://new3.com"]
