@@ -81,7 +81,7 @@ def curate_corpus(
 
         bloom = benchmark_ngram_bloom(benchmark_ds, n=decontam_n)
         kept = decontaminate(kept, bloom, n=decontam_n,
-                             max_frac=decontam_max_frac, id_col="url",
+                             max_frac=decontam_max_frac,
                              text_col="scrubbed_text")
 
     deduped_lines = line_dedup(

@@ -91,25 +91,15 @@ def benchmark_ngram_bloom(bench_ds, n: int = 8, text_col: str = "text",
                        .sum("c") or 0)
     capacity = max(1, capacity)
 
-    def build(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter(capacity, fp_rate)
+    from dataprof_ray.state.bloom import bloom_from_u64_batches
+
+    def keys(batch: pa.Table):
         grams: list = []
         for t in batch.column(text_col).to_pylist():
             grams.extend(_doc_ngrams(t, n))
-        bf.add_u64(_gram_hashes(grams))
-        return pa.table({
-            "bits": pa.array([bf.bits.tobytes()], pa.large_binary()),
-            "n_added": pa.array([bf.n_added], pa.int64()),
-        })
+        return _gram_hashes(grams)
 
-    merged = BloomFilter(capacity, fp_rate)
-    for part in (grams_only.map_batches(build, batch_format="pyarrow",
-                                        batch_size=None)
-                 .iter_batches(batch_format="pyarrow")):
-        for bits, n_added in zip(part.column("bits").to_pylist(),
-                                 part.column("n_added").to_pylist()):
-            merged.merge_bytes(bits, n_added)
-    return merged
+    return bloom_from_u64_batches(grams_only, keys, capacity, fp_rate)
 
 
 def contamination_check(
@@ -193,7 +183,7 @@ def _contam_stats(bench, is_bloom: bool, texts, n: int):
 
 
 def decontaminate(ds, benchmark, n: int = 8, max_frac: float = 0.0,
-                  id_col: str = "doc_id", text_col: str = "text"):
+                  text_col: str = "text"):
     """Streaming decontamination FILTER (the composable form of
     :func:`contamination_check`): drop every document whose contaminated
     n-gram fraction exceeds ``max_frac`` (0.0 = drop on any overlap). All

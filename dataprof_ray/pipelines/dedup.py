@@ -1388,30 +1388,17 @@ def prior_corpus_bloom(prior_ds, text_col: str = "text",
     OR-fold on the driver (``m/8`` bytes each, ~3.5 MB per 10^6 docs at
     fp=1e-6). ``capacity`` defaults to the prior row count (an upper bound
     on distinct hashes, so the realized fp rate is at most ``fp_rate``)."""
-    from dataprof_ray.state.bloom import BloomFilter
+    from dataprof_ray.state.bloom import bloom_from_u64_batches
 
     prior = prior_ds.select_columns([text_col])
     if capacity is None:
         capacity = prior.count()
-    capacity = max(1, int(capacity))
 
-    def build(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter(capacity, fp_rate)
-        h = add_content_hash(batch, text_col).column("content_hash")
-        bf.add_u64(h.to_numpy(zero_copy_only=False))
-        return pa.table({
-            "bits": pa.array([bf.bits.tobytes()], pa.large_binary()),
-            "n_added": pa.array([bf.n_added], pa.int64()),
-        })
+    def keys(batch: pa.Table):
+        return (add_content_hash(batch, text_col).column("content_hash")
+                .to_numpy(zero_copy_only=False))
 
-    merged = BloomFilter(capacity, fp_rate)
-    for part in (prior.map_batches(build, batch_format="pyarrow",
-                                   batch_size=None)
-                 .iter_batches(batch_format="pyarrow")):
-        for bits, n_added in zip(part.column("bits").to_pylist(),
-                                 part.column("n_added").to_pylist()):
-            merged.merge_bytes(bits, n_added)
-    return merged
+    return bloom_from_u64_batches(prior, keys, capacity, fp_rate)
 
 
 def dedup_against_prior(new_ds, prior_ds, text_col: str = "text",
@@ -1480,11 +1467,21 @@ def dedup_against_prior(new_ds, prior_ds, text_col: str = "text",
                              .astype(np.int32), pa.int32()),
         })
 
-    def rescue_partition(df: pd.DataFrame) -> pd.DataFrame:
-        seen = df.loc[df["is_prior"], "content_hash"]
-        cand = df[~df["is_prior"]]
-        fp = cand[~cand["content_hash"].isin(set(seen))]
-        return fp[[id_col]]
+    def rescue_partition(tbl: pa.Table) -> pa.Table:
+        # arrow-native: a pandas round-trip would launder the typed-null
+        # int id column to float64 and round ids >= 2^53
+        is_prior = tbl.column("is_prior").to_numpy(zero_copy_only=False)
+        h = tbl.column("content_hash").to_numpy(zero_copy_only=False)
+        seen = np.unique(h[is_prior])
+        cand_rows = tbl.filter(pa.array(~is_prior))
+        ch = h[~is_prior]
+        if len(seen):
+            pos = np.searchsorted(seen, ch)
+            pos[pos == len(seen)] = len(seen) - 1
+            fp_mask = seen[pos] != ch
+        else:
+            fp_mask = np.ones(len(ch), dtype=bool)
+        return cand_rows.filter(pa.array(fp_mask)).select([id_col])
 
     cand = new_ds.select_columns([id_col, text_col]) \
         .map_batches(hit_hashes, batch_format="pyarrow")
@@ -1494,7 +1491,7 @@ def dedup_against_prior(new_ds, prior_ds, text_col: str = "text",
     # safe to collect and broadcast.
     rescued = (cand.union(prior_h)
                .groupby("part")
-               .map_groups(arrow_out(rescue_partition), batch_format="pandas")
+               .map_groups(rescue_partition, batch_format="pyarrow")
                .to_pandas())
     rescue_ref = ray.put(
         np.sort(rescued[id_col].to_numpy()) if len(rescued)
@@ -1554,31 +1551,19 @@ def neardup_flags_vs_prior(new_ds, prior_ds, text_col: str = "text",
 
     from dataprof_ray.state.bloom import BloomFilter
 
+    from dataprof_ray.state.bloom import bloom_from_u64_batches
+
     prior_sigs = _band_rows_ds(prior_ds.select_columns([id_col, text_col]),
                                text_col, id_col, num_perm, bands, shingle_k,
                                signature_concurrency)
-    capacity = max(1, prior_ds.count() * bands)
-
-    def build(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter(capacity, fp_rate)
-        bf.add_u64(_band_keys(batch))
-        return pa.table({
-            "bits": pa.array([bf.bits.tobytes()], pa.large_binary()),
-            "n_added": pa.array([bf.n_added], pa.int64()),
-        })
-
-    merged = BloomFilter(capacity, fp_rate)
-    for part in (prior_sigs.map_batches(build, batch_format="pyarrow",
-                                        batch_size=None)
-                 .iter_batches(batch_format="pyarrow")):
-        for bits, n_added in zip(part.column("bits").to_pylist(),
-                                 part.column("n_added").to_pylist()):
-            merged.merge_bytes(bits, n_added)
+    merged = bloom_from_u64_batches(prior_sigs, _band_keys,
+                                    prior_ds.count() * bands, fp_rate)
     bloom_ref = ray.put(merged)
 
-    def scan(batch: pa.Table) -> pa.Table:
-        # minhash_band_rows emits every band of a doc inside the same output
-        # batch, so per-batch per-doc aggregation is complete.
+    def scan_partial(batch: pa.Table) -> pa.Table:
+        # per-batch PARTIAL per-doc hit counts; a doc's band rows can be
+        # split across batch/block boundaries, so a final coarse-partition
+        # sum (below) finishes the aggregation — rows there are O(docs).
         bf = ray.get(bloom_ref)
         hits = bf.contains_u64(_band_keys(batch))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -1588,13 +1573,21 @@ def neardup_flags_vs_prior(new_ds, prior_ds, text_col: str = "text",
         return pa.table({
             id_col: pa.array(uniq, pa.int64()),
             "n_band_hits": pa.array(n_hits, pa.int64()),
-            "flagged": pa.array(n_hits > 0, pa.bool_()),
+            "part": pa.array((uniq % _EDGE_PARTITIONS).astype(np.int32),
+                             pa.int32()),
         })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(id_col, as_index=False)["n_band_hits"].sum())
+        g["flagged"] = g["n_band_hits"] > 0
+        return g
 
     new_sigs = _band_rows_ds(new_ds.select_columns([id_col, text_col]),
                              text_col, id_col, num_perm, bands, shingle_k,
                              signature_concurrency)
-    return new_sigs.map_batches(scan, batch_format="pyarrow")
+    return (new_sigs.map_batches(scan_partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(arrow_out(finish), batch_format="pandas"))
 
 
 def remove_duplicate_spans(ds, n: int = 13, id_col: str = "doc_id",

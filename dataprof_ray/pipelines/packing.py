@@ -256,7 +256,8 @@ def packed_sequences(ds, max_len: int = 2048, parts: int = DEFAULT_PARTS,
     def add_akey(batch: pa.Table) -> pa.Table:
         p = batch.column("part").to_numpy(zero_copy_only=False)
         s = batch.column("seq_id").to_numpy(zero_copy_only=False)
-        ak = ((p.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + s)
+        ak = ((p.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               + s.astype(np.uint64))
               % np.uint64(a_parts)).astype(np.int64)
         return batch.append_column("__akey", pa.array(ak, pa.int64()))
 

@@ -452,33 +452,35 @@ def weighted_source_sample(ds, rates: "dict[str, float]",
 
 
 def shuffle_rank(ds, id_col: str = "doc_id", hex_digits: int = 1,
-                 sub_digits: int = 3):
+                 sub_digits: int = 3, partitions: int = None):
     """Shared engine of :func:`global_shuffle` and
     ``export.export_shuffled``: append (shard, pos) to every row, where
     shard is the first ``hex_digits`` of ``md5(str(id))`` and pos is the
     row's rank within its shard under md5-key order.
 
-    Scale design (two passes, bounded group size): the rank is computed
+    Scale design (two passes, bounded task memory): the rank is computed
     HIERARCHICALLY so no single task ever sorts a whole shard — pass 1
     folds sparse per-batch subshard counts (subshard = first
-    ``hex_digits + sub_digits`` hex chars; 16^total cells, <=0.5 MB
-    dense at the max total of 4) into broadcast prefix offsets; pass 2
-    sorts each SUBSHARD group (corpus / 16^total rows) and adds its
-    offset. Because the subshard is a prefix of the key, ascending
-    subshards + in-subshard key order IS the shard's global key order."""
+    ``min(hex_digits + sub_digits, 4)`` hex chars; 16^total cells,
+    <=0.5 MB dense) into broadcast prefix offsets; pass 2 ranks in
+    COARSE hash-bucket partitions of the subshard, so task memory is
+    corpus / ``partitions`` (raise ``partitions`` with the cluster).
+    Because the subshard is a prefix of the key, ascending subshards +
+    in-subshard key order IS the shard's global key order. The keyed
+    stream is materialized between the passes so the upstream pipeline
+    (and the md5 stage) executes once, not twice."""
     import hashlib
 
     import ray
 
     if not (1 <= hex_digits <= 4):
         raise ValueError(f"hex_digits must be in 1..4, got {hex_digits}")
-    if not (0 <= sub_digits and hex_digits + sub_digits <= 4):
-        raise ValueError(
-            f"hex_digits + sub_digits must be in 1..4, got "
-            f"{hex_digits}+{sub_digits}")
-    total = hex_digits + sub_digits
+    if sub_digits < 0:
+        raise ValueError(f"sub_digits must be >= 0, got {sub_digits}")
+    total = min(hex_digits + sub_digits, 4)
+    eff_sub = total - hex_digits  # clamped subshard digits
     n_subs = 16 ** total
-    sub_shift = 4 * sub_digits
+    sub_shift = 4 * eff_sub
 
     def stage(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -497,7 +499,7 @@ def shuffle_rank(ds, id_col: str = "doc_id", hex_digits: int = 1,
         return pa.table({"sub": pa.array(sub, pa.int64()),
                          "cnt": pa.array(cnt, pa.int64())})
 
-    keyed = ds.map_batches(stage, batch_format="pyarrow")
+    keyed = ds.map_batches(stage, batch_format="pyarrow").materialize()
     counts = np.zeros(n_subs, dtype=np.int64)
     for part in (keyed.select_columns(["__sub"])
                  .map_batches(count_partial, batch_format="pyarrow")
@@ -507,8 +509,8 @@ def shuffle_rank(ds, id_col: str = "doc_id", hex_digits: int = 1,
     # offset of each subshard within its shard: exclusive prefix sum that
     # restarts at every shard boundary
     csum = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    shard_starts = csum[::16 ** sub_digits]
-    offsets = csum - np.repeat(shard_starts, 16 ** sub_digits)
+    shard_starts = csum[::16 ** eff_sub]
+    offsets = csum - np.repeat(shard_starts, 16 ** eff_sub)
     offsets_ref = ray.put(offsets)
 
     from dataprof_ray.pipelines.partitioning import (arrow_out,
@@ -520,7 +522,7 @@ def shuffle_rank(ds, id_col: str = "doc_id", hex_digits: int = 1,
     # subshard offsets still make every sub independent, so a task only
     # needs ITS rows: task memory = corpus / partitions — raise
     # ``partitions`` with the cluster, the offsets table doesn't change.
-    rank_parts = DEFAULT_PARTITIONS
+    rank_parts = partitions or DEFAULT_PARTITIONS
 
     def add_rpart(batch: pa.Table) -> pa.Table:
         sub = batch.column("__sub").to_numpy(zero_copy_only=False)

@@ -23,6 +23,34 @@ import math
 import numpy as np
 
 
+def bloom_from_u64_batches(ds, keys_fn, capacity: int, fp_rate: float):
+    """Build one Bloom filter over a Dataset: ``keys_fn(batch) ->
+    np.uint64 array`` extracts the items; each BLOCK emits one fixed-size
+    partial (``batch_size=None``) and the driver OR-folds them through
+    the shape-validated :meth:`BloomFilter.merge_bytes`. Shared by the
+    decontamination and incremental-dedup builders."""
+    import pyarrow as pa
+
+    capacity = max(1, int(capacity))
+
+    def build(batch):
+        bf = BloomFilter(capacity, fp_rate)
+        bf.add_u64(keys_fn(batch))
+        return pa.table({
+            "bits": pa.array([bf.bits.tobytes()], pa.large_binary()),
+            "n_added": pa.array([bf.n_added], pa.int64()),
+        })
+
+    merged = BloomFilter(capacity, fp_rate)
+    for part in (ds.map_batches(build, batch_format="pyarrow",
+                                batch_size=None)
+                 .iter_batches(batch_format="pyarrow")):
+        for bits, n_added in zip(part.column("bits").to_pylist(),
+                                 part.column("n_added").to_pylist()):
+            merged.merge_bytes(bits, n_added)
+    return merged
+
+
 class BloomFilter:
     """Fixed-size bit-array Bloom filter. Deterministic (pure function of
     the inserted set), mergeable via :meth:`merge`, picklable (rides

@@ -562,3 +562,19 @@ def test_global_shuffle_validates_hex_digits(ray_session):
     ids = pa.table({"doc_id": pa.array([1], pa.int64())})
     with pytest.raises(ValueError):
         global_shuffle(rd.from_arrow(ids), hex_digits=0)
+
+
+def test_global_shuffle_supports_larger_shard_counts(ray_session):
+    """Regression: hex_digits up to 4 (the documented API) must work; the
+    subshard granularity clamps internally."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.sampling import global_shuffle
+
+    ids = pa.table({"doc_id": pa.array(range(400), pa.int64())})
+    out = (global_shuffle(rd.from_arrow(ids, override_num_blocks=3),
+                          hex_digits=2).to_pandas())
+    assert len(out) == 400
+    assert out["shard"].nunique() > 16  # 256 shards available
+    for _, g in out.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))

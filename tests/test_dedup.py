@@ -525,3 +525,24 @@ def test_dedup_against_prior_string_ids(ray_session):
     })).repartition(2)
     out = D.dedup_against_prior(new, prior, id_col="url").to_pandas()
     assert sorted(out["url"]) == ["https://new2.com", "https://new3.com"]
+
+
+def test_neardup_flags_bands_not_dividing_batch_size(ray_session):
+    """Regression: band rows of one doc may split across batch/block
+    boundaries; the per-doc aggregation must still be exact (bands=12
+    does not divide Ray's default 1024-row batches)."""
+    import ray
+
+    texts = [f"shared body {' '.join(f't{j}' for j in range(30))} doc {i}"
+             for i in range(40)]
+    prior = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(100, 140), pa.int64()),
+        "text": pa.array(texts)})).repartition(2)
+    new = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(texts)})).repartition(3)
+    out = (D.neardup_flags_vs_prior(new, prior, num_perm=120, bands=12)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 40  # one row per doc, no split partials
+    assert (out["n_band_hits"] == 12).all()  # exact copies: all bands hit
+    assert out["flagged"].all()
