@@ -1304,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_stats_documents": _c4_line_stats_documents,
         "tfidf_top_terms_documents": _tfidf_top_terms_documents,
         "url_features_documents": _url_features_documents,
+        "url_dedup_documents": _url_dedup_documents,
         "key_skew_orders": _key_skew_orders,
         "normalize_text_documents": _normalize_text_documents,
         "source_mixture_documents": _source_mixture_documents,
@@ -1570,6 +1571,31 @@ def _corpus_ppl_documents(sf_dir: str):
 
     return corpus_perplexity(
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _url_dedup_documents(sf_dir: str):
+    """Crawl-level URL dedup: consecutive doc pairs get the SAME page in
+    different surface forms (www prefix, tracking params, fragment,
+    trailing slash), so url_dedup must halve the corpus keeping the even
+    (smaller) ids. Deterministic -> pinned golden; the pair structure is
+    additionally asserted in tests/test_entry_contract.py."""
+    from dataprof_ray.pipelines.quality_filter import url_dedup
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        urls = []
+        for i in ids:
+            page = i // 2
+            if i % 2 == 0:
+                urls.append(f"https://site{page % 7}.com/p/{page}?x=1")
+            else:
+                urls.append(f"HTTPS://WWW.site{page % 7}.com/p/{page}/"
+                            f"?utm_source=t&x=1#frag")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])         .map_batches(synth, batch_format="pyarrow")
+    return url_dedup(ds)
 
 
 def _url_features_documents(sf_dir: str):

@@ -407,3 +407,51 @@ def url_features(ds, url_col: str = "url", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical URL form for duplicate detection (standard web-curation
+    normalizations; e.g. the URL-dedup pass crawlers run before fetching):
+    lowercase scheme + host, strip the fragment, drop default ports
+    (80/443), drop a ``www.`` prefix, strip known tracking query params
+    (utm_*, fbclid, gclid), sort the remaining query params, and drop a
+    trailing slash on non-root paths. Pure function — safe to hash."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    try:
+        parts = urlsplit((url or "").strip())
+    except ValueError:
+        return (url or "").strip()
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    if host.startswith("www."):
+        host = host[4:]
+    port = parts.port
+    if port and not ((scheme, port) in (("http", 80), ("https", 443))):
+        host = f"{host}:{port}"
+    q = [(k, v) for k, v in parse_qsl(parts.query, keep_blank_values=True)
+         if not (k.startswith("utm_") or k in ("fbclid", "gclid"))]
+    query = urlencode(sorted(q))
+    path = parts.path or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    return urlunsplit((scheme, host, path, query, ""))
+
+
+def url_dedup(ds, url_col: str = "url", id_col: str = "doc_id"):
+    """Keep one row per CANONICAL url (smallest id wins) — the crawl-level
+    dedup that catches http/https, www, tracking-param and fragment
+    variants of the same page before any text comparison. Composition:
+    canonicalize per batch (stateless, no shuffle), then the existing
+    8-byte-hash `dedup.exact_dedup` machinery over the canonical column;
+    the canonical form rides along as ``canonical_url``."""
+    from dataprof_ray.pipelines.dedup import exact_dedup
+
+    def canon(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        return batch.append_column(
+            "canonical_url",
+            pa.array([canonicalize_url(u) for u in urls], pa.string()))
+
+    return exact_dedup(ds.map_batches(canon, batch_format="pyarrow"),
+                       text_col="canonical_url", id_col=id_col)

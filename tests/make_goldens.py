@@ -39,6 +39,7 @@ PINNED = [
     "compression_ratio_documents",
     "packed_sequences_documents",
     "substring_dedup_documents",
+    "url_dedup_documents",
 ]
 
 

@@ -120,3 +120,57 @@ def test_round_away_matches_duckdb():
         con.register("t", __import__("pandas").DataFrame({"v": vals}))
         theirs = con.execute(f"SELECT ROUND(v, {d}) FROM t").df().iloc[:, 0].to_numpy()
         np.testing.assert_array_equal(ours, theirs, err_msg=f"decimals={d}")
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2 ** 63 - 1),
+                min_size=0, max_size=300),
+       st.lists(st.integers(min_value=0, max_value=2 ** 63 - 1),
+                min_size=0, max_size=300))
+@settings(max_examples=25, deadline=None)
+def test_bloom_merge_is_union_and_never_misses(a_items, b_items):
+    import numpy as np
+
+    from dataprof_ray.state.bloom import BloomFilter
+
+    a = BloomFilter(1000, 1e-3)
+    a.add_u64(np.asarray(a_items, dtype=np.uint64))
+    b = BloomFilter(1000, 1e-3)
+    b.add_u64(np.asarray(b_items, dtype=np.uint64))
+    u = BloomFilter(1000, 1e-3)
+    u.add_u64(np.asarray(a_items + b_items, dtype=np.uint64))
+    m = a.merge(b)
+    assert np.array_equal(m.bits, u.bits)  # merge == union build
+    both = np.asarray(a_items + b_items, dtype=np.uint64)
+    if len(both):
+        assert m.contains_u64(both).all()  # no false negatives, ever
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=2 ** 63 - 1),
+                          st.integers(min_value=1, max_value=50)),
+                min_size=0, max_size=200),
+       st.integers(min_value=0, max_value=3))
+@settings(max_examples=25, deadline=None)
+def test_cms_estimates_never_undercount_any_split(pairs, split_at):
+    import numpy as np
+
+    from dataprof_ray.state.cms import CountMinSketch
+
+    keys = np.asarray([k for k, _ in pairs], dtype=np.uint64)
+    counts = np.asarray([c for _, c in pairs], dtype=np.int64)
+    cut = (len(pairs) * split_at) // 3 if pairs else 0
+    a = CountMinSketch(512, 3)
+    a.add_u64(keys[:cut], counts[:cut])
+    b = CountMinSketch(512, 3)
+    b.add_u64(keys[cut:], counts[cut:])
+    m = a.merge(b)
+    if len(keys):
+        # true count per key (keys may repeat in the draw)
+        import collections
+        true = collections.Counter()
+        for k, c in pairs:
+            true[k] += c
+        uniq = np.asarray(list(true), dtype=np.uint64)
+        est = m.estimate_u64(uniq)
+        want = np.asarray([true[int(k)] for k in uniq], dtype=np.int64)
+        assert (est >= want).all()
+    assert m.total == counts.sum()

@@ -200,3 +200,41 @@ class TestToxicity:
         assert "toxicity_hits" in out.columns
         dropped = out[~out.keep]
         assert (dropped.scrubbed_text == "").all()  # untouched
+
+
+class TestUrlDedup:
+    def test_canonicalize_variants_collapse(self):
+        from dataprof_ray.pipelines.quality_filter import canonicalize_url
+
+        variants = [
+            "https://www.example.com/page/?utm_source=tw&id=3#sec",
+            "HTTPS://EXAMPLE.COM:443/page?id=3",
+            "https://example.com/page/?id=3&fbclid=xyz",
+        ]
+        forms = {canonicalize_url(u) for u in variants}
+        assert forms == {"https://example.com/page?id=3"}
+        # distinct pages stay distinct
+        assert canonicalize_url("https://example.com/page?id=4") not in forms
+        # non-default port and param order preserved semantically
+        assert canonicalize_url("http://a.com:8080/x?b=2&a=1") == \
+            "http://a.com:8080/x?a=1&b=2"
+
+    def test_url_dedup_keeps_smallest_id(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from dataprof_ray.pipelines.quality_filter import url_dedup
+
+        t = pa.table({
+            "doc_id": pa.array([5, 1, 3, 7], pa.int64()),
+            "url": pa.array([
+                "https://www.site.com/a?utm_source=x",
+                "https://site.com/a",
+                "http://other.org/b",
+                "HTTP://OTHER.ORG/b#top",
+            ]),
+        })
+        out = (url_dedup(rd.from_arrow(t).repartition(2)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert sorted(out["doc_id"]) == [1, 3]
+        assert "canonical_url" in out.columns
