@@ -110,6 +110,45 @@ class ImageFeatureStage:
         })
 
 
+class ImageResizeStage:
+    """Actor-pool stage: resize image payloads to ``(target, target)`` and
+    re-emit the bytes. PIL branch does a real thumbnail + re-encode; the
+    deterministic stub re-emits a hash-derived payload of the right
+    ballpark size so batch sizing / object-store behavior downstream is
+    realistic. Output schema is identical in both branches."""
+
+    def __init__(self, target: int = 224, strict: bool = False) -> None:
+        self.pil = _try_import_pil()
+        self.target = target
+        if strict and self.pil is None:
+            raise NotImplementedError(
+                "image resize requires PIL; not available in this container")
+
+    def _resize(self, payload: bytes) -> bytes:
+        if self.pil is not None:
+            import io
+
+            with self.pil.open(io.BytesIO(payload)) as im:
+                im.thumbnail((self.target, self.target))
+                buf = io.BytesIO()
+                im.save(buf, format="PNG")
+                return buf.getvalue()
+        # deterministic stub: expanded digest sized ~ target^2 * 0.3
+        # (a plausible compressed-thumbnail byte count)
+        seed = hashlib.blake2b(payload or b"", digest_size=32).digest()
+        n = max(64, int(self.target * self.target * 0.3))
+        reps = -(-n // len(seed))
+        return (seed * reps)[:n]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._resize(p) for p in batch.column("payload").to_pylist()]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "payload": pa.array(out, pa.large_binary()),
+            "resized_bytes": pa.array([len(o) for o in out], pa.int64()),
+        })
+
+
 class FrameSampleStage:
     """Actor-pool stage: sample frame offsets from a video payload.
 
@@ -187,6 +226,14 @@ def decode_images(ds, concurrency=(1, 4), batch_size: int = DEFAULT_MEDIA_BATCH_
 def extract_image_features(ds, concurrency=(1, 4), batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
     return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+def resize_images(ds, target: int = 224, concurrency=(1, 4),
+                  batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
+    """Resize via an actor pool; small batches — payloads are large."""
+    return ds.map_batches(ImageResizeStage, fn_constructor_args=(target,),
+                          batch_format="pyarrow", concurrency=concurrency,
+                          batch_size=batch_size)
 
 
 def sample_frames(ds, every_n: int = 10, concurrency=(1, 4),

@@ -349,3 +349,30 @@ def test_compression_ratio_orders_repetitive_below_random(ray_session):
     assert out.loc[2, "compression_ratio"] == 0.0
     assert out.loc[2, "n_bytes"] == 0
     assert (out["n_compressed"] > 0).all()  # zlib header even for empty
+
+
+def test_image_resize_stage(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.stages import multimodal as MM
+
+    t = MM.synthetic_media_table(12, seed=3)
+    out = (MM.resize_images(rd.from_arrow(t).repartition(2), target=64,
+                            concurrency=(1, 2), batch_size=4)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert len(out) == 12
+    assert {"media_id", "payload", "resized_bytes"} <= set(out.columns)
+    assert (out["resized_bytes"] > 0).all()
+    # deterministic: same payload -> same resized bytes
+    out2 = (MM.resize_images(rd.from_arrow(t).repartition(5), target=64,
+                             concurrency=(1, 2), batch_size=4)
+            .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert out["resized_bytes"].tolist() == out2["resized_bytes"].tolist()
+    # strict mode surfaces the missing decoder honestly
+    import pytest
+
+    from dataprof_ray.stages.multimodal import (ImageResizeStage,
+                                                _try_import_pil)
+    if _try_import_pil() is None:
+        with pytest.raises(NotImplementedError):
+            ImageResizeStage(strict=True)
