@@ -1332,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _image_features,
         "approx_distinct_lineitem": _approx_distinct_lineitem,
         "corpus_ppl_documents": _corpus_ppl_documents,
+        "ppl_buckets_documents": _ppl_buckets_documents,
         "curated_split_counts": _curated_split_counts,
         "quantization_audit": _quantization_audit,
         "dsir_weights_documents": _dsir_weights_documents,
@@ -1482,6 +1483,17 @@ def _quantization_audit(sf_dir: str) -> pd.DataFrame:
         "min_recall": float(np.min(recalls)),
         "max_unit_err": max_err,
     }])
+
+
+def _ppl_buckets_documents(sf_dir: str):
+    """CCNet-style head/middle/tail perplexity bucketing under the
+    corpus-trained trigram LM; rows-only (the LM is not SQL-expressible),
+    bucket-evenness and monotonicity pinned in tests."""
+    from dataprof_ray.pipelines.lm import perplexity_buckets
+
+    return perplexity_buckets(
+        _read(sf_dir, "documents", columns=["doc_id", "text"],
+              override_num_blocks=16), buckets=3)
 
 
 def _curated_split_counts(sf_dir: str) -> pd.DataFrame:

@@ -140,3 +140,56 @@ def corpus_perplexity(ds, lm: Optional[TrigramLM] = None,
         lambda b: _score_batch(b, ref, text_col, id_col),
         batch_format="pyarrow",
     )
+
+
+def perplexity_buckets(ds, lm=None, buckets: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       sketch_k: int = 2048):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019: split the
+    corpus into head/middle/tail by LM perplexity; train on the head,
+    inspect the tail). Pipeline: score every document under the
+    corpus-trained trigram LM, estimate the ``buckets - 1`` cutoffs with
+    the mergeable quantile sketch (the boundaries never need the column
+    co-located), broadcast them, and assign ``bucket = #cutoffs below
+    ppl`` in a final streaming pass (bucket 0 = head / most predictable).
+
+    Scale design: the scored dataset is materialized once (it feeds both
+    the sketch fold and the assignment); the sketch reduction moves
+    ``sketch_k x blocks`` points regardless of corpus size; cutoffs are a
+    tiny broadcast. Bucket sizes are approximately equal (sketch rank
+    error O(depth/k) — the pytest pin allows the documented tolerance)."""
+    import ray
+
+    from dataprof_ray.state.quantile_sketch import QuantileSketch
+
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    scored = corpus_perplexity(ds, lm, text_col=text_col,
+                               id_col=id_col).materialize()
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        sk = QuantileSketch(sketch_k).update_array(
+            batch.column("corpus_ppl").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "v": pa.array(sk.values, pa.float64()),
+            "w": pa.array(sk.weights, pa.float64()),
+        })
+
+    merged = QuantileSketch(sketch_k)
+    for part in (scored.select_columns(["corpus_ppl"])
+                 .map_batches(sketch_batch, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=None)):
+        merged.merge(QuantileSketch(
+            sketch_k, part.column("v").to_numpy(zero_copy_only=False),
+            part.column("w").to_numpy(zero_copy_only=False)))
+    cuts = np.array([merged.quantile(i / buckets)
+                     for i in range(1, buckets)], dtype=np.float64)
+    cuts_ref = ray.put(cuts)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cuts_ref)
+        ppl = batch.column("corpus_ppl").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(c, ppl, side="right").astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    return scored.map_batches(assign, batch_format="pyarrow")

@@ -89,3 +89,38 @@ def test_query_matches_single_process_training(ray_session):
     want = lm.perplexity_batch(docs.text.tolist())
     assert (out.doc_id.to_numpy() == docs.doc_id.to_numpy()).all()
     np.testing.assert_allclose(out.corpus_ppl.to_numpy(), want, rtol=1e-12)
+
+
+def test_perplexity_buckets_splits_evenly(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.lm import perplexity_buckets
+
+    rng = np.random.default_rng(4)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far"]
+    texts = [" ".join(vocab[j] for j in rng.integers(0, len(vocab), 25))
+             for _ in range(300)]
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(texts)})
+    out = (perplexity_buckets(rd.from_arrow(t).repartition(4), buckets=3)
+           .to_pandas())
+    assert {"doc_id", "corpus_ppl", "bucket"} <= set(out.columns)
+    sizes = out.groupby("bucket").size()
+    assert sorted(sizes.index) == [0, 1, 2]
+    # approximately even split (sketch rank error tolerance)
+    assert sizes.min() >= 0.2 * 300 and sizes.max() <= 0.5 * 300
+    # monotone: every head doc is at most every tail doc's perplexity
+    assert (out.loc[out.bucket == 0, "corpus_ppl"].max()
+            <= out.loc[out.bucket == 2, "corpus_ppl"].min() + 1e-9)
+
+
+def test_perplexity_buckets_validates(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.lm import perplexity_buckets
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["a b c"])})
+    with pytest.raises(ValueError):
+        perplexity_buckets(rd.from_arrow(t), buckets=1)
