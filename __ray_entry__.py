@@ -1332,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _image_features,
         "approx_distinct_lineitem": _approx_distinct_lineitem,
         "corpus_ppl_documents": _corpus_ppl_documents,
+        "token_budget_by_source": _token_budget_by_source,
         "ppl_buckets_documents": _ppl_buckets_documents,
         "curated_split_counts": _curated_split_counts,
         "quantization_audit": _quantization_audit,
@@ -1483,6 +1484,34 @@ def _quantization_audit(sf_dir: str) -> pd.DataFrame:
         "min_recall": float(np.min(recalls)),
         "max_unit_err": max_err,
     }])
+
+
+def _token_budget_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source token budget (docs, whitespace tokens, chars) — the
+    number every mixture/selection decision starts from. Pre-aggregated
+    per batch; the groupby folds one tiny row per (batch, source)."""
+    from dataprof_ray.pipelines.aggregate import preagg_groupby
+    from dataprof_ray.pipelines.textstats import token_count
+
+    def stage(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = np.fromiter(
+            (token_count(t) for t in b.column("text").to_pylist()),
+            dtype=np.int64, count=b.num_rows)
+        return pa.table({
+            "source": b.column("source"),
+            "n_tokens": pa.array(toks, pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"]) \
+        .map_batches(stage, batch_format="pyarrow")
+    return preagg_groupby(ds, ["source"], [
+        ("n_docs", None, "count"),
+        ("sum_tokens", "n_tokens", "sum"),
+        ("sum_chars", "n_chars", "sum"),
+    ])
 
 
 def _ppl_buckets_documents(sf_dir: str):
@@ -1853,6 +1882,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ROW_NUMBER() OVER (PARTITION BY SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) "
             "ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos "
             "FROM documents"
+        ),
+        "token_budget_by_source": (
+            "SELECT source, COUNT(*) AS n_docs, "
+            "SUM(CASE WHEN TRIM(text, ' \t\n\r') = '' THEN 0 "
+            "ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text, ' \t\n\r'), '\\s+')) END"
+            ") AS sum_tokens, "
+            "SUM(LENGTH(text)) AS sum_chars "
+            "FROM documents GROUP BY source"
         ),
         "pack_sequences_documents": (
             "WITH toks AS (SELECT doc_id, doc_id % 8 AS part, "
