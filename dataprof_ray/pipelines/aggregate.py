@@ -232,19 +232,12 @@ def pivot_counts(
     return out
 
 
-def approx_quantiles(
-    ds,
-    col: str,
-    qs: Sequence[float] = (0.01, 0.25, 0.5, 0.75, 0.99),
-    k: int = 512,
-) -> pd.DataFrame:
-    """Approximate quantiles of a column at bounded memory: every batch
-    builds a ``state.quantile_sketch.QuantileSketch`` (<= k weighted
-    points), the driver folds the small per-block sketches, and each
-    requested quantile interpolates the merged CDF. Unlike the exact
-    ``group_quantiles`` this never co-locates the column — the reduction
-    moves k x blocks points no matter the input size (rank error O(d/k)
-    for merge depth d; the companion audit query measures it)."""
+def sketch_from_column(ds, col: str, k: int = 512):
+    """Fold a column into one mergeable ``QuantileSketch``: every BLOCK
+    (``batch_size=None`` — a per-default-batch partial would never
+    compress when k exceeds the batch size) emits a <= k-point partial;
+    the driver folds them. The reduction moves k x blocks points no
+    matter the input size (rank error O(d/k) for merge depth d)."""
     from dataprof_ray.state.quantile_sketch import QuantileSketch
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
@@ -257,11 +250,25 @@ def approx_quantiles(
 
     merged = QuantileSketch(k)
     for part in (ds.select_columns([col])
-                 .map_batches(sketch_batch, batch_format="pyarrow")
+                 .map_batches(sketch_batch, batch_format="pyarrow",
+                              batch_size=None)
                  .iter_batches(batch_format="pyarrow", batch_size=None)):
         merged.merge(QuantileSketch(
             k, part.column("v").to_numpy(zero_copy_only=False),
             part.column("w").to_numpy(zero_copy_only=False)))
+    return merged
+
+
+def approx_quantiles(
+    ds,
+    col: str,
+    qs: Sequence[float] = (0.01, 0.25, 0.5, 0.75, 0.99),
+    k: int = 512,
+) -> pd.DataFrame:
+    """Approximate quantiles of a column at bounded memory via
+    :func:`sketch_from_column`; each requested quantile interpolates the
+    merged CDF (the companion audit query measures the rank error)."""
+    merged = sketch_from_column(ds, col, k)
     return pd.DataFrame({
         "q": list(qs),
         "value": [merged.quantile(q) for q in qs],

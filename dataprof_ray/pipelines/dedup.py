@@ -1549,8 +1549,6 @@ def neardup_flags_vs_prior(new_ds, prior_ds, text_col: str = "text",
     Returns a Dataset of (id, n_band_hits, flagged)."""
     import ray
 
-    from dataprof_ray.state.bloom import BloomFilter
-
     from dataprof_ray.state.bloom import bloom_from_u64_batches
 
     prior_sigs = _band_rows_ds(prior_ds.select_columns([id_col, text_col]),

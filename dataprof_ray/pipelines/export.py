@@ -58,8 +58,8 @@ def export_splits(ds, out_dir: str, id_col: str = "doc_id",
 
 
 def export_shuffled(ds, out_dir: str, id_col: str = "doc_id",
-                    hex_digits: int = 1, mode: str = "overwrite",
-                    **write_kwargs):
+                    hex_digits: int = 1, partitions: int = None,
+                    mode: str = "overwrite", **write_kwargs):
     """Write the corpus in deterministic shuffled training order:
     ``out_dir/shard=K/...`` with a ``pos`` column giving each row's rank
     within its shard under md5-key order (`sampling.global_shuffle`'s
@@ -74,10 +74,12 @@ def export_shuffled(ds, out_dir: str, id_col: str = "doc_id",
     shuffle); everything upstream of it shuffles only ids/hashes. The
     (shard, pos) assignment comes from the same `sampling.shuffle_rank`
     engine as `global_shuffle` (structurally, not by convention), whose
-    hierarchical subshard offsets bound every sort task to
-    corpus / 16^4 rows even with full rows riding along."""
+    hierarchical subshard offsets + coarse rank partitions bound every
+    sort task to corpus / ``partitions`` rows even with full rows riding
+    along (raise ``partitions`` with the cluster)."""
     from dataprof_ray.pipelines.sampling import shuffle_rank
 
-    ordered = shuffle_rank(ds, id_col=id_col, hex_digits=hex_digits)
+    ordered = shuffle_rank(ds, id_col=id_col, hex_digits=hex_digits,
+                           partitions=partitions)
     return export_partitioned(ordered, out_dir, by="shard", mode=mode,
                               **write_kwargs)

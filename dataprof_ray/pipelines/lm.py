@@ -160,28 +160,13 @@ def perplexity_buckets(ds, lm=None, buckets: int = 3,
     error O(depth/k) — the pytest pin allows the documented tolerance)."""
     import ray
 
-    from dataprof_ray.state.quantile_sketch import QuantileSketch
+    from dataprof_ray.pipelines.aggregate import sketch_from_column
 
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     scored = corpus_perplexity(ds, lm, text_col=text_col,
                                id_col=id_col).materialize()
-
-    def sketch_batch(batch: pa.Table) -> pa.Table:
-        sk = QuantileSketch(sketch_k).update_array(
-            batch.column("corpus_ppl").to_numpy(zero_copy_only=False))
-        return pa.table({
-            "v": pa.array(sk.values, pa.float64()),
-            "w": pa.array(sk.weights, pa.float64()),
-        })
-
-    merged = QuantileSketch(sketch_k)
-    for part in (scored.select_columns(["corpus_ppl"])
-                 .map_batches(sketch_batch, batch_format="pyarrow")
-                 .iter_batches(batch_format="pyarrow", batch_size=None)):
-        merged.merge(QuantileSketch(
-            sketch_k, part.column("v").to_numpy(zero_copy_only=False),
-            part.column("w").to_numpy(zero_copy_only=False)))
+    merged = sketch_from_column(scored, "corpus_ppl", sketch_k)
     cuts = np.array([merged.quantile(i / buckets)
                      for i in range(1, buckets)], dtype=np.float64)
     cuts_ref = ray.put(cuts)

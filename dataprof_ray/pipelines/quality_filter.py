@@ -412,23 +412,31 @@ def url_features(ds, url_col: str = "url", id_col: str = "doc_id"):
 def canonicalize_url(url: str) -> str:
     """Canonical URL form for duplicate detection (standard web-curation
     normalizations; e.g. the URL-dedup pass crawlers run before fetching):
-    lowercase scheme + host, strip the fragment, drop default ports
-    (80/443), drop a ``www.`` prefix, strip known tracking query params
+    fold http into https (one page), lowercase host, strip the fragment,
+    drop default ports (80/443, judged under the ORIGINAL scheme), drop a
+    ``www.`` prefix, strip known tracking query params
     (utm_*, fbclid, gclid), sort the remaining query params, and drop a
     trailing slash on non-root paths. Pure function — safe to hash."""
     from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
 
     try:
         parts = urlsplit((url or "").strip())
+        port = parts.port  # raises ValueError on malformed ports too
     except ValueError:
+        # malformed URL: canonicalization must be TOTAL over crawl junk —
+        # return the trimmed original rather than killing the task
         return (url or "").strip()
     scheme = parts.scheme.lower()
     host = (parts.hostname or "").lower()
     if host.startswith("www."):
         host = host[4:]
-    port = parts.port
+    if ":" in host:  # IPv6 literals keep their brackets
+        host = f"[{host}]"
     if port and not ((scheme, port) in (("http", 80), ("https", 443))):
         host = f"{host}:{port}"
+    if scheme == "http":
+        scheme = "https"  # standard crawl canonicalization: the
+        # http/https pair is one page (default ports drop FIRST, above)
     q = [(k, v) for k, v in parse_qsl(parts.query, keep_blank_values=True)
          if not (k.startswith("utm_") or k in ("fbclid", "gclid"))]
     query = urlencode(sorted(q))

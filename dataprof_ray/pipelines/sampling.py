@@ -522,7 +522,9 @@ def shuffle_rank(ds, id_col: str = "doc_id", hex_digits: int = 1,
     # subshard offsets still make every sub independent, so a task only
     # needs ITS rows: task memory = corpus / partitions — raise
     # ``partitions`` with the cluster, the offsets table doesn't change.
-    rank_parts = partitions or DEFAULT_PARTITIONS
+    if partitions is not None and partitions < 1:
+        raise ValueError(f"partitions must be >= 1, got {partitions}")
+    rank_parts = partitions if partitions is not None else DEFAULT_PARTITIONS
 
     def add_rpart(batch: pa.Table) -> pa.Table:
         sub = batch.column("__sub").to_numpy(zero_copy_only=False)
@@ -547,7 +549,8 @@ def shuffle_rank(ds, id_col: str = "doc_id", hex_digits: int = 1,
             .map_groups(arrow_out(rank), batch_format="pandas"))
 
 
-def global_shuffle(ds, id_col: str = "doc_id", hex_digits: int = 1):
+def global_shuffle(ds, id_col: str = "doc_id", hex_digits: int = 1,
+                   partitions: int = None):
     """Deterministic global shuffle for training order: every row gets a
     stable pseudo-random position as (shard, pos) where shard is the
     first ``hex_digits`` of ``md5(str(id))`` (16^hex_digits shards) and
@@ -561,7 +564,8 @@ def global_shuffle(ds, id_col: str = "doc_id", hex_digits: int = 1):
     via hierarchical subshard offsets. Texts never move — export joins
     the (shard, pos) assignment back or writes with
     ``export.export_shuffled``."""
-    return shuffle_rank(ds.select_columns([id_col]), id_col, hex_digits)
+    return shuffle_rank(ds.select_columns([id_col]), id_col, hex_digits,
+                        partitions=partitions)
 
 
 def temperature_mixture_rates(ds, source_col: str = "source",

@@ -128,11 +128,17 @@ class ImageResizeStage:
         if self.pil is not None:
             import io
 
-            with self.pil.open(io.BytesIO(payload)) as im:
-                im.thumbnail((self.target, self.target))
-                buf = io.BytesIO()
-                im.save(buf, format="PNG")
-                return buf.getvalue()
+            try:
+                with self.pil.open(io.BytesIO(payload)) as im:
+                    im.thumbnail((self.target, self.target))
+                    buf = io.BytesIO()
+                    im.save(buf, format="PNG")
+                    return buf.getvalue()
+            except Exception:
+                # corrupt/undecodable payload: fall through to the
+                # deterministic stub rather than killing the task — one
+                # truncated image must not fail a corpus-scale resize
+                pass
         # deterministic stub: expanded digest sized ~ target^2 * 0.3
         # (a plausible compressed-thumbnail byte count)
         seed = hashlib.blake2b(payload or b"", digest_size=32).digest()
@@ -228,10 +234,12 @@ def extract_image_features(ds, concurrency=(1, 4), batch_size: int = DEFAULT_MED
                           batch_size=batch_size, concurrency=concurrency)
 
 
-def resize_images(ds, target: int = 224, concurrency=(1, 4),
+def resize_images(ds, target: int = 224, strict: bool = False,
+                  concurrency=(1, 4),
                   batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
     """Resize via an actor pool; small batches — payloads are large."""
-    return ds.map_batches(ImageResizeStage, fn_constructor_args=(target,),
+    return ds.map_batches(ImageResizeStage,
+                          fn_constructor_args=(target, strict),
                           batch_format="pyarrow", concurrency=concurrency,
                           batch_size=batch_size)
 

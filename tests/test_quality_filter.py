@@ -215,9 +215,14 @@ class TestUrlDedup:
         assert forms == {"https://example.com/page?id=3"}
         # distinct pages stay distinct
         assert canonicalize_url("https://example.com/page?id=4") not in forms
-        # non-default port and param order preserved semantically
+        # non-default port and param order preserved; http folds to https
         assert canonicalize_url("http://a.com:8080/x?b=2&a=1") == \
-            "http://a.com:8080/x?a=1&b=2"
+            "https://a.com:8080/x?a=1&b=2"
+        # scheme variants of one page collapse; malformed input is total
+        assert canonicalize_url("http://a.com/x") == \
+            canonicalize_url("https://a.com/x")
+        assert canonicalize_url("https://e.com:99x/p") == "https://e.com:99x/p"
+        assert canonicalize_url("https://[::1]:8080/x") == "https://[::1]:8080/x"
 
     def test_url_dedup_keeps_smallest_id(self, ray_session):
         import pyarrow as pa
