@@ -24,8 +24,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from dataprof_ray.pipelines.partitioning import arrow_out
-
 
 def broadcast_lookup(small_ds_or_table, key: str, columns: Sequence[str]) -> dict:
     """Materialize the small side to {key -> tuple(columns)} (driver-side;
@@ -162,6 +160,31 @@ def _nullable_mapper(t: pa.DataType):
 
     name = _NULLABLE_DTYPES.get(str(t))
     return pd.api.types.pandas_dtype(name) if name else None
+
+
+def _typed_null_fill(frame, carry_right, rename_right, right_types):
+    """Null-fill the carried right-side columns of ``frame`` with TYPED
+    nulls matching what a matched partition emits under the nullable-dtype
+    cogroup: pandas nullable Int64/boolean for ints/bools (so int columns
+    are never laundered to float64 — see ``hash_join``'s docstring),
+    datetime64[unit] NaT for temporals, NaN for floats, None otherwise.
+    Matched and unmatched partitions then emit ONE consistent block schema."""
+    frame = frame.copy()
+    for c in carry_right:
+        t = right_types[c]
+        nullable = _NULLABLE_DTYPES.get(str(t))
+        if pa.types.is_timestamp(t):
+            dt, fill = np.dtype(f"datetime64[{t.unit}]"), pd.NaT
+        elif pa.types.is_temporal(t):
+            dt, fill = np.dtype("datetime64[s]"), pd.NaT
+        elif nullable is not None:
+            dt, fill = pd.api.types.pandas_dtype(nullable), pd.NA
+        elif pa.types.is_floating(t):
+            dt, fill = np.dtype("float64"), np.nan
+        else:
+            dt, fill = np.dtype("object"), None
+        frame[rename_right[c]] = pd.Series(fill, index=frame.index, dtype=dt)
+    return frame
 
 
 def _salt_parts(table: pa.Table, key_col: str, hot_values: pa.Array,
@@ -414,26 +437,7 @@ def asof_join(
     )
 
     def _null_fill(frame: pd.DataFrame) -> pd.DataFrame:
-        # typed nulls matching what merge_asof would produce, so matched
-        # and unmatched partitions emit ONE consistent block schema
-        # (scalar pd.NaT / None gave datetime64[ns] / object blocks that
-        # disagreed with the merged partitions' [us] / float64)
-        frame = frame.copy()
-        for c in carry_right:
-            t = right_types[c]
-            if pa.types.is_timestamp(t):
-                dt = np.dtype(f"datetime64[{t.unit}]")
-            elif pa.types.is_temporal(t):
-                dt = np.dtype("datetime64[s]")
-            elif pa.types.is_integer(t) or pa.types.is_floating(t):
-                dt = np.dtype("float64")  # pandas nullable promotion
-            else:
-                dt = np.dtype("object")
-            frame[rename_right[c]] = pd.Series(
-                pd.NaT if dt.kind == "M" else
-                (np.nan if dt.kind == "f" else None),
-                index=frame.index, dtype=dt)
-        return frame
+        return _typed_null_fill(frame, carry_right, rename_right, right_types)
 
     # deterministic tie-break: equal right timestamps within a key are
     # ordered by the carried payload columns (stable sort), so repeated
@@ -441,7 +445,12 @@ def asof_join(
     r_sort_cols_extra = [rename_right[c] for c in carry_right
                          if c != right_ts]
 
-    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+    def cogroup(tbl: pa.Table) -> pa.Table:
+        # to_pandas HERE with nullable dtypes (not batch_format="pandas"):
+        # Ray's own Arrow->pandas conversion promotes the null-padded int
+        # columns of the tagged union to float64 before the UDF ever runs,
+        # laundering int64 outputs to float64 (same fix as hash_join).
+        df = tbl.to_pandas(types_mapper=_nullable_mapper)
         part = int(df["__part"].iloc[0])
         ldf = df[df["__side"] == 0][left_cols]
         rdf = df[df["__side"] == 1]
@@ -462,11 +471,14 @@ def asof_join(
         if len(passthrough):
             merged = pd.concat([merged, _null_fill(passthrough)],
                                ignore_index=True)
-        return merged[out_cols]
+        # nullable Int64 -> int64-with-nulls on the way back to Arrow;
+        # strip pandas schema metadata (see partitioning.arrow_out)
+        return pa.Table.from_pandas(
+            merged[out_cols], preserve_index=False).replace_schema_metadata(None)
 
     return (
         tagged.groupby("__part")
-        .map_groups(arrow_out(cogroup), batch_format="pandas")
+        .map_groups(cogroup, batch_format="pyarrow")
     )
 
 
@@ -553,24 +565,14 @@ def interval_join(
     rts_out = rename_right[right_ts]
 
     def _null_fill(frame: pd.DataFrame) -> pd.DataFrame:
-        frame = frame.copy()
-        for c in carry_right:
-            t = right_types[c]
-            if pa.types.is_timestamp(t):
-                dt = np.dtype(f"datetime64[{t.unit}]")
-            elif pa.types.is_temporal(t):
-                dt = np.dtype("datetime64[s]")
-            elif pa.types.is_integer(t) or pa.types.is_floating(t):
-                dt = np.dtype("float64")
-            else:
-                dt = np.dtype("object")
-            frame[rename_right[c]] = pd.Series(
-                pd.NaT if dt.kind == "M" else
-                (np.nan if dt.kind == "f" else None),
-                index=frame.index, dtype=dt)
-        return frame
+        return _typed_null_fill(frame, carry_right, rename_right, right_types)
 
-    def cogroup(df: pd.DataFrame) -> pd.DataFrame:
+    def cogroup(tbl: pa.Table) -> pa.Table:
+        # to_pandas HERE with nullable dtypes (not batch_format="pandas"):
+        # Ray's own Arrow->pandas conversion promotes the null-padded int
+        # columns of the tagged union to float64 before the UDF ever runs,
+        # laundering int64 outputs to float64 (same fix as hash_join).
+        df = tbl.to_pandas(types_mapper=_nullable_mapper)
         part = int(df["__part"].iloc[0])
         ldf = df[df["__side"] == 0][left_cols]
         rdf = df[df["__side"] == 1]
@@ -617,13 +619,16 @@ def interval_join(
             pieces.append(_null_fill(matchable))
         if how == "left" and len(passthrough):
             pieces.append(_null_fill(passthrough))
-        if not pieces:
-            return _null_fill(ldf.iloc[0:0])[out_cols]
-        return pd.concat(pieces, ignore_index=True)[out_cols]
+        out = _null_fill(ldf.iloc[0:0]) if not pieces else \
+            pd.concat(pieces, ignore_index=True)
+        # nullable Int64 -> int64-with-nulls on the way back to Arrow;
+        # strip pandas schema metadata (see partitioning.arrow_out)
+        return pa.Table.from_pandas(
+            out[out_cols], preserve_index=False).replace_schema_metadata(None)
 
     return (
         tagged.groupby("__part")
-        .map_groups(arrow_out(cogroup), batch_format="pandas")
+        .map_groups(cogroup, batch_format="pyarrow")
     )
 
 

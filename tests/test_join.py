@@ -380,3 +380,73 @@ def test_semi_anti_join_cross_typed_keys(ray_session):
     out = semi_anti_join(rd.from_arrow(big), small, big_key="k",
                          small_key="sk", how="semi").to_pandas()
     assert out["k"].tolist() == [2]
+
+
+def _arrow_result(ds):
+    """Collect a Dataset as ONE Arrow table (Dataset.to_pandas would
+    re-launder int64-with-nulls to float64, hiding the dtype under test)."""
+    tables = [t for t in ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)]
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def test_interval_join_left_preserves_int_dtypes(ray_session):
+    """VERDICT r3 #1: ``how="left"`` null-fills right columns — carried
+    int64 columns (and >2^53 values) must survive as int64-with-nulls,
+    not launder to float64 through the pandas cogroup."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import interval_join
+
+    big = (1 << 60) + 7  # would corrupt silently in float64
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array([100, 200, 300], pa.int64()).cast(pa.timestamp("us")),
+        "lid": pa.array([big, 11, 12], pa.int64()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "t": pa.array([120], pa.int64()).cast(pa.timestamp("us")),
+        "rid": pa.array([big + 1], pa.int64()),
+        "flag": pa.array([True], pa.bool_()),
+    })).repartition(2)
+    out = _arrow_result(interval_join(
+        left, right, key="k", left_ts="t", right_ts="t",
+        lower="-0.00005s", upper="0.00005s", how="left", partitions=4))
+    assert out.schema.field("lid").type == pa.int64()
+    assert out.schema.field("rid").type == pa.int64()
+    assert out.schema.field("flag").type == pa.bool_()
+    # plain to_pandas would itself launder int64-with-nulls -> float64
+    from dataprof_ray.pipelines.join import _nullable_mapper
+    df = out.to_pandas(types_mapper=_nullable_mapper)
+    # matched row carries exact big ints; unmatched rows have true nulls
+    assert df[df["lid"] == big]["rid"].tolist() == [big + 1]
+    assert df["rid"].isna().sum() == 2
+
+
+def test_asof_join_preserves_int_dtypes(ray_session):
+    """Same guarantee for asof_join: carried ints stay int64 when some
+    left rows null-fill (no match / NULL key)."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import asof_join
+
+    big = (1 << 60) + 3
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, None], pa.int64()),
+        "t": pa.array([100, 100, 100], pa.int64()).cast(pa.timestamp("us")),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "t": pa.array([50], pa.int64()).cast(pa.timestamp("us")),
+        "x": pa.array([big], pa.int64()),
+        "b": pa.array([False], pa.bool_()),
+    })).repartition(2)
+    out = _arrow_result(asof_join(
+        left, right, key="k", left_ts="t", right_ts="t", partitions=4))
+    assert out.schema.field("x").type == pa.int64()
+    assert out.schema.field("b").type == pa.bool_()
+    from dataprof_ray.pipelines.join import _nullable_mapper
+    df = out.to_pandas(types_mapper=_nullable_mapper)
+    assert sorted(df["x"].dropna().astype("int64").tolist()) == [big]
+    assert df["x"].isna().sum() == 2  # k=2 no match + NULL key
