@@ -601,6 +601,49 @@ def _approx_quantiles_audit(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _approx_quantile_rank_check(sf_dir: str) -> pd.DataFrame:
+    """Oracle-anchored sketch check (VERDICT r3 #7): each k=512 sketch
+    quantile of l_extendedprice must land within eps=0.02 of its requested
+    rank (analytic bound is O(merge_depth/k); the self-measuring companion
+    ``approx_quantiles_audit`` reports the achieved error, this one lets
+    the DRIVER fail the sketch). The achieved rank is measured
+    distributedly — per-batch counts of values below / at-or-below each
+    sketch value, pre-aggregated — so only the 3 sketch values and 3 count
+    rows ever reach the driver. The oracle pins within_bound TRUE per
+    quantile, so a sketch regression hash-mismatches."""
+    from dataprof_ray.pipelines.aggregate import (approx_quantiles,
+                                                  preagg_groupby)
+
+    qs = [0.25, 0.5, 0.75]
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    approx = approx_quantiles(ds, "l_extendedprice", qs=qs, k=512)
+    vals = np.asarray(approx["value"], dtype=np.float64)
+    qarr = np.asarray(qs, dtype=np.float64)
+
+    def counts(b: pa.Table) -> pa.Table:
+        x = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x)]
+        return pa.table({
+            "q": pa.array(qarr, pa.float64()),
+            "n_lt": pa.array([int((x < v).sum()) for v in vals], pa.int64()),
+            "n_le": pa.array([int((x <= v).sum()) for v in vals], pa.int64()),
+            "n": pa.array([len(x)] * len(qs), pa.int64()),
+        })
+
+    agg = preagg_groupby(
+        ds.map_batches(counts, batch_format="pyarrow"), ["q"],
+        [("n_lt", "n_lt", "sum"), ("n_le", "n_le", "sum"), ("n", "n", "sum")],
+    ).sort_values("q").reset_index(drop=True)
+    eps = 0.02
+    n = np.maximum(agg["n"].to_numpy(), 1)
+    # the sketch value's true rank is anywhere in [n_lt/n, n_le/n] (ties);
+    # the requested rank must fall in that interval widened by eps
+    lo = agg["n_lt"].to_numpy() / n - eps
+    hi = agg["n_le"].to_numpy() / n + eps
+    within = (qarr >= lo) & (qarr <= hi)
+    return pd.DataFrame({"q": qarr, "within_bound": within.astype(bool)})
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1254,6 +1297,8 @@ def _profile_report_documents(sf_dir: str) -> pd.DataFrame:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+
+        # oracle-backed (driver hash-checks its window against oracle_sql):
         "q1_pricing": _q1_pricing,
         "profile_numeric_lineitem": _profile_numeric_lineitem,
         "null_stats_events": _null_stats_events,
@@ -1266,7 +1311,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_classes_documents": _char_classes_documents,
         "dedup_exact_documents": _dedup_exact_documents,
         "incremental_dedup_documents": _incremental_dedup_documents,
-        "substring_dedup_documents": _substring_dedup_documents,
         "fingerprint_md5": _fingerprint_md5,
         "topk_cosine": _topk_cosine,
         "stratified_customer": _stratified_customer,
@@ -1284,7 +1328,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_type_pivot": _weekday_type_pivot,
         "top3_orders_per_priority": _top3_orders_per_priority,
         "running_user_totals": _running_user_totals,
-        "approx_quantiles_audit": _approx_quantiles_audit,
         "weekday_orders": _weekday_orders,
         "row_duplicates_documents": _row_duplicates_documents,
         "sales_by_segment": _sales_by_segment,
@@ -1296,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_price_bins": _drift_price_bins,
         "parts_by_brand": _parts_by_brand,
         "quantiles_lineitem": _quantiles_lineitem,
+        "approx_quantile_rank_check": _approx_quantile_rank_check,
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
         "doc_frequency_documents": _doc_frequency_documents,
@@ -1304,7 +1348,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_stats_documents": _c4_line_stats_documents,
         "tfidf_top_terms_documents": _tfidf_top_terms_documents,
         "url_features_documents": _url_features_documents,
-        "url_dedup_documents": _url_dedup_documents,
         "key_skew_orders": _key_skew_orders,
         "normalize_text_documents": _normalize_text_documents,
         "source_mixture_documents": _source_mixture_documents,
@@ -1317,7 +1360,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_documents": _doc_quality_documents,
         "embedding_stats": _embedding_stats,
         "langid_documents": _langid_documents,
-        # rows-only (no oracle_sql entry):
+        "token_budget_by_source": _token_budget_by_source,
+        "pack_sequences_documents": _pack_sequences_documents,
+        "global_shuffle_documents": _global_shuffle_documents,
+        "temperature_mixture_documents": _temperature_mixture_documents,
+        # rows-only (no oracle_sql entry; each golden-pinned or
+        # self-auditing in pytest — see COVERAGE.md):
+        "substring_dedup_documents": _substring_dedup_documents,
+        "approx_quantiles_audit": _approx_quantiles_audit,
+        "url_dedup_documents": _url_dedup_documents,
         "quality_filter_documents": _quality_filter_documents,
         "minhash_duplicate_groups": _minhash_duplicate_groups,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
@@ -1332,7 +1383,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _image_features,
         "approx_distinct_lineitem": _approx_distinct_lineitem,
         "corpus_ppl_documents": _corpus_ppl_documents,
-        "token_budget_by_source": _token_budget_by_source,
         "ppl_buckets_documents": _ppl_buckets_documents,
         "curated_split_counts": _curated_split_counts,
         "quantization_audit": _quantization_audit,
@@ -1341,9 +1391,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": _semantic_dedup_embeddings,
         "pca_audit_embeddings": _pca_audit_embeddings,
         "contamination_bloom_audit": _contamination_bloom_audit,
-        "pack_sequences_documents": _pack_sequences_documents,
-        "global_shuffle_documents": _global_shuffle_documents,
-        "temperature_mixture_documents": _temperature_mixture_documents,
         "quality_classifier_audit": _quality_classifier_audit,
         "compression_ratio_documents": _compression_ratio_documents,
         "neardup_vs_prior_audit": _neardup_vs_prior_audit,
@@ -2142,6 +2189,15 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(QUANTILE_CONT(l_quantity, 0.50), 4) AS q50, "
             "ROUND(QUANTILE_CONT(l_quantity, 0.75), 4) AS q75 "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        # the Ray side MEASURES the sketch's achieved rank distributedly
+        # and reports whether it sits inside the eps=0.02 analytic bound;
+        # the oracle pins the expected verdict, so any sketch regression
+        # hash-mismatches (the self-measuring twin is approx_quantiles_audit)
+        "approx_quantile_rank_check": (
+            "SELECT CAST(q AS DOUBLE) AS q, within_bound "
+            "FROM (VALUES (0.25, TRUE), (0.5, TRUE), (0.75, TRUE)) "
+            "t(q, within_bound) ORDER BY q"
         ),
         "top_terms_documents": (
             "SELECT term, COUNT(*) AS term_count FROM ("
