@@ -117,8 +117,9 @@ def contamination_check(
     :class:`~dataprof_ray.state.bloom.BloomFilter` from
     :func:`benchmark_ngram_bloom` (huge suites; no false negatives, so any
     divergence from exact is over-flagging). Shipped via ``ray.put`` once
-    and resolved per task (zero-copy object-store read, not per-batch
-    reserialization)."""
+    and deserialized once per WORKER process (textstats._broadcast_cached),
+    not per batch — a GB-size Bloom would otherwise re-deserialize on
+    every batch."""
     import ray
 
     from dataprof_ray.pipelines.aggregate import round_away
@@ -131,8 +132,10 @@ def contamination_check(
     def scan(batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        from dataprof_ray.pipelines.textstats import _broadcast_cached
+
         total, hit, frac = _contam_stats(
-            ray.get(bench_ref), is_bloom,
+            _broadcast_cached(bench_ref), is_bloom,
             batch.column(text_col).to_pylist(), n)
         return pa.table({
             id_col: batch.column(id_col),
@@ -187,7 +190,8 @@ def decontaminate(ds, benchmark, n: int = 8, max_frac: float = 0.0,
     """Streaming decontamination FILTER (the composable form of
     :func:`contamination_check`): drop every document whose contaminated
     n-gram fraction exceeds ``max_frac`` (0.0 = drop on any overlap). All
-    columns ride through; no shuffle, one broadcast. With a Bloom-filter
+    columns ride through; no shuffle, one broadcast deserialized once per
+    worker (textstats._broadcast_cached). With a Bloom-filter
     benchmark, over-dropping is bounded by the fp rate and under-dropping
     is impossible."""
     import ray
@@ -200,8 +204,10 @@ def decontaminate(ds, benchmark, n: int = 8, max_frac: float = 0.0,
     def keep(batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        from dataprof_ray.pipelines.textstats import _broadcast_cached
+
         _, _, frac = _contam_stats(
-            ray.get(bench_ref), is_bloom,
+            _broadcast_cached(bench_ref), is_bloom,
             batch.column(text_col).to_pylist(), n)
         return batch.filter(pa.array(np.asarray(frac) <= max_frac))
 

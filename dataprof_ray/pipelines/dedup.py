@@ -1588,25 +1588,54 @@ def neardup_flags_vs_prior(new_ds, prior_ds, text_col: str = "text",
             .map_groups(arrow_out(finish), batch_format="pandas"))
 
 
+def _scrub_doc_tokens(text: str, remove_js: np.ndarray, n: int):
+    """Rebuild one document with every token covered by a removal span
+    masked out. ``remove_js`` are n-gram START positions (token index);
+    each blanks ``n`` tokens. Returns (text, n_tokens, n_removed) under
+    the `_wordgram_hashes` token contract (lowercase, ``\\s+`` split)."""
+    toks = re.split(r"\s+", (text or "").lower().strip())
+    if toks == [""]:
+        toks = []
+    keep = np.ones(len(toks), dtype=bool)
+    for j in remove_js:
+        keep[j: j + n] = False
+    kept = [w for w, k in zip(toks, keep) if k]
+    return " ".join(kept), len(toks), len(toks) - len(kept)
+
+
 def remove_duplicate_spans(ds, n: int = 13, id_col: str = "doc_id",
-                           text_col: str = "text"):
+                           text_col: str = "text",
+                           broadcast_limit: int = 2_000_000,
+                           fp_rate: float = 1e-3):
     """Cross-document exact SUBSTRING removal (the action behind
     :func:`duplicate_span_stats`; Lee et al. 2022 semantics adapted to a
     canonical-owner rule): every word n-gram that occurs in >= 2 documents
     keeps its tokens only in the document with the SMALLEST doc_id that
     contains it; every other document drops the tokens covered by that
-    span. Deterministic pure function of the corpus; output text is
-    whitespace-normalized, lowercase (the gram/token contract of
-    `_wordgram_hashes` — byte-faithful reconstruction is not a goal of a
-    span-scrub stage).
+    span. Deterministic pure function of the corpus (both tiers emit the
+    same rows); output text is whitespace-normalized, lowercase (the
+    gram/token contract of `_wordgram_hashes` — byte-faithful
+    reconstruction is not a goal of a span-scrub stage). Doc ids must be
+    int64 (owner arithmetic).
 
-    Scale design, mirroring duplicate_span_stats: pass 1 ships (8-byte
-    gram hash, 8-byte doc id) pairs into 64 coarse partitions and reduces
-    to (dup gram -> min doc id); the broadcast is two aligned arrays
-    bounded by the CROSS-DOC duplicated vocabulary (swap for a gram-hash
-    semi-join when that outgrows a worker). Pass 2 re-streams the corpus,
-    masks covered token positions whose gram owner is another document,
-    and rewrites the text — no shuffle."""
+    Scale design, TWO TIERS picked by the measured dup-vocabulary size
+    (pass 1 is shared: ship (8-byte gram hash, 8-byte doc id) pairs into
+    64 coarse partitions, reduce to a distributed (dup gram -> min doc
+    id) table, count it):
+
+    - ``<= broadcast_limit`` dup grams (32 MB of aligned arrays at the
+      2M default): broadcast the (hash, owner) arrays once and rewrite
+      shuffle-free — each batch masks its own positions via searchsorted.
+    - above the limit (the 100 TB crawl regime, where the >= 2-doc 13-gram
+      set reaches 10^9+ entries): NO O(dup-grams) broadcast. A Bloom
+      filter of the dup hashes (~1.7 bytes/gram at fp 1e-3) broadcasts
+      instead; each doc emits (hash, doc, position) rows ONLY for Bloom
+      hits, which cogroup with the partitioned dup table on the gram-hash
+      bucket (exact verify — Bloom false positives just fail the lookup,
+      never remove a span); surviving (doc, position) removals then
+      cogroup with the corpus on the doc-id bucket for the rewrite. Costs
+      one all-to-all of the text instead of the broadcast; candidate
+      traffic is O(true dup positions + fp_rate x grams)."""
     import ray
 
     parts = _EDGE_PARTITIONS
@@ -1635,11 +1664,25 @@ def remove_duplicate_spans(ds, n: int = 13, id_col: str = "doc_id",
             "owner": g["min"].to_numpy(dtype=np.int64),
         })
 
-    dup = (ds.select_columns([id_col, text_col])
-           .map_batches(gram_doc_pairs, batch_format="pyarrow")
-           .groupby("__part")
-           .map_groups(arrow_out(dup_owners), batch_format="pandas")
-           .to_pandas())
+    dup_ds = (ds.select_columns([id_col, text_col])
+              .map_batches(gram_doc_pairs, batch_format="pyarrow")
+              .groupby("__part")
+              .map_groups(arrow_out(dup_owners), batch_format="pandas")
+              .materialize())
+    n_dup = dup_ds.count()
+
+    if n_dup <= broadcast_limit:
+        return _remove_spans_broadcast(ds, dup_ds, n, id_col, text_col)
+    return _remove_spans_partitioned(ds, dup_ds, n_dup, n, id_col,
+                                     text_col, parts, fp_rate)
+
+
+def _remove_spans_broadcast(ds, dup_ds, n, id_col, text_col):
+    """Small-dup-vocab tier: broadcast (hash, owner) arrays, rewrite with
+    zero shuffles (each batch resolves its own gram positions)."""
+    import ray
+
+    dup = dup_ds.to_pandas()
     if "h" in dup.columns and len(dup):
         order = np.argsort(dup["h"].to_numpy().astype(np.uint64))
         dup_h = dup["h"].to_numpy().astype(np.uint64)[order]
@@ -1650,25 +1693,24 @@ def remove_duplicate_spans(ds, n: int = 13, id_col: str = "doc_id",
     dup_ref = ray.put((dup_h, dup_owner))
 
     def scrub(batch: pa.Table) -> pa.Table:
-        h_arr, owner_arr = ray.get(dup_ref)
+        from dataprof_ray.pipelines.textstats import _broadcast_cached
+
+        h_arr, owner_arr = _broadcast_cached(dup_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         out_text, n_tok, n_removed = [], [], []
         for i, t in zip(ids, batch.column(text_col).to_pylist()):
-            toks = re.split(r"\s+", (t or "").lower().strip())
-            if toks == [""]:
-                toks = []
             hs = _wordgram_hashes(t, n)
-            keep = np.ones(len(toks), dtype=bool)
             if len(hs) and len(h_arr):
                 pos = np.searchsorted(h_arr, hs)
                 pos[pos == len(h_arr)] = 0
                 isdup = (h_arr[pos] == hs) & (owner_arr[pos] != i)
-                for j in np.flatnonzero(isdup):
-                    keep[j: j + n] = False
-            kept = [w for w, k in zip(toks, keep) if k]
-            out_text.append(" ".join(kept))
-            n_tok.append(len(toks))
-            n_removed.append(len(toks) - len(kept))
+                js = np.flatnonzero(isdup)
+            else:
+                js = np.empty(0, dtype=np.int64)
+            txt, nt, nr = _scrub_doc_tokens(t, js, n)
+            out_text.append(txt)
+            n_tok.append(nt)
+            n_removed.append(nr)
         return pa.table({
             id_col: batch.column(id_col),
             "text": pa.array(out_text, pa.string()),
@@ -1678,6 +1720,138 @@ def remove_duplicate_spans(ds, n: int = 13, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         scrub, batch_format="pyarrow")
+
+
+def _remove_spans_partitioned(ds, dup_ds, n_dup, n, id_col, text_col,
+                              parts, fp_rate):
+    """Large-dup-vocab tier: Bloom prefilter -> gram-bucket cogroup exact
+    verify -> doc-bucket cogroup rewrite. Broadcast is the Bloom only."""
+    import ray
+
+    from dataprof_ray.state.bloom import bloom_from_u64_batches
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    bloom = bloom_from_u64_batches(
+        dup_ds,
+        lambda b: b.column("h").to_numpy(zero_copy_only=False)
+        .astype(np.uint64),
+        n_dup, fp_rate)
+    bloom_ref = ray.put(bloom)
+
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "h": pa.array(h, pa.uint64()),
+            "d": batch.column("owner").cast(pa.int64()),
+            "j": pa.array(np.full(len(h), -1, np.int64)),
+            "__part": pa.array((h % np.uint64(parts)).astype(np.int32),
+                               pa.int32()),
+            "__side": pa.array(np.zeros(len(h), np.int8)),
+        })
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        from dataprof_ray.pipelines.textstats import _broadcast_cached
+
+        bf = _broadcast_cached(bloom_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        hs_l, d_l, j_l = [], [], []
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            hs = _wordgram_hashes(t, n)
+            if not len(hs):
+                continue
+            jj = np.flatnonzero(bf.contains_u64(hs))
+            if len(jj):
+                hs_l.append(hs[jj])
+                d_l.append(np.full(len(jj), i, dtype=np.int64))
+                j_l.append(jj.astype(np.int64))
+        h = np.concatenate(hs_l) if hs_l else np.empty(0, np.uint64)
+        d = np.concatenate(d_l) if d_l else np.empty(0, np.int64)
+        j = np.concatenate(j_l) if j_l else np.empty(0, np.int64)
+        return pa.table({
+            "h": pa.array(h, pa.uint64()),
+            "d": pa.array(d, pa.int64()),
+            "j": pa.array(j, pa.int64()),
+            "__part": pa.array((h % np.uint64(parts)).astype(np.int32),
+                               pa.int32()),
+            "__side": pa.array(np.ones(len(h), np.int8)),
+        })
+
+    tagged = (dup_ds.map_batches(tag_dup, batch_format="pyarrow")
+              .union(ds.select_columns([id_col, text_col])
+                     .map_batches(candidates, batch_format="pyarrow")))
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        dup_t = tbl.filter(pa.array(side == 0))
+        cand_t = tbl.filter(pa.array(side == 1))
+        dh = dup_t.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        down = dup_t.column("d").to_numpy(zero_copy_only=False)
+        order = np.argsort(dh, kind="stable")
+        dh, down = dh[order], down[order]
+        ch = cand_t.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        cd = cand_t.column("d").to_numpy(zero_copy_only=False)
+        cj = cand_t.column("j").to_numpy(zero_copy_only=False)
+        if len(ch) and len(dh):
+            pos = np.searchsorted(dh, ch).clip(0, len(dh) - 1)
+            # exact verify: Bloom false positives miss here and are dropped
+            rm = (dh[pos] == ch) & (down[pos] != cd)
+        else:
+            rm = np.zeros(len(ch), dtype=bool)
+        d_out, j_out = cd[rm], cj[rm]
+        return pa.table({
+            "d": pa.array(d_out, pa.int64()),
+            "j": pa.array(j_out, pa.int64()),
+            "__text": pa.nulls(len(d_out), pa.string()),
+            "__dpart": pa.array(
+                (d_out.astype(np.uint64) % np.uint64(parts)).astype(np.int32),
+                pa.int32()),
+            "__side": pa.array(np.ones(len(d_out), np.int8)),
+        })
+
+    removals = (tagged.groupby("__part")
+                .map_groups(resolve, batch_format="pyarrow"))
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "d": pa.array(ids, pa.int64()),
+            "j": pa.array(np.full(len(ids), -1, np.int64)),
+            "__text": batch.column(text_col).cast(pa.string()),
+            "__dpart": pa.array(
+                (ids.astype(np.uint64) % np.uint64(parts)).astype(np.int32),
+                pa.int32()),
+            "__side": pa.array(np.zeros(len(ids), np.int8)),
+        })
+
+    def rewrite(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        docs = tbl.filter(pa.array(side == 0))
+        rem = tbl.filter(pa.array(side == 1))
+        rd = rem.column("d").to_numpy(zero_copy_only=False)
+        rj = rem.column("j").to_numpy(zero_copy_only=False)
+        order = np.lexsort((rj, rd))
+        rd, rj = rd[order], rj[order]
+        ids = docs.column("d").to_numpy(zero_copy_only=False)
+        out_text, n_tok, n_removed = [], [], []
+        for i, t in zip(ids, docs.column("__text").to_pylist()):
+            lo = np.searchsorted(rd, i, side="left")
+            hi = np.searchsorted(rd, i, side="right")
+            txt, nt, nr = _scrub_doc_tokens(t, rj[lo:hi], n)
+            out_text.append(txt)
+            n_tok.append(nt)
+            n_removed.append(nr)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()).cast(id_type),
+            "text": pa.array(out_text, pa.string()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_removed": pa.array(n_removed, pa.int64()),
+        })
+
+    return (removals.union(ds.select_columns([id_col, text_col])
+                           .map_batches(tag_docs, batch_format="pyarrow"))
+            .groupby("__dpart")
+            .map_groups(rewrite, batch_format="pyarrow"))
 
 
 def neardup_vs_prior_verified(new_ds, prior_ds, threshold: float = 0.8,

@@ -18,18 +18,21 @@ family to sub-document granularity):
    distinct lines per batch), not O(line occurrences) — into 64 coarse
    partitions (pipelines.partitioning: per-tiny-group Ray aggregates are the
    measured hotspot; one vectorized pandas sum per partition is not).
-2. **The common-line set is broadcast**, not joined: duplicated distinct
-   lines are a tiny fraction of a web corpus (boilerplate is heavy-tailed),
-   so the driver assembles a sorted (n, 2) uint64 array and ``ray.put``s it
-   once; every filter task memcpy-deserializes it (numpy, not boxed
-   Python — see graft bench notes). Memory contract: O(distinct lines
-   occurring in > max_docs docs) on the driver and each worker. If that set
-   ever rivals worker memory (a pathologically templated corpus), the
-   fallback is the shuffle-join shape: re-emit (hash, doc_id, line_idx)
-   pairs and inner-join them against the common table per partition —
-   two extra exchanges of the line table, no broadcast.
-3. **Rewrite is embarrassingly parallel**: one more pass over the documents
-   with the broadcast set — no shuffle; output blocks mirror input blocks.
+2. **The common-line set is TIERED on its measured size** (the count is
+   one cheap aggregate over the pass-1 output). Below ``broadcast_limit``
+   — the normal case; boilerplate is heavy-tailed — the driver assembles
+   a sorted (n, 2) uint64 array and ``ray.put``s it once; every filter
+   task memcpy-deserializes it (numpy, not boxed Python — see graft bench
+   notes). Above the limit (a pathologically templated corpus at crawl
+   scale) no O(common-lines) broadcast happens: only a Bloom filter of h1
+   ships; Bloom-hit lines emit (h1, h2, doc, line_idx) candidate rows
+   that exact-verify against the PARTITIONED common table on the h1
+   bucket (a 128-bit compare, so false positives are dropped, never
+   removed), and verified removals cogroup with the corpus on the doc-id
+   bucket.
+3. **Rewrite**: broadcast tier — embarrassingly parallel second pass, no
+   shuffle, output blocks mirror input blocks; keyed tier — one
+   all-to-all of the text (the price of bounding worker memory).
 """
 
 from __future__ import annotations
@@ -119,28 +122,81 @@ def common_line_hashes(ds, text_col: str = "text", max_docs: int = 1,
     )
 
 
+def _doc_rows(id_arr, counts, flat, removed, include_text, sep, id_col,
+              extra_cols):
+    """Shared output assembly for both tiers: per-doc line accounting (+
+    cleaned_text) from the flat line array and its removal mask."""
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    n_removed = np.bincount(doc_idx[removed],
+                            minlength=len(counts)).astype(np.int64)
+    cols = {
+        id_col: id_arr,
+        "n_lines": pa.array(counts, pa.int64()),
+        "n_kept": pa.array(counts - n_removed, pa.int64()),
+        "n_removed": pa.array(n_removed, pa.int64()),
+    }
+    if include_text:
+        kept = flat.to_pandas().to_numpy()  # object array of lines
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        keep_mask = ~removed
+        cols["cleaned_text"] = pa.array(
+            [sep.join(kept[offsets[i]:offsets[i + 1]][
+                keep_mask[offsets[i]:offsets[i + 1]]])
+             for i in range(len(counts))], pa.string())
+    cols.update(extra_cols)
+    return pa.table(cols)
+
+
 def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                max_docs: int = 1, partitions: int = DEFAULT_PARTITIONS,
                include_text: bool = True,
                keep_cols: Optional[list] = None,
-               sep: str = _NEWLINE):
+               sep: str = _NEWLINE,
+               broadcast_limit: int = 4_000_000,
+               fp_rate: float = 1e-3):
     """Remove corpus-common lines from every document.
 
     Returns a Dataset with ``id_col``, per-document line accounting
     (``n_lines`` / ``n_kept`` / ``n_removed``), ``cleaned_text`` (unless
     ``include_text=False``), and any ``keep_cols`` passed through. Lines are
     ``text.split('\\n')``; a line is removed iff it is non-whitespace and its
-    exact text appears in more than ``max_docs`` distinct documents."""
+    exact text appears in more than ``max_docs`` distinct documents.
+
+    Two tiers, picked by the MEASURED common-line count (both emit the
+    same rows): ``<= broadcast_limit`` distinct over-threshold lines (64 MB
+    packed at the 4M default) broadcasts the sorted hash array and rewrites
+    shuffle-free; above it — a pathologically templated corpus at crawl
+    scale — NO O(common-lines) broadcast happens: a Bloom filter of h1
+    broadcasts instead (~1.7 bytes/line at fp 1e-3), Bloom-hit lines emit
+    (h1, h2, doc, line_idx) candidates that exact-verify against the
+    partitioned common table on the h1 bucket (false positives fail the
+    128-bit compare and are dropped), and surviving removals cogroup with
+    the corpus on the doc-id bucket for the rewrite — one all-to-all of
+    the text instead of the broadcast."""
+    common_ds = common_line_hashes(ds, text_col=text_col, max_docs=max_docs,
+                                   partitions=partitions,
+                                   sep=sep).materialize()
+    passthrough = list(keep_cols or [])
+    if common_ds.count() <= broadcast_limit:
+        return _line_dedup_broadcast(ds, common_ds, text_col, id_col,
+                                     include_text, passthrough, sep)
+    return _line_dedup_partitioned(ds, common_ds, text_col, id_col,
+                                   include_text, passthrough, sep,
+                                   partitions, fp_rate)
+
+
+def _line_dedup_broadcast(ds, common_ds, text_col, id_col, include_text,
+                          passthrough, sep):
+    """Small-common-set tier: one sorted packed-hash broadcast, rewrite
+    with zero shuffles."""
     import ray
 
-    common = common_line_hashes(ds, text_col=text_col, max_docs=max_docs,
-                                partitions=partitions, sep=sep).to_pandas()
+    common = common_ds.to_pandas()
     if common.empty:  # a fully-empty result can drop its columns entirely
         common = pd.DataFrame({"h1": [], "h2": []})
     packed = np.sort(_pack(common["h1"].to_numpy(dtype=np.uint64),
                            common["h2"].to_numpy(dtype=np.uint64)))
     common_ref = ray.put(packed)
-    passthrough = list(keep_cols or [])
 
     def rewrite(batch: pa.Table) -> pa.Table:
         bc = _common_cached(common_ref)
@@ -153,28 +209,149 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             keys = _pack(h1[cand], h2[cand])
             idx = np.searchsorted(bc, keys).clip(0, len(bc) - 1)
             removed[cand] = bc[idx] == keys
-        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        n_removed = np.bincount(doc_idx[removed],
-                                minlength=len(counts)).astype(np.int64)
-        cols = {
-            id_col: batch.column(id_col),
-            "n_lines": pa.array(counts, pa.int64()),
-            "n_kept": pa.array(counts - n_removed, pa.int64()),
-            "n_removed": pa.array(n_removed, pa.int64()),
-        }
-        if include_text:
-            kept = flat.to_pandas().to_numpy()  # object array of lines
-            offsets = np.concatenate([[0], np.cumsum(counts)])
-            keep_mask = ~removed
-            cols["cleaned_text"] = pa.array(
-                [sep.join(kept[offsets[i]:offsets[i + 1]][
-                    keep_mask[offsets[i]:offsets[i + 1]]])
-                 for i in range(len(counts))], pa.string())
-        for c in passthrough:
-            cols[c] = batch.column(c)
-        return pa.table(cols)
+        return _doc_rows(batch.column(id_col), counts, flat, removed,
+                         include_text, sep, id_col,
+                         {c: batch.column(c) for c in passthrough})
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def _line_dedup_partitioned(ds, common_ds, text_col, id_col, include_text,
+                            passthrough, sep, partitions, fp_rate):
+    """Large-common-set tier: Bloom prefilter -> h1-bucket exact verify ->
+    doc-bucket cogroup rewrite. Broadcast is the Bloom only."""
+    import ray
+
+    from dataprof_ray.pipelines.join import _key_parts
+    from dataprof_ray.state.bloom import bloom_from_u64_batches
+
+    schema = ds.schema().base_schema
+    id_type = schema.field(id_col).type
+    keep_types = {c: schema.field(c).type for c in passthrough}
+    n_common = common_ds.count()
+    bloom = bloom_from_u64_batches(
+        common_ds,
+        lambda b: b.column("h1").to_numpy(zero_copy_only=False)
+        .astype(np.uint64),
+        n_common, fp_rate)
+    bloom_ref = ray.put(bloom)
+
+    def tag_common(batch: pa.Table) -> pa.Table:
+        h1 = batch.column("h1").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        n = len(h1)
+        return pa.table({
+            "h1": pa.array(h1, pa.uint64()),
+            "h2": batch.column("h2").cast(pa.uint64()),
+            "__id": pa.nulls(n, id_type),
+            "__li": pa.array(np.full(n, -1, np.int64)),
+            "__part": pa.array((h1 % np.uint64(partitions)).astype(np.int32),
+                               pa.int32()),
+            "__side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        from dataprof_ray.pipelines.textstats import _broadcast_cached
+
+        bf = _broadcast_cached(bloom_ref)
+        flat, counts = _split_lines(batch, text_col, sep)
+        trimmed = pc.utf8_trim(flat, characters=_WS)
+        cand = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        h1, h2 = _hash128(flat)
+        hit = cand & bf.contains_u64(h1)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        li = np.arange(len(flat), dtype=np.int64) - offsets[doc_idx]
+        sel = np.flatnonzero(hit)
+        return pa.table({
+            "h1": pa.array(h1[sel], pa.uint64()),
+            "h2": pa.array(h2[sel], pa.uint64()),
+            "__id": batch.column(id_col).take(pa.array(doc_idx[sel])),
+            "__li": pa.array(li[sel], pa.int64()),
+            "__part": pa.array(
+                (h1[sel] % np.uint64(partitions)).astype(np.int32),
+                pa.int32()),
+            "__side": pa.array(np.ones(len(sel), np.int8)),
+        })
+
+    tagged = (common_ds.map_batches(tag_common, batch_format="pyarrow")
+              .union(ds.map_batches(candidates, batch_format="pyarrow")))
+
+    def null_keeps(n: int) -> dict:
+        return {c: pa.nulls(n, keep_types[c]) for c in passthrough}
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        com = tbl.filter(pa.array(side == 0))
+        cand = tbl.filter(pa.array(side == 1))
+        ck = np.sort(_pack(
+            com.column("h1").to_numpy(zero_copy_only=False).astype(np.uint64),
+            com.column("h2").to_numpy(zero_copy_only=False).astype(np.uint64)))
+        qk = _pack(
+            cand.column("h1").to_numpy(zero_copy_only=False)
+            .astype(np.uint64),
+            cand.column("h2").to_numpy(zero_copy_only=False)
+            .astype(np.uint64))
+        if len(qk) and len(ck):
+            idx = np.searchsorted(ck, qk).clip(0, len(ck) - 1)
+            # exact 128-bit verify: Bloom false positives are dropped here
+            rm = ck[idx] == qk
+        else:
+            rm = np.zeros(len(qk), dtype=bool)
+        out = cand.filter(pa.array(rm))
+        ids = out.column("__id")
+        n = out.num_rows
+        cols = {
+            "__id": ids,
+            "__li": out.column("__li"),
+            "__text": pa.nulls(n, pa.string()),
+            "__dpart": pa.array(_key_parts(ids, partitions), pa.int32()),
+            "__side": pa.array(np.ones(n, np.int8)),
+        }
+        cols.update(null_keeps(n))
+        return pa.table(cols)
+
+    removals = (tagged.groupby("__part")
+                .map_groups(resolve, batch_format="pyarrow"))
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        n = batch.num_rows
+        cols = {
+            "__id": ids,
+            "__li": pa.array(np.full(n, -1, np.int64)),
+            "__text": pc.fill_null(batch.column(text_col).cast(pa.string()),
+                                   ""),
+            "__dpart": pa.array(_key_parts(ids, partitions), pa.int32()),
+            "__side": pa.array(np.zeros(n, np.int8)),
+        }
+        cols.update({c: batch.column(c) for c in passthrough})
+        return pa.table(cols)
+
+    def rewrite(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        docs = tbl.filter(pa.array(side == 0))
+        rem = tbl.filter(pa.array(side == 1))
+        flat, counts = _split_lines(docs, "__text", sep)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        removed = np.zeros(len(flat), dtype=bool)
+        if rem.num_rows:
+            groups = (pd.Series(rem.column("__li").to_numpy(
+                zero_copy_only=False))
+                .groupby(rem.column("__id").to_pandas().to_numpy(), sort=False)
+                .apply(np.asarray).to_dict())
+            doc_ids = docs.column("__id").to_pandas().to_numpy()
+            for i, v in enumerate(doc_ids):
+                js = groups.get(v)
+                if js is not None:
+                    removed[offsets[i] + js] = True
+        return _doc_rows(docs.column("__id"), counts, flat, removed,
+                         include_text, sep, id_col,
+                         {c: docs.column(c) for c in passthrough})
+
+    return (removals.union(ds.map_batches(tag_docs, batch_format="pyarrow"))
+            .groupby("__dpart")
+            .map_groups(rewrite, batch_format="pyarrow"))
 
 
 # per-worker cache for the broadcast common-line array (same pattern as
@@ -255,14 +432,18 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                     max_docs: int = 1,
                     partitions: int = DEFAULT_PARTITIONS,
                     include_text: bool = True,
-                    keep_cols: Optional[list] = None):
+                    keep_cols: Optional[list] = None,
+                    broadcast_limit: int = 4_000_000,
+                    fp_rate: float = 1e-3):
     """Cross-document PARAGRAPH dedup: ``line_dedup`` at blank-line
     granularity (segments split on '\n\n'). Catches multi-line
     boilerplate blocks (footers, license headers, nav sections) that
-    line-level dedup only removes piecemeal. Same scale shape: 16-byte
-    segment hashes shuffle, the over-threshold set broadcasts, the
-    rewrite is shuffle-free."""
+    line-level dedup only removes piecemeal. Same scale shape and the
+    same two tiers: 16-byte segment hashes shuffle; the over-threshold
+    set broadcasts below ``broadcast_limit`` (shuffle-free rewrite), and
+    switches to the Bloom-prefiltered keyed rewrite above it."""
     return line_dedup(ds, text_col=text_col, id_col=id_col,
                       max_docs=max_docs, partitions=partitions,
                       include_text=include_text, keep_cols=keep_cols,
-                      sep="\n\n")
+                      sep="\n\n", broadcast_limit=broadcast_limit,
+                      fp_rate=fp_rate)

@@ -578,3 +578,32 @@ def test_global_shuffle_supports_larger_shard_counts(ray_session):
     assert out["shard"].nunique() > 16  # 256 shards available
     for _, g in out.groupby("shard"):
         assert sorted(g["pos"]) == list(range(len(g)))
+
+
+def test_broadcast_cached_one_fetch_per_worker(ray_session, monkeypatch):
+    """VERDICT r3 #5: the broadcast cache resolves a ref with ONE
+    object-store read per worker process (per-batch ray.get would
+    re-deserialize a GB-size Bloom every batch). Same-ref lookups hit the
+    cache; a new ref evicts the old (one live broadcast per worker)."""
+    import ray
+
+    from dataprof_ray.pipelines import textstats as T
+
+    ref_a = ray.put(np.arange(5))
+    ref_b = ray.put(np.arange(7))
+    calls = {"n": 0}
+    real_get = ray.get
+
+    def counting_get(r, **kw):
+        calls["n"] += 1
+        return real_get(r, **kw)
+
+    monkeypatch.setattr(ray, "get", counting_get)
+    T._BROADCAST_CACHE.clear()
+    a1 = T._broadcast_cached(ref_a)
+    a2 = T._broadcast_cached(ref_a)
+    assert calls["n"] == 1 and a1 is a2 and a1.sum() == 10
+    b = T._broadcast_cached(ref_b)
+    assert calls["n"] == 2 and b.sum() == 21
+    assert len(T._BROADCAST_CACHE) == 1  # old broadcast evicted
+    T._BROADCAST_CACHE.clear()
