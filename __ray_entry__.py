@@ -524,9 +524,9 @@ def _contamination_bloom_audit(sf_dir: str) -> pd.DataFrame:
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     bench_ds = docs.map_batches(every_20th, batch_format="pyarrow")
     exact = DC.contamination_check(
-        docs, DC.benchmark_ngram_set(bench_ds, n=8), n=8)
+        docs, DC.benchmark_ngram_set(bench_ds, n=8), n=8, as_dataset=False)
     bloom = DC.benchmark_ngram_bloom(bench_ds, n=8, fp_rate=1e-4)
-    approx = DC.contamination_check(docs, bloom, n=8)
+    approx = DC.contamination_check(docs, bloom, n=8, as_dataset=False)
     e_hit = exact["n_contaminated"] > 0
     b_hit = approx["n_contaminated"] > 0
     return pd.DataFrame([{

@@ -108,7 +108,8 @@ def contamination_check(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pd.DataFrame:
+    as_dataset: bool = True,
+):
     """Per-document contamination report: total n-gram positions, how many
     hit the benchmark set, and the contaminated fraction (half-away rounded,
     4 places — oracle-aligned). Documents shorter than ``n`` tokens emit
@@ -119,7 +120,12 @@ def contamination_check(
     divergence from exact is over-flagging). Shipped via ``ray.put`` once
     and deserialized once per WORKER process (textstats._broadcast_cached),
     not per batch — a GB-size Bloom would otherwise re-deserialize on
-    every batch."""
+    every batch.
+
+    Returns a lazy per-document Dataset by default (the 100x-scale
+    contract: compose with write_parquet / further filters, never an
+    accidental corpus collect). ``as_dataset=False`` collects a
+    doc-id-sorted pandas frame — REPORT SCALE ONLY."""
     import ray
 
     from dataprof_ray.pipelines.aggregate import round_away
@@ -144,11 +150,11 @@ def contamination_check(
             "contam_frac": pa.array(round_away(frac, 4), pa.float64()),
         })
 
-    return (ds.select_columns([id_col, text_col])
-            .map_batches(scan, batch_format="pyarrow")
-            .to_pandas()
-            .sort_values(id_col)
-            .reset_index(drop=True))
+    out = ds.select_columns([id_col, text_col]).map_batches(
+        scan, batch_format="pyarrow")
+    if as_dataset:
+        return out
+    return out.to_pandas().sort_values(id_col).reset_index(drop=True)
 
 
 def _contam_stats(bench, is_bloom: bool, texts, n: int):

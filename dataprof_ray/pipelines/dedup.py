@@ -1180,7 +1180,8 @@ def duplicate_span_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
-) -> pd.DataFrame:
+    as_dataset: bool = True,
+):
     """Cross-document duplicate-span report (the signal behind exact
     substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
     Language Models Better"): for each document, how many of its word
@@ -1198,9 +1199,13 @@ def duplicate_span_stats(
        uint64 array) and each batch counts its positions via searchsorted.
     The broadcast set is bounded by the number of CROSS-DOC duplicated
     grams (boilerplate vocabulary, not corpus size); for a corpus where
-    that set outgrows worker memory, replace pass 2's broadcast with a
-    hash-partitioned semi-join on the gram hash (``join.hash_join``
-    machinery) — same contract as the dedup verify paths above."""
+    that set outgrows worker memory, use :func:`remove_duplicate_spans`'s
+    keyed tier as the template (Bloom prefilter + gram-bucket exact
+    verify).
+
+    Returns a lazy per-document Dataset by default (compose/write at
+    scale); ``as_dataset=False`` collects a doc-id-sorted pandas frame —
+    REPORT SCALE ONLY."""
     import ray
 
     from dataprof_ray.pipelines.aggregate import round_away
@@ -1259,9 +1264,11 @@ def duplicate_span_stats(
             "dup_span_frac": pa.array(round_away(frac, 4), pa.float64()),
         })
 
-    return (ds.select_columns([id_col, text_col])
-            .map_batches(scan, batch_format="pyarrow")
-            .to_pandas().sort_values(id_col).reset_index(drop=True))
+    out = ds.select_columns([id_col, text_col]).map_batches(
+        scan, batch_format="pyarrow")
+    if as_dataset:
+        return out
+    return out.to_pandas().sort_values(id_col).reset_index(drop=True)
 
 
 def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id",

@@ -107,9 +107,11 @@ def test_bloom_decontam_matches_exact(ray_session):
 
     bench, corpus = _corpus()
     exact = contamination_check(
-        _ds(corpus), benchmark_ngram_set(_ds(bench), n=8), n=8)
+        _ds(corpus), benchmark_ngram_set(_ds(bench), n=8), n=8,
+        as_dataset=False)
     bloom = benchmark_ngram_bloom(_ds(bench, 3), n=8, fp_rate=1e-6)
-    got = contamination_check(_ds(corpus), bloom, n=8)
+    got = contamination_check(_ds(corpus), bloom, n=8,
+                              as_dataset=False)
     # no false negatives ever; at fp=1e-6 on this tiny corpus, no false
     # positives either -> exact equality.
     assert (got["n_contaminated"] >= exact["n_contaminated"]).all()

@@ -74,7 +74,8 @@ def test_contamination_planted_overlap(ray_session):
     })
     bench = benchmark_ngram_set(_ds(pa.table({"text": [bench_text]}), 1), n=8)
     assert len(bench) == 2
-    out = contamination_check(_ds(corpus, 2), bench, n=8)
+    out = contamination_check(_ds(corpus, 2), bench, n=8,
+                              as_dataset=False)
     assert out["n_grams"].tolist() == [2, 3, 3]
     assert out["n_contaminated"].tolist() == [2, 2, 0]
     assert out["contam_frac"].tolist() == [1.0, 0.6667, 0.0]
@@ -82,7 +83,8 @@ def test_contamination_planted_overlap(ray_session):
 
 def test_contamination_short_doc_zero(ray_session):
     corpus = pa.table({"doc_id": [0], "text": ["too short"]})
-    out = contamination_check(_ds(corpus, 1), frozenset({"x"}), n=8)
+    out = contamination_check(_ds(corpus, 1), frozenset({"x"}), n=8,
+                              as_dataset=False)
     assert out.iloc[0][["n_grams", "n_contaminated", "contam_frac"]].tolist() \
         == [0, 0, 0.0]
 
@@ -100,7 +102,7 @@ def test_duplicate_span_stats_planted(ray_session):
             "tiny",                      # shorter than n -> 0 grams
         ],
     })
-    out = duplicate_span_stats(_ds(t, 2), n=5)
+    out = duplicate_span_stats(_ds(t, 2), n=5, as_dataset=False)
     # doc0: 9 toks -> 5 positions; exactly one (the shared span) duplicated
     assert out["n_grams"].tolist() == [5, 4, 2, 0]
     assert out["n_dup_positions"].tolist() == [1, 1, 0, 0]
@@ -115,7 +117,7 @@ def test_duplicate_span_stats_within_doc_repeat_not_cross(ray_session):
         "doc_id": [0, 1],
         "text": ["p q r p q r p q", "different tokens entirely here"],
     })
-    out = duplicate_span_stats(_ds(t, 1), n=3)
+    out = duplicate_span_stats(_ds(t, 1), n=3, as_dataset=False)
     assert out["n_dup_positions"].tolist() == [0, 0]
 
 
