@@ -1,10 +1,14 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Images/audio/video travel as ``binary`` columns with a sidecar metadata
-struct. The decode kernels themselves are STUBBED (the decode libraries are
-not in this container — clearly marked below); the Ray-side plumbing is real
-and tested: schemas, actor-pool stage signatures, batch sizing for wide
-binary rows, and output layout.
+struct. The IMAGE kernels (decode / feature / resize) are dual-path: a real
+PIL branch when the library imports, and a clearly-marked deterministic
+stub otherwise (PIL is absent in this container; ``strict=True`` refuses
+the stub). Audio/video kernels remain stubs (soundfile/ffmpeg absent). The
+Ray-side plumbing is real and tested either way: schemas, actor-pool stage
+signatures, batch sizing for wide binary rows, and output layout; the
+real-PIL branch is covered by skip-marked tests that run wherever PIL
+exists.
 
 Batch-size guidance encoded here: payload stages default to small
 ``batch_size`` (64) so batch x concurrency of multi-MB blobs fits worker
@@ -46,10 +50,14 @@ def _try_import_pil():
 class ImageDecodeStage:
     """Actor-pool stage: decode image payloads -> (height, width, channels).
 
-    STUB: real decoding requires PIL/opencv (absent here). When the import
-    fails the stage uses a deterministic fake decoder — a hash-derived
-    (h, w, c) — so the pipeline shape, schema and actor lifecycle are fully
-    exercised. Swap in the PIL branch on a real cluster.
+    Dual-path kernel, same contract as :class:`ImageResizeStage`: a REAL
+    PIL branch when the library imports (loaded once per actor), and a
+    deterministic hash-derived (h, w, c) stub otherwise (PIL is absent in
+    this container), so the pipeline shape, schema and actor lifecycle are
+    fully exercised either way. ``strict=True`` refuses to run on the stub
+    branch. A corrupt/undecodable payload on the real branch falls through
+    to the stub values rather than killing the task — one truncated image
+    must not fail a corpus-scale decode.
     """
 
     def __init__(self, strict: bool = False) -> None:
@@ -64,8 +72,11 @@ class ImageDecodeStage:
         if self.pil is not None:
             import io
 
-            with self.pil.open(io.BytesIO(payload)) as im:
-                return im.height, im.width, len(im.getbands())
+            try:
+                with self.pil.open(io.BytesIO(payload)) as im:
+                    return im.height, im.width, len(im.getbands())
+            except Exception:
+                pass  # corrupt payload: deterministic stub values below
         # deterministic fake: dimensions derived from the payload digest
         digest = hashlib.blake2b(payload or b"", digest_size=8).digest()
         h = 64 + digest[0] % 192
@@ -87,23 +98,46 @@ class ImageDecodeStage:
 class ImageFeatureStage:
     """Actor-pool stage: payload -> fixed-size feature vector.
 
-    STUB embedding: a deterministic 32-dim hash projection of the payload
-    (real models plug in here; loaded once per actor in __init__)."""
+    Dual-path kernel: with PIL importable the feature is a 32-dim random
+    projection of the DECODED grayscale pixel histogram (a real, cheap
+    visual signature; a learned model plugs into the same slot — loaded
+    once per actor in ``__init__``). Without PIL (this container) the
+    deterministic stub projects the raw payload byte histogram instead —
+    same schema, same determinism. ``strict=True`` refuses the stub
+    branch; corrupt payloads on the real branch fall back to the byte
+    histogram rather than killing the task."""
 
     DIM = 32
 
-    def __init__(self) -> None:
+    def __init__(self, strict: bool = False) -> None:
         rng = np.random.default_rng(13)
         self.projection = rng.normal(size=(256, self.DIM))
+        self.pil = _try_import_pil()
+        if strict and self.pil is None:
+            raise NotImplementedError(
+                "image features require PIL; not available in this container"
+            )
+
+    def _histogram(self, payload: bytes) -> np.ndarray:
+        if self.pil is not None:
+            import io
+
+            try:
+                with self.pil.open(io.BytesIO(payload)) as im:
+                    counts = np.asarray(im.convert("L").histogram(),
+                                        dtype=np.float64)[:256]
+                    return counts / max(counts.sum(), 1.0)
+            except Exception:
+                pass  # corrupt payload: byte-histogram fallback below
+        if not payload:
+            return np.zeros(256, dtype=np.float64)
+        counts = np.bincount(np.frombuffer(payload, dtype=np.uint8),
+                             minlength=256)
+        return counts / max(len(payload), 1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
-        for p in batch.column("payload").to_pylist():
-            hist = np.zeros(256, dtype=np.float64)
-            if p:
-                counts = np.bincount(np.frombuffer(p, dtype=np.uint8), minlength=256)
-                hist = counts / max(len(p), 1)
-            feats.append((hist @ self.projection).tolist())
+        feats = [(self._histogram(p) @ self.projection).tolist()
+                 for p in batch.column("payload").to_pylist()]
         return pa.table({
             "media_id": batch.column("media_id"),
             "feature": pa.array(feats, pa.list_(pa.float64())),
@@ -224,14 +258,18 @@ def extract_audio_features(ds, sample_rate: int = 16_000, concurrency=(1, 4),
     )
 
 
-def decode_images(ds, concurrency=(1, 4), batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
+def decode_images(ds, strict: bool = False, concurrency=(1, 4),
+                  batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
     return ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"strict": strict})
 
 
-def extract_image_features(ds, concurrency=(1, 4), batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
+def extract_image_features(ds, strict: bool = False, concurrency=(1, 4),
+                           batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
     return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"strict": strict})
 
 
 def resize_images(ds, target: int = 224, strict: bool = False,
