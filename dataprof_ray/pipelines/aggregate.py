@@ -165,8 +165,10 @@ def argmax_by(
     distinct keys; at corpus scale consume the returned frame's upstream as
     a Dataset write instead of collecting (this helper returns pandas for
     the small-result profile/query use)."""
-    from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
-                                                     add_part_column)
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column,
+                                                     nullable_cogroup,
+                                                     to_pandas_exact)
 
     keys = list(keys)
     order_cols = list(order_cols)
@@ -177,18 +179,17 @@ def argmax_by(
         return (df.sort_values(order_cols, kind="stable")
                 .drop_duplicates(keys, keep=keep))
 
-    out = (
-        # arrow_out: a raw DataFrame return attaches b'pandas' schema
-        # metadata, which the downstream Sort can't hash (one warning +
-        # an O(blocks) schema unify per block without it)
-        ds.map_batches(arrow_out(reduce_batch), batch_format="pandas")
+    out = to_pandas_exact(
+        # nullable_cogroup: payload ints/bools with nulls must ride through
+        # the pandas combiner exactly (not as float64); it also emits
+        # metadata-free Arrow so downstream shuffles can hash the schema
+        ds.map_batches(nullable_cogroup(reduce_batch),
+                       batch_format="pyarrow")
         .map_batches(lambda b: add_part_column(b, keys, parts),
                      batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(arrow_out(reduce_batch), batch_format="pandas")
-        .to_pandas()
-        .drop(columns="__part")
-    )
+        .map_groups(nullable_cogroup(reduce_batch), batch_format="pyarrow")
+    ).drop(columns="__part")
     return out.sort_values(keys).reset_index(drop=True)
 
 
@@ -298,8 +299,10 @@ def topk_per_group(
     ``as_pandas=False`` returns the result as a Dataset instead of
     collecting it — required when k x distinct-keys is itself corpus-sized
     (e.g. a per-domain cap over billions of domains feeding an export)."""
-    from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
-                                                     add_part_column)
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column,
+                                                     nullable_cogroup,
+                                                     to_pandas_exact)
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -313,18 +316,18 @@ def topk_per_group(
                 .groupby(keys, sort=False, dropna=False).head(k))
 
     out = (
-        # arrow_out: a raw DataFrame return attaches b'pandas' schema
-        # metadata, which the downstream Sort can't hash (one warning +
-        # an O(blocks) schema unify per block without it)
-        ds.map_batches(arrow_out(reduce_batch), batch_format="pandas")
+        # nullable_cogroup: exact int/bool payloads through the pandas
+        # combiner + metadata-free Arrow out (see argmax_by)
+        ds.map_batches(nullable_cogroup(reduce_batch),
+                       batch_format="pyarrow")
         .map_batches(lambda b: add_part_column(b, keys, parts),
                      batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(arrow_out(reduce_batch), batch_format="pandas")
+        .map_groups(nullable_cogroup(reduce_batch), batch_format="pyarrow")
     )
     if not as_pandas:
         return out.drop_columns(["__part"])
-    out = out.to_pandas().drop(columns="__part")
+    out = to_pandas_exact(out).drop(columns="__part")
     return out.sort_values(keys + order_cols).reset_index(drop=True)
 
 

@@ -147,19 +147,12 @@ def _key_parts(column: pa.ChunkedArray | pa.Array, partitions: int) -> np.ndarra
 # padding would otherwise launder int columns to float64 (and silently lose
 # precision above 2^53). Applied via to_pandas(types_mapper=...), so exact
 # integer values survive the pandas round-trip and the output Arrow schema
-# keeps the input integer types for BOTH join kinds.
-_NULLABLE_DTYPES = {
-    "int8": "Int8", "int16": "Int16", "int32": "Int32", "int64": "Int64",
-    "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32",
-    "uint64": "UInt64", "bool": "boolean",
-}
-
-
-def _nullable_mapper(t: pa.DataType):
-    import pandas as pd
-
-    name = _NULLABLE_DTYPES.get(str(t))
-    return pd.api.types.pandas_dtype(name) if name else None
+# keeps the input integer types for BOTH join kinds. Shared with every
+# other pandas-cogroup operator via pipelines.partitioning.
+from dataprof_ray.pipelines.partitioning import (  # noqa: E402
+    NULLABLE_DTYPES as _NULLABLE_DTYPES,
+    nullable_mapper as _nullable_mapper,
+)
 
 
 def _typed_null_fill(frame, carry_right, rename_right, right_types):

@@ -73,3 +73,67 @@ def arrow_out(fn):
         return out
 
     return wrapped
+
+
+# Arrow -> pandas NULLABLE dtype mapping: Ray's batch_format="pandas"
+# conversion (and a bare to_pandas) promotes int64-with-null to float64
+# BEFORE a UDF runs — null-padded unions launder int payloads and silently
+# corrupt values above 2^53. Converting with these dtypes instead keeps
+# exact integers through any pandas cogroup.
+NULLABLE_DTYPES = {
+    "int8": "Int8", "int16": "Int16", "int32": "Int32", "int64": "Int64",
+    "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32",
+    "uint64": "UInt64", "bool": "boolean",
+}
+
+
+def nullable_mapper(t: pa.DataType):
+    import pandas as pd
+
+    name = NULLABLE_DTYPES.get(str(t))
+    return pd.api.types.pandas_dtype(name) if name else None
+
+
+def nullable_cogroup(fn):
+    """map_groups/map_batches wrapper for pandas UDFs whose PAYLOAD columns
+    may hold int/bool nulls: take pyarrow, convert with NULLABLE dtypes
+    ourselves (``batch_format="pandas"`` would have already promoted
+    int-with-null to float64), run ``fn``, and emit a METADATA-FREE Arrow
+    table (nullable Int64 -> int64-with-nulls; see ``arrow_out`` for why
+    the metadata must go). The UDF sees nullable extension dtypes — use
+    ``.to_numpy(dtype=...)`` on columns it does arithmetic on."""
+    import functools
+
+    import pandas as pd
+
+    @functools.wraps(fn)
+    def wrapped(tbl: pa.Table, *args, **kwargs):
+        out = fn(tbl.to_pandas(types_mapper=nullable_mapper), *args, **kwargs)
+        if isinstance(out, pd.DataFrame):
+            return pa.Table.from_pandas(
+                out, preserve_index=False).replace_schema_metadata(None)
+        return out
+
+    return wrapped
+
+
+def to_pandas_exact(ds) -> "pd.DataFrame":
+    """Collect a (small) Dataset to pandas WITHOUT the int64-with-nulls ->
+    float64 laundering of ``Dataset.to_pandas``: concatenate Arrow blocks,
+    convert with nullable dtypes, then downcast any all-valid nullable
+    column back to its plain numpy dtype — so frames look exactly like the
+    historical output when no nulls are present, and stay exact (Int64 +
+    pd.NA) when they are."""
+    import pandas as pd
+
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tables:
+        return pd.DataFrame()
+    tbl = pa.concat_tables(tables, promote_options="default")
+    df = tbl.to_pandas(types_mapper=nullable_mapper)
+    plain = {v: k for k, v in NULLABLE_DTYPES.items()}
+    for c in df.columns:
+        name = str(df[c].dtype)
+        if name in plain and not df[c].isna().any():
+            df[c] = df[c].astype(plain[name])
+    return df

@@ -127,8 +127,9 @@ def stratified_sample(ds, keys: Sequence[str], per_key: int,
     schedules 64 groups regardless of stratum cardinality (per-stratum Ray
     groups are the measured per-tiny-group hotspot; see
     pipelines.partitioning)."""
-    from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
-                                                     add_part_column)
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column,
+                                                     nullable_cogroup)
 
     keys = list(keys)
     parts = partitions or DEFAULT_PARTITIONS
@@ -151,7 +152,8 @@ def stratified_sample(ds, keys: Sequence[str], per_key: int,
     return (
         ds.map_batches(drop_null_keys_add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(arrow_out(cap_partition), batch_format="pandas")
+        # nullable_cogroup: payload ints with nulls must stay ints
+        .map_groups(nullable_cogroup(cap_partition), batch_format="pyarrow")
     )
 
 
@@ -513,8 +515,8 @@ def shuffle_rank(ds, id_col: str = "doc_id", hex_digits: int = 1,
     offsets = csum - np.repeat(shard_starts, 16 ** eff_sub)
     offsets_ref = ray.put(offsets)
 
-    from dataprof_ray.pipelines.partitioning import (arrow_out,
-                                                     DEFAULT_PARTITIONS)
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     nullable_cogroup)
 
     # COARSE-partition the rank: one Ray group per hash bucket of
     # subshards (64 vectorized pandas tasks), never one per subshard
@@ -539,14 +541,16 @@ def shuffle_rank(ds, id_col: str = "doc_id", hex_digits: int = 1,
             return out
         offs = ray.get(offsets_ref)
         df = df.sort_values(["__sub", "__key", id_col]).reset_index(drop=True)
-        base = offs[df["__sub"].to_numpy()]
+        # dtype= matters: nullable Int64 .to_numpy() would give objects
+        base = offs[df["__sub"].to_numpy(dtype=np.int64)]
         within = df.groupby("__sub").cumcount().to_numpy()
         df["pos"] = base + within
         return df.drop(columns=["__key", "__sub"])
 
     return (keyed.map_batches(add_rpart, batch_format="pyarrow")
             .groupby("__rpart")
-            .map_groups(arrow_out(rank), batch_format="pandas"))
+            # nullable_cogroup: payload ints with nulls must stay ints
+            .map_groups(nullable_cogroup(rank), batch_format="pyarrow"))
 
 
 def global_shuffle(ds, id_col: str = "doc_id", hex_digits: int = 1,

@@ -233,8 +233,9 @@ def rolling_window(
     per-pair expansion, output rides the partition (one shuffle total).
     Returns a Dataset with the input columns plus ``w_cnt`` /
     ``w_sum_cents``."""
-    from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
-                                                     add_part_column)
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column,
+                                                     nullable_cogroup)
 
     parts = partitions or DEFAULT_PARTITIONS
     window = pd.Timedelta(window)
@@ -276,7 +277,9 @@ def rolling_window(
         ds.map_batches(lambda b: add_part_column(b, [key], parts),
                        batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(arrow_out(per_partition), batch_format="pandas")
+        # nullable_cogroup: payload int/bool columns with nulls must not
+        # launder to float64 through the pandas conversion
+        .map_groups(nullable_cogroup(per_partition), batch_format="pyarrow")
     )
 
 
@@ -299,8 +302,9 @@ def cumulative_window(
     hash(key) partitions, one sort + one vectorized pandas groupby-cumsum
     per partition; output rides the partition. The running state never
     spans partitions because a key lives entirely in one."""
-    from dataprof_ray.pipelines.partitioning import (arrow_out, DEFAULT_PARTITIONS,
-                                                     add_part_column)
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column,
+                                                     nullable_cogroup)
 
     parts = partitions or DEFAULT_PARTITIONS
     order_extra = list(order_extra)
@@ -318,5 +322,6 @@ def cumulative_window(
         ds.map_batches(lambda b: add_part_column(b, [key], parts),
                        batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(arrow_out(per_partition), batch_format="pandas")
+        # nullable_cogroup: see rolling_window
+        .map_groups(nullable_cogroup(per_partition), batch_format="pyarrow")
     )

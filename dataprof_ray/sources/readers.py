@@ -800,3 +800,116 @@ def get_table_schema(table: str, connection_factory,
         return retry_database_operation(attempt, retry,
                                         operation_name="get_table_schema")
     return attempt()
+
+
+# ------------------------------------------------------------ async DB facade
+#
+# Parity with the reference's async connector surface
+# (python/dataprof/__init__.py:59-99: analyze_database_async,
+# count_table_rows_async, get_table_schema_async, test_connection_async;
+# crates/dataprof-db async connectors). This container has no async DB
+# drivers, so each coroutine offloads the blocking DBAPI/Ray work to a
+# thread (asyncio.to_thread) — callers get the same overlap the reference's
+# tokio runtime gives (N profiles in flight share one event loop), and a
+# real async driver can replace the thread hop without changing the
+# signatures. Retry semantics ride on the same RetryConfig machinery as
+# the sync path.
+
+
+async def test_connection_async(connection_factory,
+                                retry: "Optional[RetryConfig]" = None) -> bool:
+    """True iff a connection can be opened (and closed). Retries with
+    backoff when ``retry`` is given; returns False instead of raising on
+    final failure (the reference's bool contract)."""
+    import asyncio
+
+    def _probe() -> bool:
+        try:
+            if retry is not None:
+                con = retry_database_operation(connection_factory, retry,
+                                               operation_name="connect")
+            else:
+                con = connection_factory()
+            con.close()
+            return True
+        except Exception:  # noqa: BLE001 — driver errors vary by DBAPI
+            return False
+
+    return await asyncio.to_thread(_probe)
+
+
+async def count_table_rows_async(connection_factory, table: str,
+                                 retry: "Optional[RetryConfig]" = None) -> int:
+    """COUNT(*) of ``table`` off the event loop. ``table`` must be an
+    identifier (quoted; a query belongs in ``read_sql``)."""
+    import asyncio
+
+    if not table.replace("_", "").isalnum():
+        raise ValueError(f"not a table identifier: {table!r}")
+
+    def _count() -> int:
+        def op():
+            con = connection_factory()
+            try:
+                cur = con.cursor()
+                cur.execute(f'SELECT COUNT(*) FROM "{table}"')
+                return int(cur.fetchone()[0])
+            finally:
+                con.close()
+        if retry is not None:
+            return retry_database_operation(op, retry, operation_name="count")
+        return op()
+
+    return await asyncio.to_thread(_count)
+
+
+async def get_table_schema_async(connection_factory, table: str,
+                                 retry: "Optional[RetryConfig]" = None) -> dict:
+    """{column -> declared type} from a zero-row probe's cursor
+    description (DBAPI-portable; sqlite fills type via PRAGMA)."""
+    import asyncio
+
+    if not table.replace("_", "").isalnum():
+        raise ValueError(f"not a table identifier: {table!r}")
+
+    def _schema() -> dict:
+        def op():
+            con = connection_factory()
+            try:
+                if type(con).__module__.split(".")[0] == "sqlite3":
+                    cur = con.cursor()
+                    cur.execute(f'PRAGMA table_info("{table}")')
+                    return {r[1]: (r[2] or "unknown") for r in cur.fetchall()}
+                cur = con.cursor()
+                cur.execute(f'SELECT * FROM "{table}" WHERE 1=0')
+                return {d[0]: str(d[1]) for d in cur.description}
+            finally:
+                con.close()
+        if retry is not None:
+            return retry_database_operation(op, retry, operation_name="schema")
+        return op()
+
+    return await asyncio.to_thread(_schema)
+
+
+async def analyze_database_async(connection_factory, sql: str,
+                                 batch_size: int = 10_000,
+                                 calculate_quality: bool = False,
+                                 **read_kwargs):
+    """Profile the rows returned by ``sql`` — the async twin of
+    ``read_sql`` + ``profile_dataset`` (reference
+    ``analyze_database_async``, __init__.py:67-82). The Ray pipeline is
+    itself parallel; the coroutine exists so several database profiles
+    (or a profile plus serving work) overlap on one event loop."""
+    import asyncio
+
+    def _run():
+        from dataprof_ray.pipelines.profile import profile_dataset
+
+        ds = read_sql(sql, connection_factory, **read_kwargs)
+        # reference kwarg name `calculate_quality` maps to the repo's
+        # profile_dataset(compute_quality=...)
+        return profile_dataset(ds, batch_size=batch_size,
+                               compute_quality=calculate_quality)
+
+    return await asyncio.to_thread(_run)

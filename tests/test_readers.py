@@ -438,3 +438,65 @@ class TestDbIntrospection:
         f = TestReadSql._factory(self, tmp_path)
         with pytest.raises(ValueError, match="invalid table name"):
             RD.count_table_rows("t; DROP TABLE t", f)
+
+
+class TestAsyncDB:
+    """Async connector facade parity (reference __init__.py:59-99):
+    coroutines offload blocking DBAPI/Ray work so N database operations
+    overlap on one event loop."""
+
+    @staticmethod
+    def _factory(tmp_path):
+        import sqlite3
+
+        db = str(tmp_path / "a.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE IF NOT EXISTS t (id INTEGER, v REAL)")
+        con.executemany("INSERT INTO t VALUES (?, ?)",
+                        [(i, i * 0.5) for i in range(200)])
+        con.commit()
+        con.close()
+        return lambda: __import__("sqlite3").connect(db)
+
+    def test_connection_count_schema(self, tmp_path):
+        import asyncio
+
+        f = self._factory(tmp_path)
+
+        async def go():
+            ok, n, schema = await asyncio.gather(
+                RD.test_connection_async(f),
+                RD.count_table_rows_async(f, "t"),
+                RD.get_table_schema_async(f, "t"),
+            )
+            return ok, n, schema
+
+        ok, n, schema = asyncio.run(go())
+        assert ok is True and n == 200
+        assert schema == {"id": "INTEGER", "v": "REAL"}
+
+    def test_connection_false_on_failure(self, tmp_path):
+        import asyncio
+
+        def bad():
+            raise ConnectionError("no route to host")
+
+        assert asyncio.run(RD.test_connection_async(bad)) is False
+
+    def test_identifier_validation(self, tmp_path):
+        import asyncio
+
+        f = self._factory(tmp_path)
+        with pytest.raises(ValueError, match="identifier"):
+            asyncio.run(RD.count_table_rows_async(f, "t; DROP TABLE t"))
+
+    def test_analyze_database_async(self, ray_session, tmp_path):
+        import asyncio
+
+        f = self._factory(tmp_path)
+        report = asyncio.run(RD.analyze_database_async(
+            f, "SELECT * FROM t", calculate_quality=True))
+        cols = {c.name for c in report.column_profiles}
+        assert cols == {"id", "v"}
+        assert report.rows == 200
+        assert report.quality is not None
