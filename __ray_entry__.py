@@ -700,6 +700,39 @@ def _customers_urgent_orders(sf_dir: str):
         urgent, big_key="c_custkey", small_key="o_custkey", how="semi")
 
 
+def _customers_no_urgent_orders(sf_dir: str):
+    """Anti join (NOT EXISTS): customers holding NO urgent order — the
+    complement of ★customers_urgent_orders, driver-checking the anti
+    flavor of semi_anti_join (null/missing keys kept, SQL NOT EXISTS
+    semantics)."""
+    from dataprof_ray.pipelines.join import semi_anti_join
+
+    urgent = (_read(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderpriority"])
+              .filter(expr="o_orderpriority == '1-URGENT'"))
+    return semi_anti_join(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]),
+        urgent, big_key="c_custkey", small_key="o_custkey", how="anti")
+
+
+def _event_gaps_users(sf_dir: str):
+    """LAG() as a distributed operator: per user, each event's previous
+    same-user timestamp and the exact microsecond gap (inter-event-time —
+    the burst/bot signal). Null user/ts rows are filtered to match the
+    SQL window's partition."""
+    from dataprof_ray.pipelines.window import lag_delta
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def drop_nulls(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                                pc.is_valid(b.column("ts"))))
+
+    return lag_delta(ev.map_batches(drop_nulls, batch_format="pyarrow"),
+                     ts_col="ts", key="user_id", order_extra=["event_id"])
+
+
 def _duplicate_spans_documents(sf_dir: str) -> pd.DataFrame:
     """Cross-document duplicate 13-gram spans (substring-dedup signal)."""
     from dataprof_ray.pipelines.dedup import duplicate_span_stats
@@ -1324,6 +1357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans_documents": _duplicate_spans_documents,
         "line_dedup_documents": _line_dedup_documents,
         "customers_urgent_orders": _customers_urgent_orders,
+        "customers_no_urgent_orders": _customers_no_urgent_orders,
+        "event_gaps_users": _event_gaps_users,
         "rolling_user_events": _rolling_user_events,
         "weekday_type_pivot": _weekday_type_pivot,
         "top3_orders_per_priority": _top3_orders_per_priority,
@@ -2073,6 +2108,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_mktsegment FROM customer WHERE EXISTS "
             "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT')"
+        ),
+        "customers_no_urgent_orders": (
+            "SELECT c_custkey, c_mktsegment FROM customer WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT')"
+        ),
+        "event_gaps_users": (
+            "SELECT event_id, user_id, ts, "
+            "LAG(ts) OVER w AS prev_ts, "
+            "DATEDIFF('microseconds', LAG(ts) OVER w, ts) AS gap_us "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "rolling_user_events": (
             "SELECT event_id, ts, user_id, "

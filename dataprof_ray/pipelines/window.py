@@ -325,3 +325,63 @@ def cumulative_window(
         # nullable_cogroup: see rolling_window
         .map_groups(nullable_cogroup(per_partition), batch_format="pyarrow")
     )
+
+
+def lag_delta(ds, ts_col: str, key: str, order_extra: Sequence[str] = (),
+              partitions: int = None):
+    """SQL ``LAG()`` as a distributed operator: each row gets its same-key
+    predecessor's timestamp (``prev_ts``; null for a key's first row) and
+    the EXACT integer gap in microseconds (``gap_us``) under the order
+    (``ts_col``, *``order_extra``) — the inter-event-time feature behind
+    sessionization thresholds and bot/burst detection. ``order_extra``
+    must make the order total within a key (a unique id) or LAG is
+    non-deterministic on ties in BOTH engines. Rows with a null key or
+    timestamp pass through with null prev/gap (the SQL oracle filters
+    them; a NULLS-grouped LAG partition is rarely what anyone means).
+
+    Scale design: identical exchange to ``rolling_window`` — coarse
+    hash(key) partitions, one sort + one vectorized groupby-shift per
+    partition; output rides the partition. Integer microseconds (not
+    float seconds) keep the gap exact and oracle-matchable."""
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column,
+                                                     nullable_cogroup)
+
+    parts = partitions or DEFAULT_PARTITIONS
+    order_extra = list(order_extra)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__part")
+        valid_mask = df[ts_col].notna() & df[key].notna()
+        valid = df[valid_mask].sort_values([key, ts_col] + order_extra,
+                                           kind="stable")
+        skipped = df[~valid_mask]
+        prev = valid.groupby(key, sort=False)[ts_col].shift(1)
+        out = valid.copy()
+        out["prev_ts"] = prev
+        cur = valid[ts_col].to_numpy()
+        prev_np = prev.to_numpy()
+        has_prev = ~pd.isna(prev_np)
+        gap = pd.array(np.zeros(len(valid), dtype=np.int64), dtype="Int64")
+        gap[~has_prev] = pd.NA
+        if has_prev.any():
+            gap[has_prev] = (cur[has_prev] - prev_np[has_prev]) \
+                .astype("timedelta64[us]").astype(np.int64)
+        out["gap_us"] = gap
+        if len(skipped):
+            skipped = skipped.copy()
+            skipped["prev_ts"] = pd.Series(
+                pd.NaT, index=skipped.index,
+                dtype=valid[ts_col].dtype if len(valid) else "datetime64[us]")
+            skipped["gap_us"] = pd.array([pd.NA] * len(skipped),
+                                         dtype="Int64")
+            out = pd.concat([out, skipped], ignore_index=True)
+        return out
+
+    return (
+        ds.map_batches(lambda b: add_part_column(b, [key], parts),
+                       batch_format="pyarrow")
+        .groupby("__part")
+        # nullable_cogroup: see rolling_window
+        .map_groups(nullable_cogroup(per_partition), batch_format="pyarrow")
+    )

@@ -150,3 +150,40 @@ def test_rolling_window_rejects_negative(ray_session):
                   "c": pa.array([1], pa.int64())})
     with pytest.raises(ValueError, match="non-negative"):
         rolling_window(rd.from_arrow(t), "ts", "k", "-1h")
+
+
+def test_lag_delta(ray_session):
+    """LAG semantics: per-key previous ts + exact integer microsecond gap;
+    first row of a key and null-key/ts rows get nulls; ties broken by
+    order_extra; int payloads survive (nullable cogroup)."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from dataprof_ray.pipelines.window import lag_delta
+
+    def ts(us):
+        return us
+
+    t = pa.table({
+        "uid": pa.array([1, 1, 1, 2, None, 2], pa.int64()),
+        "eid": pa.array([10, 11, 12, 20, 30, 21], pa.int64()),
+        "ts": pa.array([100, 250, 250, 7, None, 1000007], pa.int64())
+        .cast(pa.timestamp("us")),
+    })
+    out_t = pa.concat_tables(
+        list(lag_delta(rd.from_arrow(t).repartition(3), ts_col="ts",
+                       key="uid", order_extra=["eid"], partitions=4)
+             .iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default")
+    assert out_t.schema.field("gap_us").type == pa.int64()
+    assert out_t.schema.field("eid").type == pa.int64()
+    out = out_t.to_pandas().sort_values("eid").set_index("eid")
+    assert pd.isna(out.loc[10, "gap_us"])  # first row of uid=1
+    assert out.loc[11, "gap_us"] == 150
+    assert out.loc[12, "gap_us"] == 0  # tie: eid order makes 11 the prev
+    assert out.loc[12, "prev_ts"] == out.loc[11, "ts"]
+    assert pd.isna(out.loc[20, "gap_us"])
+    assert out.loc[21, "gap_us"] == 1_000_000
+    # null key passes through with null prev/gap
+    assert pd.isna(out.loc[30, "gap_us"]) and pd.isna(out.loc[30, "prev_ts"])
