@@ -700,6 +700,27 @@ def _customers_urgent_orders(sf_dir: str):
         urgent, big_key="c_custkey", small_key="o_custkey", how="semi")
 
 
+def _vocab_drift_documents(sf_dir: str) -> pd.DataFrame:
+    """Corpus-snapshot vocabulary drift: even-doc_id docs stand in for the
+    prior crawl, odd for the new one; top-30 terms by absolute count
+    change with per-side counts (exact oracle: same tokenizer contract as
+    ★top_terms_documents)."""
+    from dataprof_ray.pipelines.drift import vocab_drift
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+        return f
+
+    return vocab_drift(
+        docs.map_batches(side(0), batch_format="pyarrow"),
+        docs.map_batches(side(1), batch_format="pyarrow"),
+        top_n=30)
+
+
 def _customers_no_urgent_orders(sf_dir: str):
     """Anti join (NOT EXISTS): customers holding NO urgent order — the
     complement of ★customers_urgent_orders, driver-checking the anti
@@ -1359,6 +1380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_urgent_orders": _customers_urgent_orders,
         "customers_no_urgent_orders": _customers_no_urgent_orders,
         "event_gaps_users": _event_gaps_users,
+        "vocab_drift_documents": _vocab_drift_documents,
         "rolling_user_events": _rolling_user_events,
         "weekday_type_pivot": _weekday_type_pivot,
         "top3_orders_per_priority": _top3_orders_per_priority,
@@ -2120,6 +2142,20 @@ def oracle_sql() -> dict[str, str]:
             "DATEDIFF('microseconds', LAG(ts) OVER w, ts) AS gap_us "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "vocab_drift_documents": (
+            "WITH toks AS (SELECT doc_id % 2 AS side, "
+            "LOWER(UNNEST(REGEXP_SPLIT_TO_ARRAY("
+            "TRIM(text, ' \t\n\r'), '\\s+'))) AS term "
+            "FROM documents WHERE TRIM(text, ' \t\n\r') <> ''), "
+            "c AS (SELECT term, "
+            "SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_a, "
+            "SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_b "
+            "FROM toks GROUP BY term) "
+            "SELECT term, CAST(n_a AS BIGINT) AS n_a, "
+            "CAST(n_b AS BIGINT) AS n_b, "
+            "CAST(n_b - n_a AS BIGINT) AS delta "
+            "FROM c ORDER BY ABS(n_b - n_a) DESC, term LIMIT 30"
         ),
         "rolling_user_events": (
             "SELECT event_id, ts, user_id, "

@@ -184,3 +184,84 @@ def drift_report(ds_a, ds_b, columns: Optional[list] = None,
         rows.append({"column": name, "kind": kind,
                      "psi": out["psi"], "verdict": out["verdict"]})
     return pd.DataFrame(rows)
+
+
+def vocab_drift(ds_a, ds_b, text_col: str = "text", top_n: int = 30,
+                partitions: int = None) -> pd.DataFrame:
+    """Token-frequency drift between two corpus SNAPSHOTS (this week's
+    crawl vs last week's): exact global unigram counts per side, aligned
+    full-outer, returning the ``top_n`` terms by absolute count change
+    (ties broken by term) with per-side counts and the signed delta. The
+    vocabulary view of :func:`categorical_drift` — the monitoring signal
+    that catches a template flood, a language-mix shift or a spam burst
+    between crawls before it poisons a training mix.
+
+    Token contract matches ``textstats.top_terms`` (lowercase, ``\\s+``
+    split, empty-stripped documents contribute nothing), so the DuckDB
+    oracle is exact.
+
+    Scale design: per-batch partial Counters per side -> (term, n, side)
+    rows COARSE-partitioned by term hash (each term lives wholly in one
+    partition) -> one vectorized pivot per partition, which keeps only its
+    own top_n candidates — the driver concatenates ``partitions x top_n``
+    rows and cuts the global top_n. Documents never move; the shuffle is
+    term partials."""
+    from collections import Counter
+
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     arrow_out,
+                                                     column_hashes)
+    from dataprof_ray.pipelines.textstats import _WS_SPLIT
+
+    parts = partitions or DEFAULT_PARTITIONS
+
+    def partials(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            counts: Counter = Counter()
+            for t in batch.column(text_col).to_pylist():
+                toks = _WS_SPLIT.split((t or "").lower().strip())
+                if toks == [""]:
+                    continue
+                counts.update(toks)
+            terms = pa.array(list(counts.keys()), pa.string())
+            part = (column_hashes(terms) % np.uint64(parts)).astype(np.int32) \
+                if len(terms) else np.empty(0, dtype=np.int32)
+            return pa.table({
+                "term": terms,
+                "n": pa.array(list(counts.values()), pa.int64()),
+                "side": pa.array(np.full(len(terms), side, np.int8)),
+                "__part": pa.array(part, pa.int32()),
+            })
+        return f
+
+    tagged = (ds_a.select_columns([text_col])
+              .map_batches(partials(0), batch_format="pyarrow")
+              .union(ds_b.select_columns([text_col])
+                     .map_batches(partials(1), batch_format="pyarrow")))
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        piv = (df.pivot_table(index="term", columns="side", values="n",
+                              aggfunc="sum", fill_value=0)
+               .reindex(columns=[0, 1], fill_value=0))
+        out = pd.DataFrame({
+            "term": piv.index.to_numpy(),
+            "n_a": piv[0].to_numpy(dtype=np.int64),
+            "n_b": piv[1].to_numpy(dtype=np.int64),
+        })
+        out["delta"] = out["n_b"] - out["n_a"]
+        out["__abs"] = out["delta"].abs()
+        out = out.sort_values(["__abs", "term"],
+                              ascending=[False, True]).head(top_n)
+        return out.drop(columns="__abs")
+
+    cand = (tagged.groupby("__part")
+            .map_groups(arrow_out(reduce_part), batch_format="pandas")
+            .to_pandas())
+    if cand.empty:
+        return pd.DataFrame({"term": pd.Series([], dtype=str),
+                             "n_a": pd.Series([], dtype=np.int64),
+                             "n_b": pd.Series([], dtype=np.int64),
+                             "delta": pd.Series([], dtype=np.int64)})
+    cand["__abs"] = cand["delta"].abs()
+    return (cand.sort_values(["__abs", "term"], ascending=[False, True])
+            .head(top_n).drop(columns="__abs").reset_index(drop=True))

@@ -145,3 +145,33 @@ def test_drift_report_whole_table(ray_session):
     assert rep.loc["num", "verdict"] == "major_drift"
     assert rep.loc["cat", "verdict"] == "stable"
     assert "ts" not in rep.index  # non-numeric/string skipped
+
+
+def test_vocab_drift_planted_shift(ray_session):
+    """Planted drift: side B floods 'spamword'; top term by |delta| must
+    be the flood, counts exact, ties broken by term."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.drift import vocab_drift
+
+    a = pa.table({"text": ["alpha beta gamma", "alpha beta", "", None]})
+    b = pa.table({"text": ["spamword spamword spamword alpha",
+                           "spamword beta gamma gamma"]})
+    out = vocab_drift(rd.from_arrow(a).repartition(2),
+                      rd.from_arrow(b).repartition(2), top_n=3)
+    assert out.loc[0, "term"] == "spamword"
+    assert out.loc[0, "n_a"] == 0 and out.loc[0, "n_b"] == 4
+    assert out.loc[0, "delta"] == 4
+    # |delta|=1 ties: alpha (2->1), beta (2->1), gamma (1->2) -> term order
+    assert out["term"].tolist() == ["spamword", "alpha", "beta"]
+
+
+def test_vocab_drift_empty_sides(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.drift import vocab_drift
+
+    empty = pa.table({"text": pa.array([], pa.string())})
+    out = vocab_drift(rd.from_arrow(empty), rd.from_arrow(empty))
+    assert len(out) == 0
+    assert list(out.columns) == ["term", "n_a", "n_b", "delta"]
