@@ -700,6 +700,39 @@ def _customers_urgent_orders(sf_dir: str):
         urgent, big_key="c_custkey", small_key="o_custkey", how="semi")
 
 
+def _user_click_purchase_counts(sf_dir: str):
+    """FULL OUTER join driver coverage: per-user click counts (users with
+    user_id % 3 == 0) full-joined to purchase counts (user_id % 2 == 0) —
+    the sparsity filters guarantee one-sided rows so the outer semantics
+    (kept unmatched rows, coalesced key, int64-with-null counts) are
+    actually exercised."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.aggregate import preagg_groupby
+    from dataprof_ray.pipelines.join import hash_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def side(event_type: str, mod: int, out_name: str) -> pd.DataFrame:
+        def pick(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            ids = b.column("user_id")
+            keep = pc.and_(pc.is_valid(ids),
+                           pc.equal(b.column("event_type"), event_type))
+            b = b.filter(keep)
+            ids = b.column("user_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % mod == 0))
+        agg = preagg_groupby(ev.map_batches(pick, batch_format="pyarrow"),
+                             ["user_id"], [(out_name, "user_id", "count")])
+        return rd.from_arrow(pa.Table.from_pandas(
+            agg, preserve_index=False).replace_schema_metadata(None))
+
+    clicks = side("click", 3, "n_clicks")
+    purchases = side("purchase", 2, "n_purchases")
+    return hash_join(clicks, purchases, left_key="user_id",
+                     right_key="user_id", how="outer", partitions=16)
+
+
 def _vocab_drift_documents(sf_dir: str) -> pd.DataFrame:
     """Corpus-snapshot vocabulary drift: even-doc_id docs stand in for the
     prior crawl, odd for the new one; top-30 terms by absolute count
@@ -1381,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent_orders": _customers_no_urgent_orders,
         "event_gaps_users": _event_gaps_users,
         "vocab_drift_documents": _vocab_drift_documents,
+        "user_click_purchase_counts": _user_click_purchase_counts,
         "rolling_user_events": _rolling_user_events,
         "weekday_type_pivot": _weekday_type_pivot,
         "top3_orders_per_priority": _top3_orders_per_priority,
@@ -2142,6 +2176,17 @@ def oracle_sql() -> dict[str, str]:
             "DATEDIFF('microseconds', LAG(ts) OVER w, ts) AS gap_us "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "user_click_purchase_counts": (
+            "WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events "
+            "WHERE event_type = 'click' AND user_id IS NOT NULL "
+            "AND user_id % 3 = 0 GROUP BY user_id), "
+            "p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events "
+            "WHERE event_type = 'purchase' AND user_id IS NOT NULL "
+            "AND user_id % 2 = 0 GROUP BY user_id) "
+            "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
+            "c.n_clicks, p.n_purchases "
+            "FROM c FULL JOIN p ON c.user_id = p.user_id"
         ),
         "vocab_drift_documents": (
             "WITH toks AS (SELECT doc_id % 2 AS side, "

@@ -234,13 +234,18 @@ def hash_join(
     SQL keeps both); a right column colliding with a left name gets
     ``right_suffix``.
 
-    Semantics pinned to SQL: NULL keys never match (right-side NULL-key
-    rows are dropped; left NULL-key rows are dropped for ``inner`` and
-    null-filled for ``left``). Duplicate keys multiply rows, as in SQL.
-    Integer/bool columns keep their types for BOTH join kinds: the cogroup
-    converts Arrow blocks with pandas NULLABLE dtypes (Int64/boolean), so
-    a ``left`` join null-fills with NA instead of laundering ints to
-    float64 (and >2^53 values survive exactly).
+    Semantics pinned to SQL, all four kinds (``inner`` / ``left`` /
+    ``right`` / ``outer``): NULL keys never match — NULL-key rows are
+    dropped by the kinds that drop that side's unmatched rows and emitted
+    null-filled by the kinds that keep them (FULL JOIN keeps both).
+    Duplicate keys multiply rows, as in SQL. When the two key columns
+    share one name, unmatched right rows carry their key VALUE in that
+    column (SQL ``USING`` / coalesced-key semantics — the useful form;
+    with distinct key names both columns appear). Integer/bool columns
+    keep their types for EVERY join kind: the cogroup converts Arrow
+    blocks with pandas NULLABLE dtypes (Int64/boolean), so null-fills use
+    NA instead of laundering ints to float64 (and >2^53 values survive
+    exactly).
 
     The right key is CAST to the left key's Arrow type before both
     hashing and matching: hashes are dtype-sensitive (hash(1: int64) !=
@@ -254,8 +259,12 @@ def hash_join(
     partition task."""
     import pandas as pd
 
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "right", "outer"):
         raise ValueError(f"unsupported join type: {how}")
+    if hot_keys and how in ("right", "outer"):
+        # build-side salting REPLICATES right rows; an unmatched replica
+        # would surface salt_factor times in right/outer output
+        raise ValueError("hot_keys salting supports inner/left joins only")
     left_schema = left.schema().base_schema
     right_schema = right.schema().base_schema
     left_cols = list(left_schema.names)
@@ -323,9 +332,22 @@ def hash_join(
         l = ldf[left_cols]
         r = rdf[[left_key] + ["__r_" + c for c in keep_right]].rename(
             columns={"__r_" + c: rename_right[c] for c in keep_right})
-        if part < 0:  # NULL join keys never match (SQL semantics): merging
-            r = r.iloc[0:0]  # against an emptied right drops (inner) or
-        merged = l.merge(r, how=how, on=left_key)[out_cols]  # null-fills (left)
+        if part < 0:
+            # NULL join keys never match (SQL semantics). Emit each side's
+            # rows unmatched as the kind requires, constructed via merges
+            # against an EMPTIED other side — pandas would otherwise match
+            # NA keys to each other in a real outer merge.
+            pieces = []
+            if how in ("left", "outer") and len(l):
+                pieces.append(l.merge(r.iloc[0:0], how="left", on=left_key))
+            if how in ("right", "outer") and len(r):
+                pieces.append(l.iloc[0:0].merge(r, how="right", on=left_key))
+            merged = (pd.concat(pieces, ignore_index=True)
+                      if pieces else
+                      l.iloc[0:0].merge(r.iloc[0:0], how="inner",
+                                        on=left_key))[out_cols]
+        else:
+            merged = l.merge(r, how=how, on=left_key)[out_cols]
         # back to Arrow here (nullable Int64 -> int64 with nulls) so output
         # blocks are Arrow-typed, not pandas-extension blocks; the pandas
         # schema metadata is stripped or to_pandas would re-promote to Int64

@@ -450,3 +450,50 @@ def test_asof_join_preserves_int_dtypes(ray_session):
     df = out.to_pandas(types_mapper=_nullable_mapper)
     assert sorted(df["x"].dropna().astype("int64").tolist()) == [big]
     assert df["x"].isna().sum() == 2  # k=2 no match + NULL key
+
+
+def test_hash_join_right_and_outer(ray_session):
+    """Right/full joins complete the SQL surface: unmatched rows of the
+    kept side(s) null-fill, NULL keys never match but ARE kept by the
+    kinds that keep their side, shared-name keys coalesce, int dtypes
+    survive the null fills."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import hash_join
+
+    big = (1 << 59) + 5
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, None], pa.int64()),
+        "lv": pa.array([10, big, 30], pa.int64()),
+    })).repartition(2)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 4, None], pa.int64()),
+        "rv": pa.array([200, 400, 500], pa.int64()),
+    })).repartition(2)
+
+    out_t = _arrow_result(hash_join(left, right, left_key="k",
+                                    right_key="k", how="outer",
+                                    partitions=4))
+    assert out_t.schema.field("lv").type == pa.int64()
+    assert out_t.schema.field("rv").type == pa.int64()
+    from dataprof_ray.pipelines.join import _nullable_mapper
+    out = out_t.to_pandas(types_mapper=_nullable_mapper)
+    assert len(out) == 5  # 1 match + 2 left-only (incl NULL key) + 2 right-only
+    m = out[out["lv"] == big].iloc[0]
+    assert m["k"] == 2 and m["rv"] == 200
+    # right-only row coalesces the shared-name key (SQL USING semantics)
+    r4 = out[out["rv"] == 400].iloc[0]
+    assert r4["k"] == 4 and pd.isna(r4["lv"])
+    # NULL keys never match, but both null-key rows survive a FULL join
+    assert pd.isna(out[out["lv"] == 30].iloc[0]["rv"])
+    assert pd.isna(out[out["rv"] == 500].iloc[0]["lv"])
+
+    rj = _arrow_result(hash_join(left, right, left_key="k", right_key="k",
+                                 how="right", partitions=4)) \
+        .to_pandas(types_mapper=_nullable_mapper)
+    assert len(rj) == 3  # match + right-only + right NULL-key row
+    assert set(rj[rj["rv"].notna()]["rv"]) == {200, 400, 500}
+
+    with pytest.raises(ValueError, match="salting"):
+        hash_join(left, right, left_key="k", right_key="k", how="outer",
+                  hot_keys=[2])
