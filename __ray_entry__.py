@@ -700,6 +700,19 @@ def _customers_urgent_orders(sf_dir: str):
         urgent, big_key="c_custkey", small_key="o_custkey", how="semi")
 
 
+def _jaccard_pairs_exact(sf_dir: str):
+    """EXACT 3-gram Jaccard pairs >= 0.5 via the distributed inverted-gram
+    index (ground truth for the LSH-gated ★ngram_jaccard_pairs — whose
+    recall this pins externally: SQL computes the identical all-pairs
+    join)."""
+    from dataprof_ray.pipelines.dedup import exact_jaccard_pairs
+
+    return exact_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"],
+              override_num_blocks=16),
+        n=3, threshold=0.5)
+
+
 def _user_click_purchase_counts(sf_dir: str):
     """FULL OUTER join driver coverage: per-user click counts (users with
     user_id % 3 == 0) full-joined to purchase counts (user_id % 2 == 0) —
@@ -1415,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps_users": _event_gaps_users,
         "vocab_drift_documents": _vocab_drift_documents,
         "user_click_purchase_counts": _user_click_purchase_counts,
+        "jaccard_pairs_exact": _jaccard_pairs_exact,
         "rolling_user_events": _rolling_user_events,
         "weekday_type_pivot": _weekday_type_pivot,
         "top3_orders_per_priority": _top3_orders_per_priority,
@@ -2176,6 +2190,26 @@ def oracle_sql() -> dict[str, str]:
             "DATEDIFF('microseconds', LAG(ts) OVER w, ts) AS gap_us "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        # exact inverted-index all-pairs Jaccard — identical algorithm in
+        # SQL; jaccard rounded half-away 6 places on both engines
+        "jaccard_pairs_exact": (
+            "WITH toks AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY("
+            "TRIM(LOWER(text), ' \t\n\r'), '\\s+') AS arr "
+            "FROM documents WHERE TRIM(text, ' \t\n\r') <> ''), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g "
+            "FROM toks, UNNEST(RANGE(1, LEN(arr) - 1)) t(i) "
+            "WHERE LEN(arr) >= 3), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "COUNT(*) AS m FROM sh a JOIN sh b ON a.g = b.g "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, "
+            "ROUND(m * 1.0 / (sa.n + sb.n - m), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            "JOIN sizes sb ON sb.doc_id = id_b "
+            "WHERE m * 1.0 / (sa.n + sb.n - m) >= 0.5"
         ),
         "user_click_purchase_counts": (
             "WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events "

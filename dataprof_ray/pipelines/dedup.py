@@ -1937,3 +1937,114 @@ def neardup_vs_prior_verified(new_ds, prior_ds, threshold: float = 0.8,
         "new_id": out["orig"].astype(np.int64),
         "prior_witness": out["prior_witness"].astype(np.int64),
     }).sort_values("new_id").reset_index(drop=True))
+
+
+def exact_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    partitions: int = _EDGE_PARTITIONS,
+):
+    """EXACT word-n-gram Jaccard pairs (id_a < id_b, jaccard >= threshold)
+    — the ground-truth twin of :func:`ngram_jaccard_duplicate_pairs`. The
+    LSH-gated op is the scale path but is candidate-bounded by contract
+    (band misses and bucket-min star mediation can drop true pairs); this
+    one is the inverted-index ALL-pairs algorithm SQL engines run, exact
+    by construction, for recall measurement and oracle checking.
+
+    Scale design: per-doc DISTINCT gram hashes ship as (hash, doc) rows
+    into gram-hash partitions; each partition self-joins its posting
+    lists (one vectorized pandas merge) into per-pair partial
+    intersection counts, which re-shuffle on a pair-hash bucket and sum;
+    per-doc gram-set sizes attach via two ``hash_join`` passes and the
+    Jaccard filter runs vectorized. Documents never move. Honest limit:
+    posting lists of corpus-stopword grams self-join quadratically — at
+    crawl scale run this AFTER the cheap dedup passes, or on a sample;
+    the LSH-gated op is the unbounded-corpus tool (the standard
+    exactness-vs-cost trade of AllPairs-style similarity joins)."""
+    import pandas as pd
+
+    from dataprof_ray.pipelines.aggregate import round_away
+    from dataprof_ray.pipelines.join import hash_join
+
+    parts = int(partitions)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        hs, ds_ = [], []
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            u = np.unique(_wordgram_hashes(t, n))
+            if len(u):
+                hs.append(u)
+                ds_.append(np.full(len(u), i, dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        d = np.concatenate(ds_) if ds_ else np.empty(0, dtype=np.int64)
+        return pa.table({
+            "h": pa.array(h, pa.uint64()),
+            "d": pa.array(d, pa.int64()),
+            "__part": pa.array((h % np.uint64(parts)).astype(np.int32),
+                               pa.int32()),
+        })
+
+    def size_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ns = [len(np.unique(_wordgram_hashes(t, n)))
+              for t in batch.column(text_col).to_pylist()]
+        keep = np.asarray(ns) > 0
+        return pa.table({
+            "sz_doc": pa.array(np.asarray(ids)[keep].astype(np.int64)),
+            "n_grams": pa.array(np.asarray(ns, dtype=np.int64)[keep]),
+        })
+
+    def partial_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # posting-list self-join within this gram partition
+        df = df[["h", "d"]]
+        m = df.merge(df, on="h")
+        m = m[m["d_x"] < m["d_y"]]
+        out = (m.groupby(["d_x", "d_y"], sort=False).size()
+               .reset_index(name="m")
+               .rename(columns={"d_x": "id_a", "d_y": "id_b"}))
+        with np.errstate(over="ignore"):
+            pp = ((out["id_a"].to_numpy(dtype=np.uint64) *
+                   np.uint64(0x9E3779B97F4A7C15)) ^
+                  out["id_b"].to_numpy(dtype=np.uint64))
+        out["__ppart"] = (pp % np.uint64(parts)).astype(np.int32)
+        return out
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["id_a", "id_b"], as_index=False, sort=False)
+                ["m"].sum())
+
+    proj = ds.select_columns([id_col, text_col])
+    edges = (proj.map_batches(gram_rows, batch_format="pyarrow")
+             .groupby("__part")
+             .map_groups(arrow_out(partial_pairs), batch_format="pandas")
+             .groupby("__ppart")
+             .map_groups(arrow_out(sum_pairs), batch_format="pandas"))
+    sizes = proj.map_batches(size_rows, batch_format="pyarrow")
+    with_a = hash_join(edges, sizes, left_key="id_a", right_key="sz_doc",
+                       partitions=parts).drop_columns(["sz_doc"])
+
+    def rename_na(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["na" if c == "n_grams" else c for c in batch.schema.names])
+
+    with_b = hash_join(with_a.map_batches(rename_na, batch_format="pyarrow"),
+                       sizes, left_key="id_b", right_key="sz_doc",
+                       partitions=parts).drop_columns(["sz_doc"])
+
+    def jfilter(batch: pa.Table) -> pa.Table:
+        m = batch.column("m").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("na").to_numpy(zero_copy_only=False)
+        nb = batch.column("n_grams").to_numpy(zero_copy_only=False)
+        j = m / (na + nb - m)
+        keep = j >= threshold
+        return pa.table({
+            "id_a": batch.column("id_a").filter(pa.array(keep)),
+            "id_b": batch.column("id_b").filter(pa.array(keep)),
+            "jaccard": pa.array(round_away(j[keep], 6), pa.float64()),
+        })
+
+    return with_b.map_batches(jfilter, batch_format="pyarrow")

@@ -577,3 +577,38 @@ def test_remove_duplicate_spans_partitioned_tier_matches_broadcast(ray_session):
     assert k.loc[3, "text"] == texts[3]
     assert k.loc[25, "text"] == ""
     assert k.loc[26, "text"] == ""
+
+
+def test_exact_jaccard_pairs_matches_reference(ray_session):
+    """Inverted-index all-pairs Jaccard == brute-force python reference
+    (exactness, ordering-free, threshold boundary inclusive)."""
+    import itertools
+
+    import ray
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=12)) for _ in range(18)]
+    texts += [texts[0], texts[1] + " extra tail words here"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+
+    def grams(s):
+        w = s.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    want = []
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        ga, gb = grams(texts[a]), grams(texts[b])
+        if not ga or not gb:
+            continue
+        j = len(ga & gb) / len(ga | gb)
+        if j >= 0.3:
+            want.append((a, b, round(j, 6)))
+    got = (D.exact_jaccard_pairs(ray.data.from_arrow(t).repartition(3),
+                                 n=3, threshold=0.3)
+           .to_pandas().sort_values(["id_a", "id_b"]))
+    got_t = list(got.itertuples(index=False, name=None))
+    assert sorted(got_t) == sorted(want)
+    # the planted exact clone pair is found at jaccard 1.0
+    assert (0, 18, 1.0) in got_t
