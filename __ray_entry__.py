@@ -713,6 +713,29 @@ def _jaccard_pairs_exact(sf_dir: str):
         n=3, threshold=0.5)
 
 
+def _jaccard_lsh_recall_audit(sf_dir: str) -> pd.DataFrame:
+    """Measured recall of the LSH-gated pairs op against the EXACT
+    inverted-index ground truth (★jaccard_pairs_exact) on the same corpus
+    and threshold — the external anchor VERDICT-style audits want: if a
+    banding regression drops recall, this row changes."""
+    from dataprof_ray.pipelines.dedup import (exact_jaccard_pairs,
+                                              ngram_jaccard_duplicate_pairs)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"],
+                 override_num_blocks=16)
+    exact = exact_jaccard_pairs(docs, n=3, threshold=0.5).to_pandas()
+    gated = ngram_jaccard_duplicate_pairs(docs, n=3, threshold=0.5,
+                                          concurrency=(1, 4))
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    g = set(zip(gated["id_a"].astype(int), gated["id_b"].astype(int)))
+    return pd.DataFrame([{
+        "exact_pairs": len(e),
+        "lsh_pairs": len(g),
+        "false_pairs": len(g - e),
+        "recall": round(len(g & e) / len(e), 4) if e else 1.0,
+    }])
+
+
 def _user_click_purchase_counts(sf_dir: str):
     """FULL OUTER join driver coverage: per-user click counts (users with
     user_id % 3 == 0) full-joined to purchase counts (user_id % 2 == 0) —
@@ -1503,6 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_cms_audit": _heavy_hitters_cms_audit,
         "packed_sequences_documents": _packed_sequences_documents,
         "packing_efficiency_audit": _packing_efficiency_audit,
+        "jaccard_lsh_recall_audit": _jaccard_lsh_recall_audit,
     }
 
 
