@@ -120,7 +120,8 @@ class ScoreScrubStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
-        texts = batch.column("extracted_text").to_pylist()
+        texts_col = batch.column("extracted_text")
+        texts = texts_col.to_pylist()
         langids = batch.column("langid").to_pylist()
         confs = batch.column("langid_conf").to_numpy(zero_copy_only=False)
         ppls = batch.column("perplexity").to_numpy(zero_copy_only=False)
@@ -132,8 +133,11 @@ class ScoreScrubStage:
         n_chars = np.zeros(n, dtype=np.int64)
         n_words = np.zeros(n, dtype=np.int64)
         to_scrub_idx = []
-        for i, text in enumerate(texts):
-            m = DQ.doc_metrics(text or "", langids[i])
+        # batched metrics: one Arrow/RE2 kernel call per batch for the
+        # vectorizable scans (value-identical to DQ.doc_metrics — pinned
+        # by the batch-parity test)
+        metrics = DQ.doc_metrics_batch(texts_col, langids)
+        for i, m in enumerate(metrics):
             n_chars[i] = m.n_chars
             n_words[i] = m.n_words
             keep, reason = DQ.evaluate_rules(m, langids[i], float(confs[i]), float(ppls[i]), cfg)

@@ -243,3 +243,49 @@ class TestUrlDedup:
                .sort_values("doc_id").reset_index(drop=True))
         assert sorted(out["doc_id"]) == [1, 3]
         assert "canonical_url" in out.columns
+
+
+def test_doc_metrics_batch_parity():
+    """The batched metric kernels (Arrow/RE2 scans) must be VALUE-IDENTICAL
+    to the per-doc python path over adversarial unicode: every python-\\s
+    whitespace char (incl. \\x1c-\\x1f, NEL, NBSP, Zl/Zp), non-decimal
+    numerics, combining marks, turkish dotted-I casing."""
+    from dataprof_ray.functions import docquality as DQ
+
+    cases = [
+        "", "   ", None, "hello world", "x\x1cy", "tab\tsep",
+        "nel\x85nel", "a b", "a b", "a b", "a　b",
+        "a​b", "x\x0by\x0cz", "İstanbul DİŞ",
+        "café combining", "Ⅰ Ⅱ ½",  # Nl/No tokens
+        "digits 123 _under_ #sym$", "Émile café naïve",
+        "- bullet\n- bullet\n\nline...\nline...\nline\nline",
+        "dup\ndup\ndup", "the the the the", "日本語 テスト 文章",
+        "cookie policy ACCEPT ALL COOKIES now", "\x1c\x1d\x1e\x1f",
+        "a" * 3000,
+    ]
+    langs = ["en", "fr", "de", "es", "it"] * 5
+    batch = DQ.doc_metrics_batch(cases, langs)
+    for i, t in enumerate(cases):
+        assert DQ.doc_metrics(t or "", langs[i]) == batch[i], repr(t)
+
+
+def test_langid_and_perplexity_batch_parity():
+    from dataprof_ray.functions import docquality as DQ
+
+    texts = [
+        "", None, "123 456", "_ _ _", "le la les et je suis",
+        "der und die das ist nicht", "THE AND OF A IN TO",
+        "el la los de y en un", "il la di e in un che",
+        "xyzzy plugh qwop", "Ⅰ Ⅱ ½ the of",
+        "ab", "abc", "the quick brown fox jumps over the lazy dog",
+    ]
+    m = DQ.LangIdModel()
+    langs_b, confs_b = m.predict_batch(texts)
+    for i, t in enumerate(texts):
+        l, c = m.predict(t or "")
+        assert l == langs_b[i] and abs(c - confs_b[i]) < 1e-15, repr(t)
+    lm = DQ.TrigramLM()
+    import numpy as np
+    got = lm.perplexity_batch(texts)
+    want = np.array([lm.perplexity(t or "") for t in texts])
+    assert (got == want).all()  # bit-identical, not just close
