@@ -100,6 +100,11 @@ def bench_queries() -> dict[str, float]:
         # hitters
         "global_shuffle_documents", "packed_sequences_documents",
         "neardup_vs_prior_audit", "heavy_hitters_cms_audit",
+        # round 4 additions: exact all-pairs Jaccard (inverted gram
+        # index), vocabulary drift between snapshots, LAG inter-event
+        # gaps, full-outer join
+        "jaccard_pairs_exact", "vocab_drift_documents",
+        "event_gaps_users", "user_click_purchase_counts",
     ]
     qs = E.queries()
     out: dict[str, float] = {}

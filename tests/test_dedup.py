@@ -612,3 +612,24 @@ def test_exact_jaccard_pairs_matches_reference(ray_session):
     assert sorted(got_t) == sorted(want)
     # the planted exact clone pair is found at jaccard 1.0
     assert (0, 18, 1.0) in got_t
+
+
+def test_exact_jaccard_pairs_join_tier_matches_broadcast(ray_session):
+    """size_broadcast_limit=0 forces the hash-join size tier; both tiers
+    must emit identical pairs."""
+    import ray
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab, size=15)) for _ in range(20)]
+    texts += [texts[2], texts[4] + " tail"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    a = (D.exact_jaccard_pairs(ray.data.from_arrow(t).repartition(3),
+                               n=3, threshold=0.4)
+         .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    b = (D.exact_jaccard_pairs(ray.data.from_arrow(t).repartition(4),
+                               n=3, threshold=0.4, size_broadcast_limit=0)
+         .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert len(a) >= 2
