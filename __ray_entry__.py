@@ -713,6 +713,36 @@ def _jaccard_pairs_exact(sf_dir: str):
         n=3, threshold=0.5)
 
 
+def _snapshot_diff_documents(sf_dir: str) -> pd.DataFrame:
+    """Crawl-snapshot diff: snapshot A = docs with doc_id % 5 != 4,
+    snapshot B = docs with doc_id % 5 != 0 and every 7th doc's text
+    edited — so all four statuses (added / removed / changed / unchanged)
+    genuinely occur. One full-outer join of (key, md5) rows."""
+    from dataprof_ray.pipelines.drift import snapshot_diff
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def side_a(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 5 != 4))
+
+    def side_b(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(ids % 5 != 0))
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        edited = [
+            ((t or "") + " updated") if i % 7 == 0 else t
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(edited, pa.string())})
+
+    return snapshot_diff(
+        docs.map_batches(side_a, batch_format="pyarrow"),
+        docs.map_batches(side_b, batch_format="pyarrow"))
+
+
 def _jaccard_lsh_recall_audit(sf_dir: str) -> pd.DataFrame:
     """Measured recall of the LSH-gated pairs op against the EXACT
     inverted-index ground truth (★jaccard_pairs_exact) on the same corpus
@@ -1506,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_click_purchase_counts": _user_click_purchase_counts,
         "jaccard_pairs_exact": _jaccard_pairs_exact,
         "hll_error_check": _hll_error_check,
+        "snapshot_diff_documents": _snapshot_diff_documents,
         "rolling_user_events": _rolling_user_events,
         "weekday_type_pivot": _weekday_type_pivot,
         "top3_orders_per_priority": _top3_orders_per_priority,
@@ -2268,6 +2299,19 @@ def oracle_sql() -> dict[str, str]:
             "DATEDIFF('microseconds', LAG(ts) OVER w, ts) AS gap_us "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "snapshot_diff_documents": (
+            "WITH a AS (SELECT doc_id, MD5(COALESCE(text, '')) AS h "
+            "FROM documents WHERE doc_id % 5 <> 4), "
+            "b AS (SELECT doc_id, MD5(COALESCE(CASE WHEN doc_id % 7 = 0 "
+            "THEN COALESCE(text, '') || ' updated' ELSE text END, '')) AS h "
+            "FROM documents WHERE doc_id % 5 <> 0) "
+            "SELECT status, COUNT(*) AS n_docs FROM ("
+            "SELECT CASE WHEN a.doc_id IS NULL THEN 'added' "
+            "WHEN b.doc_id IS NULL THEN 'removed' "
+            "WHEN a.h = b.h THEN 'unchanged' ELSE 'changed' END AS status "
+            "FROM a FULL JOIN b ON a.doc_id = b.doc_id) "
+            "GROUP BY status ORDER BY status"
         ),
         # distributed exact-distinct vs p=14 HLL; oracle pins the 3%
         # error bound (deterministic: fixed sketch hash)

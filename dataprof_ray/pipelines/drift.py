@@ -265,3 +265,56 @@ def vocab_drift(ds_a, ds_b, text_col: str = "text", top_n: int = 30,
     cand["__abs"] = cand["delta"].abs()
     return (cand.sort_values(["__abs", "term"], ascending=[False, True])
             .head(top_n).drop(columns="__abs").reset_index(drop=True))
+
+
+def snapshot_diff(ds_a, ds_b, key_col: str = "doc_id",
+                  text_col: str = "text",
+                  partitions: int = 64) -> pd.DataFrame:
+    """Crawl-snapshot diff: per-status document counts between two corpus
+    snapshots keyed by ``key_col`` — ``added`` (key only in B),
+    ``removed`` (only in A), ``changed`` / ``unchanged`` (md5 of text
+    decides; md5-hex matches SQL ``md5(coalesce(text, ''))`` exactly —
+    the fingerprint contract). The incremental-crawl bookkeeping signal:
+    how much of this week's crawl is actually new content vs re-serves.
+
+    Scale design: each side reduces to (key, 32-char digest) rows inside
+    ``map_batches`` — text never moves — then ONE full-outer
+    ``hash_join`` on the key and a pre-aggregated count by status. Output
+    is at most 4 rows."""
+    import hashlib
+
+    from dataprof_ray.pipelines.aggregate import preagg_groupby
+    from dataprof_ray.pipelines.join import hash_join
+
+    def sig(out_name: str):
+        def f(b: pa.Table) -> pa.Table:
+            hs = [hashlib.md5((t or "").encode()).hexdigest()
+                  for t in b.column(text_col).to_pylist()]
+            return pa.table({key_col: b.column(key_col),
+                             out_name: pa.array(hs, pa.string())})
+        return f
+
+    a = ds_a.select_columns([key_col, text_col]) \
+        .map_batches(sig("ha"), batch_format="pyarrow")
+    b = ds_b.select_columns([key_col, text_col]) \
+        .map_batches(sig("hb"), batch_format="pyarrow")
+    joined = hash_join(a, b, left_key=key_col, right_key=key_col,
+                       how="outer", partitions=partitions)
+
+    def status(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ha, hb = batch.column("ha"), batch.column("hb")
+        st = pc.if_else(
+            pc.is_null(ha), pa.scalar("added"),
+            pc.if_else(pc.is_null(hb), pa.scalar("removed"),
+                       pc.if_else(pc.equal(ha, hb),
+                                  pa.scalar("unchanged"),
+                                  pa.scalar("changed"))))
+        return pa.table({"status": st.combine_chunks()
+                         if isinstance(st, pa.ChunkedArray) else st})
+
+    out = preagg_groupby(
+        joined.map_batches(status, batch_format="pyarrow"),
+        ["status"], [("n_docs", None, "count")])
+    return out.sort_values("status").reset_index(drop=True)

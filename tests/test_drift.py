@@ -175,3 +175,19 @@ def test_vocab_drift_empty_sides(ray_session):
     out = vocab_drift(rd.from_arrow(empty), rd.from_arrow(empty))
     assert len(out) == 0
     assert list(out.columns) == ["term", "n_a", "n_b", "delta"]
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.drift import snapshot_diff
+
+    a = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": ["same", "edited v1", "gone", None]})
+    b = pa.table({"doc_id": pa.array([1, 2, 5, 4], pa.int64()),
+                  "text": ["same", "edited v2", "brand new", None]})
+    out = snapshot_diff(rd.from_arrow(a).repartition(2),
+                        rd.from_arrow(b).repartition(2))
+    got = dict(zip(out["status"], out["n_docs"]))
+    # doc 4: null text on both sides hashes equal -> unchanged
+    assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 2}
