@@ -713,6 +713,18 @@ def _jaccard_pairs_exact(sf_dir: str):
         n=3, threshold=0.5)
 
 
+def _chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (64-token windows, 16 overlap —
+    small enough that the synthetic docs produce multi-chunk output):
+    every token covered, per-chunk repeat of 16 context tokens, exact SQL
+    twin via 1-based inclusive list slices."""
+    from dataprof_ray.pipelines.packing import chunk_documents
+
+    return chunk_documents(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_tokens=64, overlap=16)
+
+
 def _snapshot_diff_documents(sf_dir: str) -> pd.DataFrame:
     """Crawl-snapshot diff: snapshot A = docs with doc_id % 5 != 4,
     snapshot B = docs with doc_id % 5 != 0 and every 7th doc's text
@@ -1537,6 +1549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs_exact": _jaccard_pairs_exact,
         "hll_error_check": _hll_error_check,
         "snapshot_diff_documents": _snapshot_diff_documents,
+        "chunk_documents": _chunk_documents,
         "rolling_user_events": _rolling_user_events,
         "weekday_type_pivot": _weekday_type_pivot,
         "top3_orders_per_priority": _top3_orders_per_priority,
@@ -2299,6 +2312,22 @@ def oracle_sql() -> dict[str, str]:
             "DATEDIFF('microseconds', LAG(ts) OVER w, ts) AS gap_us "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        # chunk k covers tokens [k*stride+1 .. k*stride+max] (1-based
+        # inclusive DuckDB slices); stride = max - overlap = 48
+        "chunk_documents": (
+            "WITH toks AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY("
+            "TRIM(text, ' \t\n\r'), '\\s+') AS arr, "
+            "LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text, ' \t\n\r'), '\\s+')) AS n "
+            "FROM documents WHERE TRIM(text, ' \t\n\r') <> ''), "
+            "spans AS (SELECT doc_id, arr, n, UNNEST(RANGE(0, "
+            "CASE WHEN n <= 64 THEN 1 "
+            "ELSE CAST(CEIL((n - 64) / 48.0) AS BIGINT) + 1 END)) AS k "
+            "FROM toks) "
+            "SELECT doc_id, k AS chunk_id, "
+            "ARRAY_TO_STRING(arr[k * 48 + 1 : LEAST(k * 48 + 64, n)], ' ') "
+            "AS text, "
+            "LEAST(k * 48 + 64, n) - k * 48 AS n_tokens FROM spans"
         ),
         "snapshot_diff_documents": (
             "WITH a AS (SELECT doc_id, MD5(COALESCE(text, '')) AS h "

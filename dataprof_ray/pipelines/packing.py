@@ -284,3 +284,51 @@ def export_packed_sequences(ds, out_dir: str, max_len: int = 2048,
     return export_partitioned(
         packed_sequences(ds, max_len=max_len, parts=parts, **kwargs),
         out_dir, by="part", mode=mode)
+
+
+def chunk_documents(ds, max_tokens: int = 512, overlap: int = 64,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split long documents into overlapping token windows (the LLM
+    training-prep complement of sequence packing: packing concatenates
+    SHORT docs up to the context length, chunking cuts LONG docs down to
+    it). Chunk ``k`` covers tokens ``[k*stride, k*stride + max_tokens)``
+    with ``stride = max_tokens - overlap``; a doc of ``n <= max_tokens``
+    tokens emits exactly one chunk, longer docs emit
+    ``ceil((n - max_tokens) / stride) + 1`` so every token is covered and
+    each chunk after the first repeats ``overlap`` tokens of context.
+    Zero-token documents emit nothing. Tokens are the ``str.split()``
+    whitespace contract (chunk text re-joins with single spaces — same
+    normalization as the span scrubber).
+
+    Stateless streaming ``map_batches`` — no shuffle, output rides input
+    blocks; emits (id, chunk_id, text, n_tokens)."""
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap {overlap} must be < max_tokens {max_tokens}")
+    stride = max_tokens - overlap
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids_out, ks, texts_out, n_toks = [], [], [], []
+        ids = batch.column(id_col).to_pylist()
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = 1 if n <= max_tokens else \
+                -(-(n - max_tokens) // stride) + 1
+            for k in range(n_chunks):
+                s = k * stride
+                e = min(s + max_tokens, n)
+                ids_out.append(i)
+                ks.append(k)
+                texts_out.append(" ".join(toks[s:e]))
+                n_toks.append(e - s)
+        return pa.table({
+            id_col: pa.array(ids_out),
+            "chunk_id": pa.array(ks, pa.int64()),
+            "text": pa.array(texts_out, pa.string()),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        chunks, batch_format="pyarrow")

@@ -142,3 +142,41 @@ def test_export_packed_sequences_roundtrip(ray_session, tmp_path):
     back = rd.read_parquet(out).to_pandas()
     assert back["n_tokens"].sum() == 500
     assert set(back.columns) == {"part", "seq_id", "n_tokens", "text"}
+
+
+def test_chunk_documents_coverage_and_overlap(ray_session):
+    """Every token covered; each chunk after the first repeats exactly
+    `overlap` tokens; short docs emit one chunk; empty docs emit none."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from dataprof_ray.pipelines.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(25)]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [" ".join(toks), "short doc", "", None],
+    })
+    out = (chunk_documents(rd.from_arrow(t).repartition(2),
+                           max_tokens=10, overlap=4)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    d1 = out[out["doc_id"] == 1]
+    # stride 6: 25 tokens -> ceil((25-10)/6)+1 = 4 chunks
+    assert d1["chunk_id"].tolist() == [0, 1, 2, 3]
+    assert d1["n_tokens"].tolist() == [10, 10, 10, 7]
+    c = d1["text"].tolist()
+    assert c[0].split() == toks[0:10]
+    assert c[1].split() == toks[6:16]     # 4 tokens of overlap
+    assert c[3].split() == toks[18:25]    # tail chunk, every token covered
+    covered = set()
+    for ch in c:
+        covered.update(ch.split())
+    assert covered == set(toks)
+    assert out[out["doc_id"] == 2]["n_tokens"].tolist() == [2]
+    assert not set(out["doc_id"]) & {3, 4}  # empty docs emit nothing
+
+    import pytest
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(rd.from_arrow(t), max_tokens=8, overlap=8)
