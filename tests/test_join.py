@@ -497,3 +497,60 @@ def test_hash_join_right_and_outer(ray_session):
     with pytest.raises(ValueError, match="salting"):
         hash_join(left, right, left_key="k", right_key="k", how="outer",
                   hot_keys=[2])
+
+
+def test_hash_join_random_right_outer_match_pandas(ray_session):
+    """Randomized oracle for the right/outer kinds: row multiset equals a
+    pandas SQL-semantics reference (NULL keys never match; unmatched rows
+    of the kept side(s) survive)."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import hash_join
+
+    for seed in (3, 4):
+        rng = np.random.default_rng(seed)
+        n_l, n_r = 200, 150
+        lk = rng.integers(0, 50, size=n_l).astype(float)
+        lk[rng.random(n_l) < 0.06] = np.nan
+        rk = rng.integers(20, 70, size=n_r).astype(float)
+        rk[rng.random(n_r) < 0.06] = np.nan
+        ldf = pd.DataFrame({"k": lk, "a": rng.integers(0, 1000, n_l)})
+        rdf = pd.DataFrame({"k": rk, "b": rng.integers(0, 1000, n_r)})
+
+        def run(how):
+            return hash_join(
+                rd.from_arrow(pa.Table.from_pandas(ldf)).repartition(3),
+                rd.from_arrow(pa.Table.from_pandas(rdf)).repartition(2),
+                left_key="k", right_key="k", how=how, partitions=8,
+            ).to_pandas()
+
+        # pandas reference with SQL NULL semantics: strip null keys from
+        # the matching, then stitch the kept sides' null-key rows back
+        l_ok, l_null = ldf[ldf["k"].notna()], ldf[ldf["k"].isna()]
+        r_ok, r_null = rdf[rdf["k"].notna()], rdf[rdf["k"].isna()]
+        inner = l_ok.merge(r_ok, on="k", suffixes=("", "_right"))
+        matched_l = l_ok.merge(r_ok[["k"]].drop_duplicates(), on="k")
+        matched_r = r_ok.merge(l_ok[["k"]].drop_duplicates(), on="k")
+
+        got_r = run("right")
+        # right join size: inner + unmatched right (incl. NULL-key rights)
+        want_r_len = len(inner) + (len(r_ok) - len(matched_r)) + len(r_null)
+        assert len(got_r) == want_r_len
+        assert got_r["a"].isna().sum() == \
+            (len(r_ok) - len(matched_r)) + len(r_null)
+
+        got_o = run("outer")
+        want_o_len = want_r_len + (len(l_ok) - len(matched_l)) + len(l_null)
+        assert len(got_o) == want_o_len
+        # every left / right payload VALUE survives (dup keys multiply
+        # matched rows, so compare coverage, not multiset)
+        assert set(got_o["a"].dropna().astype(int)) == set(ldf["a"])
+        assert set(got_o["b"].dropna().astype(int)) == set(rdf["b"])
+        # inner sub-multiset identical to pandas
+        both = got_o[got_o["a"].notna() & got_o["b"].notna()]
+        cmp_cols = ["k", "a", "b"]
+        pd.testing.assert_frame_equal(
+            both[cmp_cols].sort_values(cmp_cols).reset_index(drop=True),
+            inner[cmp_cols]
+            .sort_values(cmp_cols).reset_index(drop=True),
+            check_dtype=False)
