@@ -289,3 +289,27 @@ def test_langid_and_perplexity_batch_parity():
     got = lm.perplexity_batch(texts)
     want = np.array([lm.perplexity(t or "") for t in texts])
     assert (got == want).all()  # bit-identical, not just close
+
+
+def test_jobs_cli_resumable(ray_session, tmp_path):
+    """The `ray job submit` entry point (python -m dataprof_ray.jobs):
+    first run processes every shard, identical rerun skips all of them
+    (lineage manifest resume); never inits/kills Ray when a session
+    exists."""
+    import ray
+
+    from dataprof_ray import jobs
+    from dataprof_ray.sources.corpus import write_corpus_parquet
+
+    corpus = write_corpus_parquet(str(tmp_path / "in"), 200, shards=2)
+    out = str(tmp_path / "out")
+    s1 = jobs.main(["--input", corpus, "--output", out,
+                    "--batch-size", "128"])
+    assert s1["shards_processed"] == 2 and s1["shards_skipped"] == 0
+    assert ray.is_initialized()  # did not tear down the session it found
+    s2 = jobs.main(["--input", corpus, "--output", out,
+                    "--batch-size", "128"])
+    assert s2["shards_processed"] == 0 and s2["shards_skipped"] == 2
+    import pytest
+    with pytest.raises(SystemExit):
+        jobs.main(["--input", str(tmp_path), "--output", out])
