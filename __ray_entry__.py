@@ -713,6 +713,18 @@ def _jaccard_pairs_exact(sf_dir: str):
         n=3, threshold=0.5)
 
 
+def _funnel_events(sf_dir: str) -> pd.DataFrame:
+    """Ordered view -> click -> purchase funnel per user: stage i counts a
+    user only if its earliest event is strictly after stage i-1's
+    earliest. One min-reduce shuffle; events never move."""
+    from dataprof_ray.pipelines.aggregate import funnel_counts
+
+    return funnel_counts(
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        key="user_id", ts_col="ts", stage_col="event_type",
+        stages=["view", "click", "purchase"])
+
+
 def _chunk_documents(sf_dir: str):
     """Overlapping token-window chunking (64-token windows, 16 overlap —
     small enough that the synthetic docs produce multi-chunk output):
@@ -1550,6 +1562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_error_check": _hll_error_check,
         "snapshot_diff_documents": _snapshot_diff_documents,
         "chunk_documents": _chunk_documents,
+        "funnel_events": _funnel_events,
         "rolling_user_events": _rolling_user_events,
         "weekday_type_pivot": _weekday_type_pivot,
         "top3_orders_per_priority": _top3_orders_per_priority,
@@ -2312,6 +2325,20 @@ def oracle_sql() -> dict[str, str]:
             "DATEDIFF('microseconds', LAG(ts) OVER w, ts) AS gap_us "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "funnel_events": (
+            "WITH m AS (SELECT user_id, "
+            "MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0, "
+            "MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1, "
+            "MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2 "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "GROUP BY user_id) "
+            "SELECT stage, n_keys FROM (VALUES "
+            "('view', (SELECT COUNT(*) FROM m WHERE t0 IS NOT NULL)), "
+            "('click', (SELECT COUNT(*) FROM m WHERE t0 IS NOT NULL "
+            "AND t1 > t0)), "
+            "('purchase', (SELECT COUNT(*) FROM m WHERE t0 IS NOT NULL "
+            "AND t1 > t0 AND t2 > t1))) t(stage, n_keys)"
         ),
         # chunk k covers tokens [k*stride+1 .. k*stride+max] (1-based
         # inclusive DuckDB slices); stride = max - overlap = 48

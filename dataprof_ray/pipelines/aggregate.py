@@ -442,3 +442,78 @@ def group_distinct(ds, keys, value_col: str,
         .groupby("__part")
         .map_groups(reduce_part, batch_format="pyarrow")
     )
+
+
+def funnel_counts(ds, key: str, ts_col: str, stage_col: str,
+                  stages: Sequence[str],
+                  partitions: Optional[int] = None) -> pd.DataFrame:
+    """Ordered-funnel conversion: for each key, stage ``i`` is reached iff
+    every earlier stage was reached and this stage's EARLIEST event is
+    strictly after the previous stage's earliest (the classic
+    view -> click -> purchase funnel). Returns (stage, n_keys) with one
+    row per stage, n_keys monotonically non-increasing.
+
+    Scale design: per-batch partials reduce to min-ts per (key, stage) —
+    the shuffle moves one small row per key-stage pair per batch, never
+    events — then COARSE hash(key) partitions evaluate the ordered
+    condition for ALL their keys in one vectorized pandas pivot, emitting
+    ``len(stages)`` counts each; the driver folds partitions x stages
+    tiny rows. Null keys/timestamps are excluded (SQL GROUP BY over the
+    same filter)."""
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     arrow_out,
+                                                     multikey_parts)
+
+    stages = list(stages)
+    parts = partitions or DEFAULT_PARTITIONS
+    stage_idx = {s: i for i, s in enumerate(stages)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(pc.is_valid(batch.column(key)),
+                       pc.is_valid(batch.column(ts_col)))
+        mask = pc.and_(mask, pc.is_in(batch.column(stage_col),
+                                      value_set=pa.array(stages)))
+        b = batch.filter(mask)
+        df = pd.DataFrame({
+            "k": b.column(key).to_pandas().to_numpy(),
+            "s": [stage_idx[s] for s in b.column(stage_col).to_pylist()],
+            "t": b.column(ts_col).to_pandas().to_numpy(),
+        })
+        m = df.groupby(["k", "s"], as_index=False, sort=False)["t"].min()
+        out = pa.Table.from_pandas(m, preserve_index=False) \
+            .replace_schema_metadata(None)
+        return out.append_column("__part", pa.array(
+            multikey_parts(out, ["k"], parts), pa.int32()))
+
+    def evaluate(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df.groupby(["k", "s"], as_index=False, sort=False)["t"].min()
+             .pivot(index="k", columns="s", values="t"))
+        reached = None
+        counts = np.zeros(len(stages), dtype=np.int64)
+        prev_t = None
+        for i in range(len(stages)):
+            t_i = m[i] if i in m.columns else pd.Series(
+                pd.NaT, index=m.index)
+            ok = t_i.notna() if reached is None else \
+                reached & t_i.notna() & (t_i > prev_t)
+            counts[i] = int(ok.sum())
+            reached = ok
+            # carry the stage time only where reached (NaT elsewhere keeps
+            # later comparisons False)
+            prev_t = t_i.where(ok)
+        return pd.DataFrame({"stage": stages,
+                             "n_keys": counts})
+
+    per_part = (ds.select_columns([key, ts_col, stage_col])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby("__part")
+                .map_groups(arrow_out(evaluate), batch_format="pandas")
+                .to_pandas())
+    out = (per_part.groupby("stage", sort=False, as_index=False)
+           ["n_keys"].sum())
+    # preserve the funnel's stage order
+    out["__o"] = out["stage"].map(stage_idx)
+    return (out.sort_values("__o").drop(columns="__o")
+            .reset_index(drop=True))

@@ -187,3 +187,41 @@ def test_lag_delta(ray_session):
     assert out.loc[21, "gap_us"] == 1_000_000
     # null key passes through with null prev/gap
     assert pd.isna(out.loc[30, "gap_us"]) and pd.isna(out.loc[30, "prev_ts"])
+
+
+def test_funnel_counts(ray_session):
+    """Ordered funnel: strictly-increasing earliest timestamps per stage;
+    a stage reached only through all prior stages; null keys excluded."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from dataprof_ray.pipelines.aggregate import funnel_counts
+
+    def t(us):
+        return us
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click BEFORE view -> stops at view
+        (2, "click", 5), (2, "view", 10),
+        # u3: view+click, purchase SIMULTANEOUS with click (not strictly
+        # after) -> stops at click
+        (3, "view", 1), (3, "click", 2), (3, "purchase", 2),
+        # u4: purchase only -> reaches nothing
+        (4, "purchase", 9),
+        # null key ignored
+        (None, "view", 1),
+    ]
+    tbl = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "et": pa.array([r[1] for r in rows]),
+        "ts": pa.array([r[2] for r in rows], pa.int64())
+        .cast(pa.timestamp("us")),
+    })
+    out = funnel_counts(rd.from_arrow(tbl).repartition(3), key="u",
+                        ts_col="ts", stage_col="et",
+                        stages=["view", "click", "purchase"], partitions=4)
+    assert out["stage"].tolist() == ["view", "click", "purchase"]
+    assert out["n_keys"].tolist() == [3, 2, 1]
