@@ -713,6 +713,15 @@ def _jaccard_pairs_exact(sf_dir: str):
         n=3, threshold=0.5)
 
 
+def _within_doc_line_dedup(sf_dir: str):
+    """WITHIN-document line dedup: repeated non-whitespace lines keep
+    their first occurrence; whitespace-only lines always survive."""
+    from dataprof_ray.pipelines.linededup import within_doc_line_dedup
+
+    return within_doc_line_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _funnel_events(sf_dir: str) -> pd.DataFrame:
     """Ordered view -> click -> purchase funnel per user: stage i counts a
     user only if its earliest event is strictly after stage i-1's
@@ -1563,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_documents": _snapshot_diff_documents,
         "chunk_documents": _chunk_documents,
         "funnel_events": _funnel_events,
+        "within_doc_line_dedup": _within_doc_line_dedup,
         "rolling_user_events": _rolling_user_events,
         "weekday_type_pivot": _weekday_type_pivot,
         "top3_orders_per_priority": _top3_orders_per_priority,
@@ -2325,6 +2335,28 @@ def oracle_sql() -> dict[str, str]:
             "DATEDIFF('microseconds', LAG(ts) OVER w, ts) AS gap_us "
             "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        # rn over (doc, line) picks first occurrences; whitespace-only
+        # lines (the python _WS set = ' \t\r\n\x0b\x0c') always survive
+        "within_doc_line_dedup": (
+            "WITH t AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY("
+            "COALESCE(text, ''), '\n') AS arr FROM documents), "
+            "l AS (SELECT doc_id, i, arr[i] AS ln, "
+            "TRIM(arr[i], ' ' || chr(9) || chr(13) || chr(10) || chr(11) "
+            "|| chr(12)) <> '' AS is_content "
+            "FROM t, UNNEST(RANGE(1, LEN(arr) + 1)) s(i)), "
+            "k AS (SELECT doc_id, i, ln, is_content, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id, is_content, ln "
+            "ORDER BY i) AS rn FROM l), "
+            "kept AS (SELECT doc_id, i, ln FROM k "
+            "WHERE NOT is_content OR rn = 1) "
+            "SELECT t.doc_id, LEN(t.arr) AS n_lines, "
+            "COALESCE(c.n_kept, 0) AS n_kept, "
+            "LEN(t.arr) - COALESCE(c.n_kept, 0) AS n_removed, "
+            "COALESCE(c.txt, '') AS cleaned_text FROM t LEFT JOIN ("
+            "SELECT doc_id, COUNT(*) AS n_kept, "
+            "STRING_AGG(ln, chr(10) ORDER BY i) AS txt "
+            "FROM kept GROUP BY doc_id) c ON t.doc_id = c.doc_id"
         ),
         "funnel_events": (
             "WITH m AS (SELECT user_id, "

@@ -447,3 +447,48 @@ def paragraph_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       include_text=include_text, keep_cols=keep_cols,
                       sep="\n\n", broadcast_limit=broadcast_limit,
                       fp_rate=fp_rate)
+
+
+def within_doc_line_dedup(ds, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          include_text: bool = True):
+    """WITHIN-document line dedup: inside each document, a repeated
+    non-whitespace line keeps only its FIRST occurrence (repeated nav
+    blocks, duplicated paragraphs from sloppy extraction); whitespace-only
+    lines always survive (formatting, not content). The in-doc complement
+    of the cross-doc :func:`line_dedup` — compose both for full C4-style
+    cleaning.
+
+    Embarrassingly parallel: one stateless ``map_batches`` pass, no
+    shuffle, no broadcast; output blocks mirror input blocks. Emits
+    (id, n_lines, n_kept, n_removed[, cleaned_text])."""
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n_lines, n_kept, cleaned = [], [], []
+        for t in texts:
+            lines = (t or "").split("\n")
+            seen: set = set()
+            kept = []
+            for ln in lines:
+                if not ln.strip(_WS):
+                    kept.append(ln)
+                elif ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            n_lines.append(len(lines))
+            n_kept.append(len(kept))
+            cleaned.append("\n".join(kept))
+        cols = {
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "n_removed": pa.array(
+                np.asarray(n_lines) - np.asarray(n_kept), pa.int64()),
+        }
+        if include_text:
+            cols["cleaned_text"] = pa.array(cleaned, pa.string())
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        rewrite, batch_format="pyarrow")

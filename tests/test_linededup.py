@@ -153,3 +153,28 @@ def test_paragraph_partitioned_tier(ray_session):
     assert out["n_removed"].tolist() == [1, 1, 1, 1, 0]
     assert out.loc[0, "cleaned_text"] == "body 0"
     assert out.loc[4, "cleaned_text"] == "solo\n\nbody"
+
+
+def test_within_doc_line_dedup(ray_session):
+    """First occurrence survives, repeats drop, whitespace-only lines
+    always survive (even repeated), null/empty texts behave like ''."""
+    from dataprof_ray.pipelines.linededup import within_doc_line_dedup
+
+    texts = [
+        "keep me\ndup line\nmiddle\ndup line\ndup line\nend",
+        "a\n\n\na",          # blank lines repeat but survive; 'a' dedups
+        "   \n   ",           # whitespace-only repeats survive
+        "", None,
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (within_doc_line_dedup(_ds(t, 2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "cleaned_text"] == "keep me\ndup line\nmiddle\nend"
+    assert out.loc[0, ["n_lines", "n_kept", "n_removed"]].tolist() == [6, 4, 2]
+    assert out.loc[1, "cleaned_text"] == "a\n\n"
+    assert out.loc[1, "n_removed"] == 1
+    assert out.loc[2, "cleaned_text"] == "   \n   "
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[3, "n_lines"] == 1 and out.loc[3, "cleaned_text"] == ""
+    assert out.loc[4, "n_lines"] == 1 and out.loc[4, "cleaned_text"] == ""
