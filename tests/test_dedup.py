@@ -633,3 +633,31 @@ def test_exact_jaccard_pairs_join_tier_matches_broadcast(ray_session):
          .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
     assert a.equals(b)
     assert len(a) >= 2
+
+
+def test_remove_duplicate_spans_partitioned_tier_stress(ray_session):
+    """Keyed span-removal tier on an 800-doc corpus with heavy cross-doc
+    boilerplate: parity with the broadcast tier when candidates span many
+    batches and gram/doc buckets hold multi-doc groups."""
+    import ray
+
+    rng = np.random.default_rng(7)
+    vocab = [f"v{i}" for i in range(500)]
+    shared = [" ".join(rng.choice(vocab, size=12)) for _ in range(6)]
+    texts = []
+    for d in range(800):
+        parts = [" ".join(rng.choice(vocab, size=rng.integers(8, 20)))]
+        if d % 3 == 0:
+            parts.append(shared[d % 6])
+        rng.shuffle(parts)
+        texts.append(" ".join(parts))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    a = (D.remove_duplicate_spans(ray.data.from_arrow(t).repartition(5),
+                                  n=10)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (D.remove_duplicate_spans(ray.data.from_arrow(t).repartition(8),
+                                  n=10, broadcast_limit=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    assert b["n_removed"].sum() > 500  # shared spans really scrub

@@ -178,3 +178,27 @@ def test_within_doc_line_dedup(ray_session):
     assert out.loc[2, "n_removed"] == 0
     assert out.loc[3, "n_lines"] == 1 and out.loc[3, "cleaned_text"] == ""
     assert out.loc[4, "n_lines"] == 1 and out.loc[4, "cleaned_text"] == ""
+
+
+def test_partitioned_tier_stress_random_corpus(ray_session):
+    """Keyed tier at a size where candidates span many batches and both
+    cogroups have multi-partition groups: parity with the broadcast tier
+    and the pure-python reference on a 2k-doc boilerplate-heavy corpus."""
+    rng = np.random.default_rng(44)
+    boiler = [f"BOILER {i}: accept all cookies" for i in range(12)]
+    uniq = [f"unique line {i}" for i in range(4000)]
+    texts = []
+    for d in range(2000):
+        lines = list(rng.choice(boiler, size=rng.integers(0, 4))) + \
+            list(rng.choice(uniq, size=rng.integers(1, 6)))
+        rng.shuffle(lines)
+        texts.append("\n".join(lines))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    cols = ["doc_id", "n_lines", "n_kept", "n_removed", "cleaned_text"]
+    a = (line_dedup(_ds(t, 6)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))[cols]
+    b = (line_dedup(_ds(t, 9), broadcast_limit=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))[cols]
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_removed"].sum() > 1000  # the boilerplate actually drops
