@@ -300,7 +300,7 @@ def _repetition_stats_documents(sf_dir: str) -> pd.DataFrame:
         .to_pandas().sort_values("doc_id").reset_index(drop=True))
 
 
-def _contamination_documents(sf_dir: str) -> pd.DataFrame:
+def _contamination_documents(sf_dir: str):
     """Decontamination scan: benchmark = every 20th document (a stand-in
     eval set), corpus = all documents; 8-gram overlap per document."""
     from dataprof_ray.pipelines import decontam as DC
@@ -886,8 +886,9 @@ def _event_gaps_users(sf_dir: str):
                      ts_col="ts", key="user_id", order_extra=["event_id"])
 
 
-def _duplicate_spans_documents(sf_dir: str) -> pd.DataFrame:
-    """Cross-document duplicate 13-gram spans (substring-dedup signal)."""
+def _duplicate_spans_documents(sf_dir: str):
+    """Cross-document duplicate 13-gram spans (substring-dedup signal);
+    returns the lazy per-doc Dataset (as_dataset default)."""
     from dataprof_ray.pipelines.dedup import duplicate_span_stats
 
     return duplicate_span_stats(
@@ -2110,6 +2111,12 @@ def _gopher_signals_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Whitespace convention, shared by every text oracle: SQL splits with
+    # RE2 '\\s+' and trims ' \\t\\n\\r', while the python side splits on
+    # str.split() whitespace (adds \\x0b\\x0c\\x85\\xa0 + unicode Zs).
+    # They agree on every corpus the driver runs (the generators emit no
+    # exotic whitespace); the operator-level unicode contracts are pinned
+    # separately by the adversarial parity tests in pytest.
     return {
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "

@@ -51,7 +51,11 @@ def main(argv=None) -> dict:
 
     owns_session = not ray.is_initialized()
     if owns_session:  # standalone run; under `ray job submit` the session exists
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+        # RAY_ADDRESS when set (e.g. "local" in this sandbox, a cluster
+        # address in prod); None otherwise = start a local session rather
+        # than 'auto', which REQUIRES a running instance and would crash
+        # the documented standalone mode
+        ray.init(address=os.environ.get("RAY_ADDRESS") or None,
                  include_dashboard=False, ignore_reinit_error=True)
     try:
         shards = sorted(

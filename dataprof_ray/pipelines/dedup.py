@@ -1977,31 +1977,33 @@ def exact_jaccard_pairs(
 
     parts = int(partitions)
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
+    def gram_and_size_rows(batch: pa.Table) -> pa.Table:
+        # ONE tokenize+hash pass per document emits both the (h, d) gram
+        # rows (side 0) and the per-doc gram-count row (side 1, count in
+        # the h slot) — gram hashing dominates this operator's CPU, so a
+        # separate size pass would double it
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        hs, ds_ = [], []
+        hs, ds_, sz_d, sz_n = [], [], [], []
         for i, t in zip(ids, batch.column(text_col).to_pylist()):
             u = np.unique(_wordgram_hashes(t, n))
             if len(u):
                 hs.append(u)
                 ds_.append(np.full(len(u), i, dtype=np.int64))
+                sz_d.append(i)
+                sz_n.append(len(u))
         h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
         d = np.concatenate(ds_) if ds_ else np.empty(0, dtype=np.int64)
+        h_all = np.concatenate([h, np.asarray(sz_n, dtype=np.uint64)])
+        d_all = np.concatenate([d, np.asarray(sz_d, dtype=np.int64)])
+        part = np.concatenate([(h % np.uint64(parts)).astype(np.int32),
+                               np.full(len(sz_d), -1, np.int32)])
+        side = np.concatenate([np.zeros(len(h), np.int8),
+                               np.ones(len(sz_d), np.int8)])
         return pa.table({
-            "h": pa.array(h, pa.uint64()),
-            "d": pa.array(d, pa.int64()),
-            "__part": pa.array((h % np.uint64(parts)).astype(np.int32),
-                               pa.int32()),
-        })
-
-    def size_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        ns = [len(np.unique(_wordgram_hashes(t, n)))
-              for t in batch.column(text_col).to_pylist()]
-        keep = np.asarray(ns) > 0
-        return pa.table({
-            "sz_doc": pa.array(np.asarray(ids)[keep].astype(np.int64)),
-            "n_grams": pa.array(np.asarray(ns, dtype=np.int64)[keep]),
+            "h": pa.array(h_all, pa.uint64()),
+            "d": pa.array(d_all, pa.int64()),
+            "__part": pa.array(part, pa.int32()),
+            "__side": pa.array(side, pa.int8()),
         })
 
     def partial_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -2021,11 +2023,24 @@ def exact_jaccard_pairs(
         out["__ppart"] = (pp % np.uint64(parts)).astype(np.int32)
         return out
 
-    proj = ds.select_columns([id_col, text_col])
-    partials = (proj.map_batches(gram_rows, batch_format="pyarrow")
+    # one tokenize pass; the materialized side-tagged rows are re-read by
+    # both branches (filters over materialized blocks re-read, never
+    # recompute)
+    combined = (ds.select_columns([id_col, text_col])
+                .map_batches(gram_and_size_rows, batch_format="pyarrow")
+                .materialize())
+    partials = (combined.filter(expr="__side == 0")
                 .groupby("__part")
                 .map_groups(arrow_out(partial_pairs), batch_format="pandas"))
-    sizes = proj.map_batches(size_rows, batch_format="pyarrow")         .materialize()
+
+    def size_cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "sz_doc": b.column("d"),
+            "n_grams": b.column("h").cast(pa.int64()),
+        })
+
+    sizes = (combined.filter(expr="__side == 1")
+             .map_batches(size_cols, batch_format="pyarrow").materialize())
     n_docs = sizes.count()
 
     if n_docs <= size_broadcast_limit:

@@ -240,8 +240,10 @@ def hash_join(
     null-filled by the kinds that keep them (FULL JOIN keeps both).
     Duplicate keys multiply rows, as in SQL. When the two key columns
     share one name, unmatched right rows carry their key VALUE in that
-    column (SQL ``USING`` / coalesced-key semantics — the useful form;
-    with distinct key names both columns appear). Integer/bool columns
+    column (SQL ``USING`` / coalesced-key semantics — the useful form);
+    with distinct key names both columns appear and a kept-unmatched
+    right row gets NULL in the left key column, exactly as ``FROM l FULL
+    JOIN r ON l.k = r.rk`` does. Integer/bool columns
     keep their types for EVERY join kind: the cogroup converts Arrow
     blocks with pandas NULLABLE dtypes (Int64/boolean), so null-fills use
     NA instead of laundering ints to float64 (and >2^53 values survive
@@ -346,6 +348,14 @@ def hash_join(
                       if pieces else
                       l.iloc[0:0].merge(r.iloc[0:0], how="inner",
                                         on=left_key))[out_cols]
+        elif how in ("right", "outer") and right_key != left_key:
+            # distinct key names: SQL emits NULL in the LEFT key column for
+            # kept-unmatched right rows; the cast right key riding in the
+            # left slot must not leak through as a phantom value (the right
+            # key survives in its own column)
+            merged = l.merge(r, how=how, on=left_key, indicator=True)
+            merged.loc[merged["_merge"] == "right_only", left_key] = pd.NA
+            merged = merged[out_cols]
         else:
             merged = l.merge(r, how=how, on=left_key)[out_cols]
         # back to Arrow here (nullable Int64 -> int64 with nulls) so output

@@ -307,6 +307,7 @@ def chunk_documents(ds, max_tokens: int = 512, overlap: int = 64,
     stride = max_tokens - overlap
 
     def chunks(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
         ids_out, ks, texts_out, n_toks = [], [], [], []
         ids = batch.column(id_col).to_pylist()
         for i, t in zip(ids, batch.column(text_col).to_pylist()):
@@ -324,7 +325,9 @@ def chunk_documents(ds, max_tokens: int = 512, overlap: int = 64,
                 texts_out.append(" ".join(toks[s:e]))
                 n_toks.append(e - s)
         return pa.table({
-            id_col: pa.array(ids_out),
+            # explicit type: an all-empty block would otherwise emit a
+            # null-typed id column and destabilize the block schema
+            id_col: pa.array(ids_out, type=id_type),
             "chunk_id": pa.array(ks, pa.int64()),
             "text": pa.array(texts_out, pa.string()),
             "n_tokens": pa.array(n_toks, pa.int64()),

@@ -128,7 +128,14 @@ def to_pandas_exact(ds) -> "pd.DataFrame":
 
     tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     if not tables:
-        return pd.DataFrame()
+        # an all-empty dataset yields zero batches; a column-less frame
+        # would crash callers that drop/select columns — type the empty
+        # frame from the dataset schema instead
+        schema = ds.schema()
+        base = getattr(schema, "base_schema", None) if schema else None
+        if base is None:
+            return pd.DataFrame()
+        tables = [base.empty_table()]
     tbl = pa.concat_tables(tables, promote_options="default")
     df = tbl.to_pandas(types_mapper=nullable_mapper)
     plain = {v: k for k, v in NULLABLE_DTYPES.items()}

@@ -370,9 +370,11 @@ def lag_delta(ds, ts_col: str, key: str, order_extra: Sequence[str] = (),
         out["gap_us"] = gap
         if len(skipped):
             skipped = skipped.copy()
+            # dtype from the INPUT column (correct unit/tz even when every
+            # row of this partition is skipped — a hardcoded [us] would
+            # emit a block schema disagreeing with matched partitions)
             skipped["prev_ts"] = pd.Series(
-                pd.NaT, index=skipped.index,
-                dtype=valid[ts_col].dtype if len(valid) else "datetime64[us]")
+                pd.NaT, index=skipped.index, dtype=df[ts_col].dtype)
             skipped["gap_us"] = pd.array([pd.NA] * len(skipped),
                                          dtype="Int64")
             out = pd.concat([out, skipped], ignore_index=True)

@@ -554,3 +554,36 @@ def test_hash_join_random_right_outer_match_pandas(ray_session):
             inner[cmp_cols]
             .sort_values(cmp_cols).reset_index(drop=True),
             check_dtype=False)
+
+
+def test_hash_join_outer_distinct_key_names_null_left_key(ray_session):
+    """Review finding: with DISTINCT key names, a kept-unmatched right row
+    must emit NULL in the left key column (ON semantics), not the right
+    key's value laundered through the merge slot."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import hash_join
+
+    left = rd.from_arrow(pa.table({
+        "a_id": pa.array([1], pa.int64()),
+        "lv": pa.array([10], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "b_id": pa.array([1, 4], pa.int64()),
+        "rv": pa.array([100, 400], pa.int64()),
+    }))
+    out = _arrow_result(hash_join(left, right, left_key="a_id",
+                                  right_key="b_id", how="outer",
+                                  partitions=4))
+    from dataprof_ray.pipelines.join import _nullable_mapper
+    df = out.to_pandas(types_mapper=_nullable_mapper)
+    row4 = df[df["b_id"] == 4].iloc[0]
+    assert pd.isna(row4["a_id"]) and pd.isna(row4["lv"]) and row4["rv"] == 400
+    row1 = df[df["b_id"] == 1].iloc[0]
+    assert row1["a_id"] == 1 and row1["lv"] == 10 and row1["rv"] == 100
+    # right kind too
+    rj = _arrow_result(hash_join(left, right, left_key="a_id",
+                                 right_key="b_id", how="right",
+                                 partitions=4)) \
+        .to_pandas(types_mapper=_nullable_mapper)
+    assert pd.isna(rj[rj["b_id"] == 4].iloc[0]["a_id"])
