@@ -31,6 +31,12 @@ def round_away(values, decimals: int):
     return np.sign(a) * np.floor(np.abs(a) * factor + 0.5) / factor
 
 
+def _base_schema(ds):
+    """Input Arrow schema when knowable (None for schema-less empties)."""
+    sc = ds.schema()
+    return getattr(sc, "base_schema", None) if sc else None
+
+
 def preagg_groupby(
     ds,
     keys: Sequence[str],
@@ -188,8 +194,11 @@ def argmax_by(
         .map_batches(lambda b: add_part_column(b, keys, parts),
                      batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(nullable_cogroup(reduce_batch), batch_format="pyarrow")
-    ).drop(columns="__part")
+        .map_groups(nullable_cogroup(reduce_batch), batch_format="pyarrow"),
+        fallback_schema=_base_schema(ds),  # all-empty input
+    ).drop(columns="__part", errors="ignore")
+    if out.empty and not len(out.columns):
+        return out  # schema-less empty input: nothing to sort
     return out.sort_values(keys).reset_index(drop=True)
 
 
@@ -327,7 +336,11 @@ def topk_per_group(
     )
     if not as_pandas:
         return out.drop_columns(["__part"])
-    out = to_pandas_exact(out).drop(columns="__part")
+    out = to_pandas_exact(
+        out, fallback_schema=_base_schema(ds),  # all-empty input
+    ).drop(columns="__part", errors="ignore")
+    if out.empty and not len(out.columns):
+        return out  # schema-less empty input: nothing to sort
     return out.sort_values(keys + order_cols).reset_index(drop=True)
 
 

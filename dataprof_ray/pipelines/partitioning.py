@@ -117,22 +117,26 @@ def nullable_cogroup(fn):
     return wrapped
 
 
-def to_pandas_exact(ds) -> "pd.DataFrame":
+def to_pandas_exact(ds, fallback_schema: "pa.Schema" = None) -> "pd.DataFrame":
     """Collect a (small) Dataset to pandas WITHOUT the int64-with-nulls ->
     float64 laundering of ``Dataset.to_pandas``: concatenate Arrow blocks,
     convert with nullable dtypes, then downcast any all-valid nullable
     column back to its plain numpy dtype — so frames look exactly like the
     historical output when no nulls are present, and stay exact (Int64 +
-    pd.NA) when they are."""
+    pd.NA) when they are.
+
+    An all-empty dataset yields ZERO batches and (after a groupby) no
+    inferable schema; pass ``fallback_schema`` (typically the INPUT's
+    Arrow schema) so the empty frame still carries typed columns instead
+    of crashing callers that drop/select."""
     import pandas as pd
 
     tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     if not tables:
-        # an all-empty dataset yields zero batches; a column-less frame
-        # would crash callers that drop/select columns — type the empty
-        # frame from the dataset schema instead
         schema = ds.schema()
         base = getattr(schema, "base_schema", None) if schema else None
+        if base is None:
+            base = fallback_schema
         if base is None:
             return pd.DataFrame()
         tables = [base.empty_table()]

@@ -313,3 +313,28 @@ def test_jobs_cli_resumable(ray_session, tmp_path):
     import pytest
     with pytest.raises(SystemExit):
         jobs.main(["--input", str(tmp_path), "--output", out])
+
+
+def test_jobs_cli_standalone_subprocess(tmp_path):
+    """Review fix: with no Ray session and RAY_ADDRESS unset, the CLI must
+    START a local session (address=None), not crash on address='auto'.
+    Runs in a subprocess so the test session's Ray is not involved."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from dataprof_ray.sources.corpus import write_corpus_parquet
+
+    corpus = write_corpus_parquet(str(tmp_path / "in"), 60, shards=1)
+    out = str(tmp_path / "out")
+    env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
+    env["RAY_NUM_CPUS"] = "2"
+    proc = subprocess.run(
+        [sys.executable, "-m", "dataprof_ray.jobs", "--input", corpus,
+         "--output", out, "--batch-size", "64"],
+        capture_output=True, text=True, env=env, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["shards_processed"] == 1

@@ -120,3 +120,64 @@ def test_global_shuffle_assignment_schema(ray_session):
     assert out.schema.field("uid").type == pa.int64()
     assert out.schema.field("pos").type == pa.int64()
     assert sorted(out.column("uid").to_pylist()) == list(range(t.num_rows))
+
+
+def test_empty_input_collectors(ray_session):
+    """Review fix: an ALL-EMPTY dataset yields zero Arrow batches;
+    to_pandas_exact must still hand back a schema-typed empty frame so
+    argmax/top-k callers can drop their helper columns instead of
+    KeyError-ing."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.aggregate import argmax_by, topk_per_group
+    from dataprof_ray.pipelines.partitioning import to_pandas_exact
+
+    t = _input_table(8)
+    # schema-preserving empty (a row-lambda filter would lose the schema)
+    empty = _ds(t, 2).map_batches(lambda b: b.slice(0, 0),
+                                  batch_format="pyarrow")
+    out = argmax_by(empty, keys=["k"], order_cols=["uid"], partitions=4)
+    assert len(out) == 0 and "v_int" in out.columns
+    out2 = topk_per_group(empty, keys=["k"], order_cols=["uid"], k=2)
+    assert len(out2) == 0 and "uid" in out2.columns
+    df = to_pandas_exact(empty)
+    assert list(df.columns) == list(t.schema.names)
+
+
+def test_chunk_documents_random_coverage_property(ray_session):
+    """Property over random docs: chunks per doc exactly match the
+    analytic count; chunk 0 starts at token 0; consecutive chunks overlap
+    by exactly `overlap` (except the possibly-short tail); concatenating
+    de-overlapped chunks reproduces the document."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.packing import chunk_documents
+
+    rng = np.random.default_rng(77)
+    max_tokens, overlap = 12, 5
+    stride = max_tokens - overlap
+    texts = [" ".join(f"w{rng.integers(0, 50)}"
+                      for _ in range(rng.integers(0, 60)))
+             for _ in range(40)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = (chunk_documents(_ds(t, 3), max_tokens=max_tokens,
+                           overlap=overlap)
+           .to_pandas().sort_values(["doc_id", "chunk_id"]))
+    for d, g in out.groupby("doc_id"):
+        toks = texts[d].split()
+        n = len(toks)
+        want_chunks = 1 if n <= max_tokens else \
+            -(-(n - max_tokens) // stride) + 1
+        assert g["chunk_id"].tolist() == list(range(want_chunks))
+        rebuilt = g.iloc[0]["text"].split()
+        for _, row in g.iloc[1:].iterrows():
+            ch = row["text"].split()
+            assert ch[:overlap] == rebuilt[-(max_tokens - len(ch)) -
+                                           overlap or len(rebuilt):][:overlap] \
+                or ch[:overlap] == rebuilt[row["chunk_id"] * stride:
+                                           row["chunk_id"] * stride + overlap]
+            rebuilt.extend(ch[overlap:])
+        assert rebuilt == toks
+    docs_with_tokens = {i for i, x in enumerate(texts) if x.split()}
+    assert set(out["doc_id"]) == docs_with_tokens
