@@ -315,15 +315,24 @@ _EDGE_PARTITIONS = 64
 
 
 def _lsh_candidate_edges(ds, text_col, id_col, num_perm, bands, shingle_k,
-                         concurrency):
-    """MinHash band buckets -> per-bucket (src -> bucket-min) candidate edges.
+                         concurrency, pair_cap: int = 1):
+    """MinHash band buckets -> per-bucket candidate edges.
 
     The groupby shuffles (band_id, band_hash, id) triples — bytes per doc —
     keyed on a COARSE partition of the bucket hash (bucket rows co-locate,
     but Ray sees only `_EDGE_PARTITIONS` groups instead of one tiny group per
-    bucket; inside each group the per-bucket minima come from one vectorized
+    bucket; inside each group the per-bucket edges come from one vectorized
     pandas transform). map_groups over millions of single-row groups was the
-    wall-clock hotspot."""
+    wall-clock hotspot.
+
+    Edge shape per bucket: (src -> bucket-min) STAR edges by default
+    (``pair_cap=1``) — O(bucket) edges, ideal for clustering, where
+    connectivity is all that matters. For PAIRWISE consumers (the exact
+    Jaccard verify disposes each edge independently), star mediation
+    loses true pairs whose shared bucket-min is a low-overlap doc; set
+    ``pair_cap`` > 1 and buckets of at most that many docs emit ALL
+    intra-bucket pairs (at most pair_cap/2 edges per row — still
+    bounded), while larger buckets keep the star form."""
     import pandas as pd
 
     bands_ds = _band_rows_ds(ds, text_col, id_col, num_perm, bands,
@@ -335,12 +344,30 @@ def _lsh_candidate_edges(ds, text_col, id_col, num_perm, bands, shingle_k,
         return batch.append_column("part", pa.array(part, pa.int32()))
 
     def partition_edges(df: pd.DataFrame) -> pd.DataFrame:
-        lo = df.groupby(["band_id", "band_hash"])[id_col].transform("min")
-        mask = (df[id_col] != lo).to_numpy()
-        return pd.DataFrame({
-            "src": df[id_col].to_numpy()[mask],
-            "dst": lo.to_numpy()[mask],
-        }).astype(np.int64)
+        g = df.groupby(["band_id", "band_hash"])[id_col]
+        lo = g.transform("min")
+        if pair_cap <= 1:
+            mask = (df[id_col] != lo).to_numpy()
+            return pd.DataFrame({
+                "src": df[id_col].to_numpy()[mask],
+                "dst": lo.to_numpy()[mask],
+            }).astype(np.int64)
+        sizes = g.transform("size")
+        small = (sizes <= pair_cap).to_numpy()
+        star_mask = ~small & (df[id_col] != lo).to_numpy()
+        pieces = [pd.DataFrame({
+            "src": df[id_col].to_numpy()[star_mask],
+            "dst": lo.to_numpy()[star_mask],
+        })]
+        sm = df[small][["band_id", "band_hash", id_col]]
+        if len(sm):
+            m = sm.merge(sm, on=["band_id", "band_hash"])
+            m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+            pieces.append(pd.DataFrame({
+                "src": m[f"{id_col}_y"].to_numpy(),
+                "dst": m[f"{id_col}_x"].to_numpy(),
+            }))
+        return pd.concat(pieces, ignore_index=True).astype(np.int64)
 
     return (
         bands_ds.map_batches(add_part, batch_format="pyarrow")
@@ -609,17 +636,24 @@ def ngram_jaccard_duplicate_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     concurrency=(1, 8),
+    pair_cap: int = 8,
 ):
     """Word n-gram Jaccard near-dup pairs, LSH-gated: minhash band buckets
     propose candidate pairs, exact word-n-gram Jaccard disposes. Returns
-    (id_a, id_b, jaccard) for confirmed pairs."""
+    (id_a, id_b, jaccard) for confirmed pairs. Buckets of at most
+    ``pair_cap`` docs propose ALL intra-bucket pairs (star mediation
+    through a low-overlap bucket min loses true pairs — measured recall
+    0.857 -> 1.0 vs the exact oracle at the gate scales); bigger buckets
+    keep the bounded star form. Recall vs ``exact_jaccard_pairs`` is
+    measured by the jaccard_lsh_recall_audit query."""
     import pandas as pd
 
     # pair output is candidate-bounded by contract, so the edge list may be
     # collected (unlike clustering, which stays distributed — see
     # minhash_lsh_duplicate_groups)
     edges = _lsh_candidate_edges(ds, text_col, id_col, num_perm, bands,
-                                 shingle_k, concurrency).to_pandas() \
+                                 shingle_k, concurrency,
+                                 pair_cap=pair_cap).to_pandas() \
         .drop_duplicates(["src", "dst"])
     empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                           "id_b": pd.Series(dtype=np.int64),
