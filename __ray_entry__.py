@@ -1436,7 +1436,7 @@ def _image_features(sf_dir: str) -> pd.DataFrame:
     ds = rd.from_arrow(MM.synthetic_media_table(64))
     dims = MM.decode_images(ds).to_pandas()
     feats = MM.extract_image_features(ds).to_pandas()
-    return dims.merge(feats, on="media_id")
+    return dims.merge(feats.drop(columns=["decode_ok"]), on="media_id")
 
 
 def _approx_distinct_lineitem(sf_dir: str) -> pd.DataFrame:

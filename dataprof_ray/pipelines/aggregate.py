@@ -524,6 +524,10 @@ def funnel_counts(ds, key: str, ts_col: str, stage_col: str,
                 .groupby("__part")
                 .map_groups(arrow_out(evaluate), batch_format="pandas")
                 .to_pandas())
+    if per_part.empty or "stage" not in per_part.columns:
+        # zero qualifying events -> zero groups -> column-less frame
+        return pd.DataFrame({"stage": stages,
+                             "n_keys": np.zeros(len(stages), np.int64)})
     out = (per_part.groupby("stage", sort=False, as_index=False)
            ["n_keys"].sum())
     # preserve the funnel's stage order

@@ -28,8 +28,11 @@ family to sub-document granularity):
    ships; Bloom-hit lines emit (h1, h2, doc, line_idx) candidate rows
    that exact-verify against the PARTITIONED common table on the h1
    bucket (a 128-bit compare, so false positives are dropped, never
-   removed), and verified removals cogroup with the corpus on the doc-id
-   bucket.
+   removed), and verified removals cogroup with the corpus on a 128-bit
+   DOCUMENT-TEXT-hash bucket. Matching on text content rather than the id
+   keeps the two tiers row-identical even for null or duplicate document
+   ids: a line's removal depends only on its text, so identical documents
+   share identical (correct) removal sets.
 3. **Rewrite**: broadcast tier — embarrassingly parallel second pass, no
    shuffle, output blocks mirror input blocks; keyed tier — one
    all-to-all of the text (the price of bounding worker memory).
@@ -171,8 +174,11 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     (h1, h2, doc, line_idx) candidates that exact-verify against the
     partitioned common table on the h1 bucket (false positives fail the
     128-bit compare and are dropped), and surviving removals cogroup with
-    the corpus on the doc-id bucket for the rewrite — one all-to-all of
-    the text instead of the broadcast."""
+    the corpus on a 128-bit bucket of the full DOCUMENT text for the
+    rewrite — one all-to-all of the text instead of the broadcast.
+    Matching removals to documents by text hash (a removal depends only
+    on line content) makes both tiers row-identical even for null or
+    duplicate ``id_col`` values."""
     common_ds = common_line_hashes(ds, text_col=text_col, max_docs=max_docs,
                                    partitions=partitions,
                                    sep=sep).materialize()
@@ -222,7 +228,6 @@ def _line_dedup_partitioned(ds, common_ds, text_col, id_col, include_text,
     doc-bucket cogroup rewrite. Broadcast is the Bloom only."""
     import ray
 
-    from dataprof_ray.pipelines.join import _key_parts
     from dataprof_ray.state.bloom import bloom_from_u64_batches
 
     schema = ds.schema().base_schema
@@ -245,6 +250,8 @@ def _line_dedup_partitioned(ds, common_ds, text_col, id_col, include_text,
             "h2": batch.column("h2").cast(pa.uint64()),
             "__id": pa.nulls(n, id_type),
             "__li": pa.array(np.full(n, -1, np.int64)),
+            "__t1": pa.nulls(n, pa.uint64()),
+            "__t2": pa.nulls(n, pa.uint64()),
             "__part": pa.array((h1 % np.uint64(partitions)).astype(np.int32),
                                pa.int32()),
             "__side": pa.array(np.zeros(n, np.int8)),
@@ -263,11 +270,17 @@ def _line_dedup_partitioned(ds, common_ds, text_col, id_col, include_text,
         offsets = np.concatenate([[0], np.cumsum(counts)])
         li = np.arange(len(flat), dtype=np.int64) - offsets[doc_idx]
         sel = np.flatnonzero(hit)
+        # 128-bit hash of the FULL document text: the removal-to-document
+        # match key (null/duplicate ids are irrelevant to it)
+        t1d, t2d = _hash128(pc.fill_null(
+            batch.column(text_col).cast(pa.string()), ""))
         return pa.table({
             "h1": pa.array(h1[sel], pa.uint64()),
             "h2": pa.array(h2[sel], pa.uint64()),
             "__id": batch.column(id_col).take(pa.array(doc_idx[sel])),
             "__li": pa.array(li[sel], pa.int64()),
+            "__t1": pa.array(t1d[doc_idx[sel]], pa.uint64()),
+            "__t2": pa.array(t2d[doc_idx[sel]], pa.uint64()),
             "__part": pa.array(
                 (h1[sel] % np.uint64(partitions)).astype(np.int32),
                 pa.int32()),
@@ -299,13 +312,17 @@ def _line_dedup_partitioned(ds, common_ds, text_col, id_col, include_text,
         else:
             rm = np.zeros(len(qk), dtype=bool)
         out = cand.filter(pa.array(rm))
-        ids = out.column("__id")
         n = out.num_rows
+        t1 = out.column("__t1").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
         cols = {
-            "__id": ids,
+            "__id": out.column("__id"),
             "__li": out.column("__li"),
+            "__t1": out.column("__t1"),
+            "__t2": out.column("__t2"),
             "__text": pa.nulls(n, pa.string()),
-            "__dpart": pa.array(_key_parts(ids, partitions), pa.int32()),
+            "__dpart": pa.array((t1 % np.uint64(partitions))
+                                .astype(np.int32), pa.int32()),
             "__side": pa.array(np.ones(n, np.int8)),
         }
         cols.update(null_keeps(n))
@@ -315,14 +332,17 @@ def _line_dedup_partitioned(ds, common_ds, text_col, id_col, include_text,
                 .map_groups(resolve, batch_format="pyarrow"))
 
     def tag_docs(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col)
         n = batch.num_rows
+        filled = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        t1d, t2d = _hash128(filled)
         cols = {
-            "__id": ids,
+            "__id": batch.column(id_col),
             "__li": pa.array(np.full(n, -1, np.int64)),
-            "__text": pc.fill_null(batch.column(text_col).cast(pa.string()),
-                                   ""),
-            "__dpart": pa.array(_key_parts(ids, partitions), pa.int32()),
+            "__t1": pa.array(t1d, pa.uint64()),
+            "__t2": pa.array(t2d, pa.uint64()),
+            "__text": filled,
+            "__dpart": pa.array((t1d % np.uint64(partitions))
+                                .astype(np.int32), pa.int32()),
             "__side": pa.array(np.zeros(n, np.int8)),
         }
         cols.update({c: batch.column(c) for c in passthrough})
@@ -336,13 +356,22 @@ def _line_dedup_partitioned(ds, common_ds, text_col, id_col, include_text,
         offsets = np.concatenate([[0], np.cumsum(counts)])
         removed = np.zeros(len(flat), dtype=bool)
         if rem.num_rows:
+            # match on the 128-bit TEXT hash, not the id: immune to null /
+            # duplicate ids, and identical texts correctly share removals
+            rt1 = rem.column("__t1").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            rt2 = rem.column("__t2").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
             groups = (pd.Series(rem.column("__li").to_numpy(
                 zero_copy_only=False))
-                .groupby(rem.column("__id").to_pandas().to_numpy(), sort=False)
+                .groupby([rt1, rt2], sort=False)
                 .apply(np.asarray).to_dict())
-            doc_ids = docs.column("__id").to_pandas().to_numpy()
-            for i, v in enumerate(doc_ids):
-                js = groups.get(v)
+            dt1 = docs.column("__t1").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            dt2 = docs.column("__t2").to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            for i in range(len(dt1)):
+                js = groups.get((dt1[i], dt2[i]))
                 if js is not None:
                     removed[offsets[i] + js] = True
         return _doc_rows(docs.column("__id"), counts, flat, removed,

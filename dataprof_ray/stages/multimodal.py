@@ -68,20 +68,27 @@ class ImageDecodeStage:
                 "image decode requires PIL/opencv; not available in this container"
             )
 
-    def _decode(self, payload: bytes) -> tuple[int, int, int]:
+    def _decode(self, payload: bytes):
+        """-> (height, width, channels, decode_ok). Real-branch failures
+        return (None, None, None, False) — nulls, never fabricated dims —
+        or raise under strict=True."""
         if self.pil is not None:
             import io
 
             try:
                 with self.pil.open(io.BytesIO(payload)) as im:
-                    return im.height, im.width, len(im.getbands())
-            except Exception:
-                pass  # corrupt payload: deterministic stub values below
+                    return im.height, im.width, len(im.getbands()), True
+            except Exception as exc:
+                if self.strict:
+                    raise ValueError(
+                        "strict=True: undecodable image payload "
+                        f"({len(payload or b'')} bytes)") from exc
+                return None, None, None, False
         # deterministic fake: dimensions derived from the payload digest
         digest = hashlib.blake2b(payload or b"", digest_size=8).digest()
         h = 64 + digest[0] % 192
         w = 64 + digest[1] % 192
-        return h, w, 3
+        return h, w, 3, False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
@@ -91,6 +98,7 @@ class ImageDecodeStage:
             "height": pa.array([d[0] for d in dims], pa.int32()),
             "width": pa.array([d[1] for d in dims], pa.int32()),
             "channels": pa.array([d[2] for d in dims], pa.int32()),
+            "decode_ok": pa.array([d[3] for d in dims], pa.bool_()),
             "payload_bytes": pc.cast(pc.binary_length(batch.column("payload")), pa.int64()),
         })
 
@@ -104,8 +112,11 @@ class ImageFeatureStage:
     once per actor in ``__init__``). Without PIL (this container) the
     deterministic stub projects the raw payload byte histogram instead —
     same schema, same determinism. ``strict=True`` refuses the stub
-    branch; corrupt payloads on the real branch fall back to the byte
-    histogram rather than killing the task."""
+    branch and raises on an undecodable payload on the real branch; with
+    ``strict=False`` a corrupt payload falls back to the byte histogram,
+    and the ``decode_ok`` column marks it False so downstream never mixes
+    the two feature spaces unknowingly (False for every stub-branch row
+    too)."""
 
     DIM = 32
 
@@ -113,12 +124,14 @@ class ImageFeatureStage:
         rng = np.random.default_rng(13)
         self.projection = rng.normal(size=(256, self.DIM))
         self.pil = _try_import_pil()
+        self.strict = strict
         if strict and self.pil is None:
             raise NotImplementedError(
                 "image features require PIL; not available in this container"
             )
 
-    def _histogram(self, payload: bytes) -> np.ndarray:
+    def _histogram(self, payload: bytes):
+        """-> (256-bin histogram, decode_ok)."""
         if self.pil is not None:
             import io
 
@@ -126,21 +139,27 @@ class ImageFeatureStage:
                 with self.pil.open(io.BytesIO(payload)) as im:
                     counts = np.asarray(im.convert("L").histogram(),
                                         dtype=np.float64)[:256]
-                    return counts / max(counts.sum(), 1.0)
-            except Exception:
-                pass  # corrupt payload: byte-histogram fallback below
+                    return counts / max(counts.sum(), 1.0), True
+            except Exception as exc:
+                if self.strict:
+                    raise ValueError(
+                        "strict=True: undecodable image payload "
+                        f"({len(payload or b'')} bytes)") from exc
+                # corrupt payload: byte-histogram fallback, marked below
         if not payload:
-            return np.zeros(256, dtype=np.float64)
+            return np.zeros(256, dtype=np.float64), False
         counts = np.bincount(np.frombuffer(payload, dtype=np.uint8),
                              minlength=256)
-        return counts / max(len(payload), 1)
+        return counts / max(len(payload), 1), False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [(self._histogram(p) @ self.projection).tolist()
+        hists = [self._histogram(p)
                  for p in batch.column("payload").to_pylist()]
+        feats = [(h @ self.projection).tolist() for h, _ in hists]
         return pa.table({
             "media_id": batch.column("media_id"),
             "feature": pa.array(feats, pa.list_(pa.float64())),
+            "decode_ok": pa.array([ok for _, ok in hists], pa.bool_()),
         })
 
 
@@ -149,16 +168,21 @@ class ImageResizeStage:
     re-emit the bytes. PIL branch does a real thumbnail + re-encode; the
     deterministic stub re-emits a hash-derived payload of the right
     ballpark size so batch sizing / object-store behavior downstream is
-    realistic. Output schema is identical in both branches."""
+    realistic. Output schema is identical in both branches; ``decode_ok``
+    marks rows whose payload is a REAL re-encoded thumbnail (always False
+    on the stub branch). ``strict=True`` raises on an undecodable payload
+    on the real branch."""
 
     def __init__(self, target: int = 224, strict: bool = False) -> None:
         self.pil = _try_import_pil()
         self.target = target
+        self.strict = strict
         if strict and self.pil is None:
             raise NotImplementedError(
                 "image resize requires PIL; not available in this container")
 
-    def _resize(self, payload: bytes) -> bytes:
+    def _resize(self, payload: bytes):
+        """-> (payload bytes, decode_ok)."""
         if self.pil is not None:
             import io
 
@@ -167,25 +191,29 @@ class ImageResizeStage:
                     im.thumbnail((self.target, self.target))
                     buf = io.BytesIO()
                     im.save(buf, format="PNG")
-                    return buf.getvalue()
-            except Exception:
-                # corrupt/undecodable payload: fall through to the
-                # deterministic stub rather than killing the task — one
+                    return buf.getvalue(), True
+            except Exception as exc:
+                # corrupt/undecodable payload: strict raises; otherwise
+                # fall through to the deterministic stub (marked) — one
                 # truncated image must not fail a corpus-scale resize
-                pass
+                if self.strict:
+                    raise ValueError(
+                        "strict=True: undecodable image payload "
+                        f"({len(payload or b'')} bytes)") from exc
         # deterministic stub: expanded digest sized ~ target^2 * 0.3
         # (a plausible compressed-thumbnail byte count)
         seed = hashlib.blake2b(payload or b"", digest_size=32).digest()
         n = max(64, int(self.target * self.target * 0.3))
         reps = -(-n // len(seed))
-        return (seed * reps)[:n]
+        return (seed * reps)[:n], False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = [self._resize(p) for p in batch.column("payload").to_pylist()]
         return pa.table({
             "media_id": batch.column("media_id"),
-            "payload": pa.array(out, pa.large_binary()),
-            "resized_bytes": pa.array([len(o) for o in out], pa.int64()),
+            "payload": pa.array([o for o, _ in out], pa.large_binary()),
+            "resized_bytes": pa.array([len(o) for o, _ in out], pa.int64()),
+            "decode_ok": pa.array([ok for _, ok in out], pa.bool_()),
         })
 
 

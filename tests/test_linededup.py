@@ -202,3 +202,31 @@ def test_partitioned_tier_stress_random_corpus(ray_session):
          .sort_values("doc_id").reset_index(drop=True))[cols]
     pd.testing.assert_frame_equal(a, b)
     assert a["n_removed"].sum() > 1000  # the boilerplate actually drops
+
+
+def test_keyed_tier_null_and_duplicate_ids(ray_session):
+    """ADVICE r4: the keyed tier matches removals to documents by a
+    128-bit TEXT hash, so null doc_ids and duplicate doc_ids (even with
+    different texts per id) produce exactly the broadcast tier's rows."""
+    common = "BOILERPLATE: accept cookies"
+    texts = [f"body {i}\n{common}" for i in range(6)] + [
+        f"{common}\nonly common doc", "no common here", None]
+    # ids: two nulls, a duplicated id with DIFFERENT texts, rest unique
+    ids = [0, 1, 1, None, 2, 3, None, 1, 4]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    cols = ["n_lines", "n_kept", "n_removed", "cleaned_text"]
+
+    def norm(df):
+        out = df[cols + ["doc_id"]].copy()
+        out["doc_id"] = out["doc_id"].astype("Int64")
+        return (out.sort_values(["cleaned_text", "doc_id"],
+                                na_position="last")
+                .reset_index(drop=True))
+
+    broadcast = norm(line_dedup(_ds(t, 3)).to_pandas())
+    keyed = norm(line_dedup(_ds(t, 4), broadcast_limit=0).to_pandas())
+    pd.testing.assert_frame_equal(keyed, broadcast)
+    # the common line really was removed everywhere, incl. null-id docs
+    assert keyed["n_removed"].sum() == 7
+    assert not keyed["cleaned_text"].str.contains("BOILERPLATE").any()

@@ -182,6 +182,9 @@ class TestMultimodal:
         assert len(out) == 32
         assert (out.payload_bytes > 0).all()
         assert out.height.between(64, 255).all()
+        if MM._try_import_pil() is None:
+            # stub branch: every dim is fabricated and marked as such
+            assert (~out.decode_ok).all()
         # deterministic fake decode
         out2 = MM.decode_images(rd.from_arrow(t), concurrency=(1, 2)).to_pandas()
         assert out.sort_values("media_id").height.tolist() == \
@@ -416,16 +419,22 @@ def test_real_pil_decode_features_resize(ray_session):
         "payload": pa.array([png, b"not an image"], pa.binary()),
         "mime": pa.array(["image/png", "image/png"]),
     })
-    dec = (MM.decode_images(rd.from_arrow(t), strict=True)
+    dec = (MM.decode_images(rd.from_arrow(t))
            .to_pandas().set_index("media_id"))
     assert (dec.loc[1, "height"], dec.loc[1, "width"],
             dec.loc[1, "channels"]) == (200, 320, 3)
-    # corrupt payload -> deterministic stub dims, not a crash
-    assert 64 <= dec.loc[2, "height"] <= 255
-    feats = (MM.extract_image_features(rd.from_arrow(t), strict=True)
+    assert bool(dec.loc[1, "decode_ok"])
+    # corrupt payload -> NULL dims + decode_ok False, never fabricated
+    assert pd.isna(dec.loc[2, "height"]) and not dec.loc[2, "decode_ok"]
+    feats = (MM.extract_image_features(rd.from_arrow(t))
              .to_pandas().set_index("media_id"))
     assert len(feats.loc[1, "feature"]) == MM.ImageFeatureStage.DIM
-    rez = (MM.resize_images(rd.from_arrow(t), target=64, strict=True)
+    assert bool(feats.loc[1, "decode_ok"]) and not feats.loc[2, "decode_ok"]
+    rez = (MM.resize_images(rd.from_arrow(t), target=64)
            .to_pandas().set_index("media_id"))
     with Image.open(io.BytesIO(rez.loc[1, "payload"])) as im:
         assert max(im.size) <= 64
+    assert bool(rez.loc[1, "decode_ok"]) and not rez.loc[2, "decode_ok"]
+    # strict=True on the real branch raises on the corrupt payload
+    with pytest.raises(Exception):
+        MM.decode_images(rd.from_arrow(t), strict=True).to_pandas()

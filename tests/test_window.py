@@ -225,3 +225,33 @@ def test_funnel_counts(ray_session):
                         stages=["view", "click", "purchase"], partitions=4)
     assert out["stage"].tolist() == ["view", "click", "purchase"]
     assert out["n_keys"].tolist() == [3, 2, 1]
+
+
+def test_funnel_counts_empty_input(ray_session):
+    """ADVICE r4: zero qualifying events (or a fully-empty dataset) must
+    yield the stage list with n_keys=0, not a KeyError from the
+    column-less per-partition frame."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from dataprof_ray.pipelines.aggregate import funnel_counts
+
+    empty = pa.table({
+        "u": pa.array([], pa.int64()),
+        "et": pa.array([], pa.string()),
+        "ts": pa.array([], pa.timestamp("us")),
+    })
+    out = funnel_counts(rd.from_arrow(empty), key="u", ts_col="ts",
+                        stage_col="et", stages=["view", "click"])
+    assert out["stage"].tolist() == ["view", "click"]
+    assert out["n_keys"].tolist() == [0, 0]
+    # non-empty dataset, but no event matches any funnel stage
+    only_other = pa.table({
+        "u": pa.array([1, 2], pa.int64()),
+        "et": pa.array(["signup", "signup"], pa.string()),
+        "ts": pa.array([1, 2], pa.int64()).cast(pa.timestamp("us")),
+    })
+    out2 = funnel_counts(rd.from_arrow(only_other), key="u", ts_col="ts",
+                         stage_col="et", stages=["view", "click"])
+    assert out2["n_keys"].tolist() == [0, 0]
