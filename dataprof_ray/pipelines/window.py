@@ -134,16 +134,19 @@ def session_window(
     key: str,
     gap_seconds: float = 1800.0,
     partitions: int = None,
-) -> pd.DataFrame:
+    as_dataset: bool = True,
+):
     """Session windows: consecutive events of one ``key`` belong to the same
     session while the time since the previous event is <= ``gap_seconds``;
     a STRICTLY larger gap starts a new session (matches the SQL oracle's
     ``ts - LAG(ts) > INTERVAL`` predicate).
 
     Rows with a null key or timestamp are excluded (SQL window PARTITION
-    semantics over the same filter). Returns one row per session:
+    semantics over the same filter). Emits one row per session:
     (key, session_id 1-based per key, session_start, session_end,
-    n_events). Session assignment is tie-stable: equal timestamps have a
+    n_events) — a lazy ``Dataset`` by default (the output is O(sessions),
+    which grows with the corpus; ``as_dataset=False`` collects the sorted
+    report DataFrame for small results). Session assignment is tie-stable: equal timestamps have a
     zero gap regardless of sort order, so ordering ties cannot move a
     session boundary.
 
@@ -194,14 +197,16 @@ def session_window(
         agg["n_events"] = agg["n_events"].astype(np.int64)
         return agg
 
-    return (
+    out = (
         ds.map_batches(drop_nulls_add_part, batch_format="pyarrow")
         .groupby("__part")
         .map_groups(arrow_out(sessionize_partition), batch_format="pandas")
-        .to_pandas()
-        .sort_values([key, "session_id"])
-        .reset_index(drop=True)
     )
+    if as_dataset:
+        return out
+    return (out.to_pandas()
+            .sort_values([key, "session_id"])
+            .reset_index(drop=True))
 
 
 def rolling_window(

@@ -255,3 +255,36 @@ def test_funnel_counts_empty_input(ray_session):
     out2 = funnel_counts(rd.from_arrow(only_other), key="u", ts_col="ts",
                          stage_col="et", stages=["view", "click"])
     assert out2["n_keys"].tolist() == [0, 0]
+
+
+def test_session_window_returns_dataset_by_default(ray_session):
+    """VERDICT r4 #2: sessions are O(corpus) — the default return is a lazy
+    Dataset; as_dataset=False collects the sorted report DataFrame. Values
+    checked against a hand-computed sessionization."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from dataprof_ray.pipelines.window import session_window
+
+    us = lambda s: s * 1_000_000  # noqa: E731
+    rows = [
+        (1, us(0)), (1, us(10)), (1, us(2000)),   # gap>1800s -> 2 sessions
+        (2, us(5)), (2, us(1805)),                # exactly gap -> same
+        (None, us(1)), (3, None),                 # excluded
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64())
+        .cast(pa.timestamp("us")),
+    })
+    out = session_window(rd.from_arrow(t).repartition(2), "ts", "u",
+                         gap_seconds=1800.0)
+    assert isinstance(out, rd.Dataset)
+    df = (out.to_pandas().sort_values(["u", "session_id"])
+          .reset_index(drop=True))
+    report = session_window(rd.from_arrow(t).repartition(2), "ts", "u",
+                            gap_seconds=1800.0, as_dataset=False)
+    pd.testing.assert_frame_equal(df, report)
+    assert df[["u", "session_id", "n_events"]].values.tolist() == [
+        [1, 1, 2], [1, 2, 1], [2, 1, 2]]
