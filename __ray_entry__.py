@@ -1097,6 +1097,102 @@ def _revenue_by_priority(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _audits_summary(sf_dir: str) -> pd.DataFrame:
+    """One driver-checkable row per self-audit (VERDICT r4 #7): each
+    rows-only audit query measures its own metric distributedly (recall vs
+    planted/exact ground truth, sketch error vs analytic bound, held-out
+    AUC) and this summary reduces every one to (audit, passed) with the
+    SAME thresholds the pytest pins assert. The SQL oracle is the constant
+    truth table (the approx_quantile_rank_check pattern): a hash mismatch
+    means some audit's measured metric broke its bound."""
+    checks = [
+        ("approx_quantiles_audit",
+         lambda df: bool((df["rank_err"] <= df["max_rank_err"]).all())),
+        ("contamination_bloom_audit",
+         lambda df: bool((df.iloc[0]["false_negative_docs"] == 0)
+                         and (df.iloc[0]["extra_flagged_docs"]
+                              <= max(1, 0.01 * df.iloc[0]["n_docs"])))),
+        ("embedding_neardup_recall",
+         lambda df: bool((df.iloc[0]["recall"] >= 0.9)
+                         and (df.iloc[0]["precision"] >= 0.99))),
+        ("heavy_hitters_cms_audit",
+         lambda df: bool((df.iloc[0]["recall"] >= 0.9)
+                         and (0 <= df.iloc[0]["max_overcount"]
+                              <= df.iloc[0]["error_bound"]))),
+        ("ivf_recall",
+         lambda df: bool(df.iloc[0]["mean_recall"] >= 0.6)),
+        ("jaccard_lsh_recall_audit",
+         lambda df: bool((df.iloc[0]["recall"] == 1.0)
+                         and (df.iloc[0]["false_pairs"] == 0))),
+        ("neardup_vs_prior_audit",
+         lambda df: bool((df.iloc[0]["prior_members_flagged"]
+                          == df.iloc[0]["prior_members"])
+                         and (df.iloc[0]["others_flag_rate"] <= 0.2))),
+        ("packing_efficiency_audit",
+         lambda df: bool((df.iloc[0]["max_bin_tokens"] <= df.iloc[0]["max_len"])
+                         and (df.iloc[0]["oversize_docs"] == 0)
+                         and (df.iloc[0]["n_bins"]
+                              <= 2 * df.iloc[0]["lb_bins"] + 8))),
+        ("pca_audit_embeddings",
+         lambda df: bool((df.iloc[0]["rel_gap_e12"] <= 1.0)
+                         and (0.0 < df.iloc[0]["explained_ratio"] < 1.0))),
+        ("quality_classifier_audit",
+         lambda df: bool((df.iloc[0]["test_auc"] >= 0.95)
+                         and (df.iloc[0]["test_acc"] >= 0.9))),
+        ("quantization_audit",
+         lambda df: bool((df.iloc[0]["mean_recall"] >= 0.9)
+                         and (df.iloc[0]["max_unit_err"] <= 0.5))),
+    ]
+    qs = queries()
+    rows = []
+    for name, check in checks:
+        out = qs[name](sf_dir)
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        rows.append({"audit": name, "passed": check(df)})
+    return (pd.DataFrame(rows).sort_values("audit")
+            .reset_index(drop=True))
+
+
+def _skewed_join_events(sf_dir: str) -> pd.DataFrame:
+    """Hot-key join stress (VERDICT r4 #6): ~40% of event rows collapse
+    onto one synthetic user key, ``detect_hot_keys`` finds it from a
+    counting pass, and ``hash_join`` salts that key across 8 partitions
+    (probe rows round-robin, build rows replicated) so the hot key cannot
+    serialize into one cogroup task. A ValueError guards that salting
+    actually engaged (``stats`` hook) — the driver's oracle gate then
+    certifies the salted join's VALUES, end-to-end."""
+    import pyarrow.compute as pc
+
+    from dataprof_ray.pipelines.aggregate import preagg_groupby
+    from dataprof_ray.pipelines.join import detect_hot_keys, hash_join
+
+    def skew(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"),
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "skew_uid": pa.array(np.where(uid % 5 < 2, 7, uid), pa.int64()),
+            "cents": cents,
+        })
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value"]) \
+        .map_batches(skew, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    hot = detect_hot_keys(ev, "skew_uid", min_fraction=0.2)
+    stats: dict = {}
+    joined = hash_join(ev, cust, left_key="skew_uid", right_key="c_custkey",
+                       how="inner", partitions=32, hot_keys=hot,
+                       salt_factor=8, stats=stats)
+    if not (stats["salted"] and 7 in stats["hot_keys"]):
+        raise ValueError(f"hot-key salting did not engage: {stats}")
+    df = preagg_groupby(joined, ["c_mktsegment"], [
+        ("n_events", None, "count"),
+        ("sum_cents", "cents", "sum"),
+    ])
+    df["sum_cents"] = df["sum_cents"].astype(np.int64)
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def _drift_price_bins(sf_dir: str) -> pd.DataFrame:
     """Numeric drift histogram: lineitem split into even/odd order keys,
     l_extendedprice binned over 10 shared equal-width bins. Bucket
@@ -1590,6 +1686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": _pack_sequences_documents,
         "global_shuffle_documents": _global_shuffle_documents,
         "temperature_mixture_documents": _temperature_mixture_documents,
+        # -- new in round 5:
+        "skewed_join_events": _skewed_join_events,
+        "audits_summary": _audits_summary,
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
         "doc_frequency_documents": _doc_frequency_documents,
@@ -2181,6 +2280,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
             "ROUND(LEAST(1.0, 0.5 * tot * SQRT(n_docs) / z / n_docs), 6) AS rate "
             "FROM c, t"
+        ),
+        "skewed_join_events": (
+            "WITH ev AS (SELECT CASE WHEN user_id % 5 < 2 THEN 7 "
+            "ELSE user_id END AS skew_uid, "
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT c_mktsegment, COUNT(*) AS n_events, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents "
+            "FROM ev JOIN customer ON skew_uid = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "audits_summary": (
+            # constant truth table (the approx_quantile_rank_check
+            # pattern): Ray MEASURES each audit's metric distributedly and
+            # reduces it to passed per the pytest-pinned bound; the oracle
+            # pins that every audit passes
+            "SELECT audit, passed FROM (VALUES "
+            "('approx_quantiles_audit', TRUE), "
+            "('contamination_bloom_audit', TRUE), "
+            "('embedding_neardup_recall', TRUE), "
+            "('heavy_hitters_cms_audit', TRUE), "
+            "('ivf_recall', TRUE), "
+            "('jaccard_lsh_recall_audit', TRUE), "
+            "('neardup_vs_prior_audit', TRUE), "
+            "('packing_efficiency_audit', TRUE), "
+            "('pca_audit_embeddings', TRUE), "
+            "('quality_classifier_audit', TRUE), "
+            "('quantization_audit', TRUE)"
+            ") AS t(audit, passed) ORDER BY audit"
         ),
         "global_shuffle_documents": (
             "SELECT doc_id, "

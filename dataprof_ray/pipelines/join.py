@@ -227,6 +227,7 @@ def hash_join(
     right_suffix: str = "_right",
     hot_keys: Sequence = (),
     salt_factor: int = 16,
+    stats: Optional[dict] = None,
 ):
     """Large-large equi-join as a hash-partitioned cogroup. Returns a lazy
     Dataset with all left columns plus the right side's non-key columns
@@ -258,7 +259,10 @@ def hash_join(
     with ``detect_hot_keys``) and each hot key's rows are salted across
     ``salt_factor`` partitions — probe rows spread round-robin, build rows
     replicated — so one hot key no longer serializes into a single
-    partition task."""
+    partition task. Pass a ``stats`` dict to observe (driver-side) the
+    plan actually chosen: hot key list, salt factor, and whether salting
+    engaged — salting is deterministic given those inputs, so callers and
+    tests can assert on it without introspecting worker tasks."""
     import pandas as pd
 
     if how not in ("inner", "left", "right", "outer"):
@@ -284,6 +288,11 @@ def hash_join(
     out_cols = left_cols + [rename_right[c] for c in keep_right]
     hot_values = pa.array(list(hot_keys), key_type) if len(hot_keys) else None
     salt = max(int(salt_factor), 1)
+    if stats is not None:
+        stats["hot_keys"] = list(hot_keys)
+        stats["salt_factor"] = salt
+        stats["salted"] = hot_values is not None and salt > 1
+        stats["partitions"] = partitions
 
     def tag_left(batch: pa.Table) -> pa.Table:
         part = _key_parts(batch.column(left_key), partitions)

@@ -587,3 +587,32 @@ def test_hash_join_outer_distinct_key_names_null_left_key(ray_session):
                                  partitions=4)) \
         .to_pandas(types_mapper=_nullable_mapper)
     assert pd.isna(rj[rj["b_id"] == 4].iloc[0]["a_id"])
+
+
+def test_hash_join_stats_hook_reports_salting(ray_session):
+    """VERDICT r4 #6: the stats dict exposes the chosen plan driver-side —
+    hot keys, salt factor, and whether salting engaged — so pipelines can
+    assert skew handling really kicked in (the skewed_join_events query
+    does exactly that before the driver's oracle gate)."""
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.join import detect_hot_keys, hash_join
+
+    n = 2000
+    k = np.where(np.arange(n) % 3 == 0, 7, np.arange(n) % 50)
+    left = rd.from_arrow(pa.table({"k": pa.array(k, pa.int64()),
+                                   "v": pa.array(np.arange(n))}))
+    right = rd.from_arrow(pa.table({"k": pa.array(range(50), pa.int64()),
+                                    "name": [f"u{i}" for i in range(50)]}))
+    hot = detect_hot_keys(left, "k", min_fraction=0.2)
+    assert hot == [7]
+    stats = {}
+    out = hash_join(left, right, left_key="k", right_key="k",
+                    hot_keys=hot, salt_factor=8, stats=stats).to_pandas()
+    assert stats == {"hot_keys": [7], "salt_factor": 8, "salted": True,
+                     "partitions": 64}
+    assert len(out) == n  # inner join, every key matches exactly once
+    # unsalted path reports salted=False
+    stats2 = {}
+    hash_join(left, right, left_key="k", right_key="k", stats=stats2)
+    assert stats2["salted"] is False and stats2["hot_keys"] == []
