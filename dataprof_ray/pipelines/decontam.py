@@ -94,10 +94,9 @@ def benchmark_ngram_bloom(bench_ds, n: int = 8, text_col: str = "text",
     from dataprof_ray.state.bloom import bloom_from_u64_batches
 
     def keys(batch: pa.Table):
-        grams: list = []
-        for t in batch.column(text_col).to_pylist():
-            grams.extend(_doc_ngrams(t, n))
-        return _gram_hashes(grams)
+        from dataprof_ray.functions.grams import wordgram_hashes_flat
+
+        return wordgram_hashes_flat(batch.column(text_col), n)[0]
 
     return bloom_from_u64_batches(grams_only, keys, capacity, fp_rate)
 
@@ -142,7 +141,7 @@ def contamination_check(
 
         total, hit, frac = _contam_stats(
             _broadcast_cached(bench_ref), is_bloom,
-            batch.column(text_col).to_pylist(), n)
+            batch.column(text_col), n)
         return pa.table({
             id_col: batch.column(id_col),
             "n_grams": pa.array(total, pa.int64()),
@@ -163,24 +162,20 @@ def _contam_stats(bench, is_bloom: bool, texts, n: int):
     import numpy as np
 
     if is_bloom:
-        # vectorized path: one xxhash + one contains_u64 call per batch,
-        # not a per-gram Python probe
-        grams: list = []
-        counts: list = []
-        for t in texts:
-            g = _doc_ngrams(t, n)
-            grams.extend(g)
-            counts.append(len(g))
-        total = np.asarray(counts, dtype=np.int64)
-        if grams:
-            hits = bench.contains_u64(_gram_hashes(grams))
-            doc_of = np.repeat(np.arange(len(total)), total)
-            hit = np.bincount(doc_of, weights=hits,
-                              minlength=len(total)).astype(np.int64)
+        # fully vectorized path: one polars tokenize+hash pass and one
+        # contains_u64 probe per batch, no per-document Python loop
+        from dataprof_ray.functions.grams import (per_doc_hit_counts,
+                                                  wordgram_hashes_flat)
+
+        flat, total = wordgram_hashes_flat(texts, n)
+        if len(flat):
+            hit = per_doc_hit_counts(bench.contains_u64(flat), total)
         else:
             hit = np.zeros(len(total), dtype=np.int64)
         frac = np.where(total > 0, hit / np.maximum(total, 1), 0.0)
         return total.tolist(), hit.tolist(), frac.tolist()
+    if not isinstance(texts, list):
+        texts = texts.to_pylist()
     total, hit, frac = [], [], []
     for t in texts:
         grams = _doc_ngrams(t, n)
@@ -214,7 +209,7 @@ def decontaminate(ds, benchmark, n: int = 8, max_frac: float = 0.0,
 
         _, _, frac = _contam_stats(
             _broadcast_cached(bench_ref), is_bloom,
-            batch.column(text_col).to_pylist(), n)
+            batch.column(text_col), n)
         return batch.filter(pa.array(np.asarray(frac) <= max_frac))
 
     return ds.map_batches(keep, batch_format="pyarrow")

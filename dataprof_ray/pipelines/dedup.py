@@ -82,22 +82,20 @@ def minhash_signature_matrix(texts: list, num_perm: int, shingle_k: int,
                              a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Per-batch signatures: one (n_docs, num_perm) matrix.
 
-    All documents' shingles are hashed in ONE polars call (a per-document
-    Series costs ~100us of construction overhead — the old hot spot), then
-    sliced back per document for the permutation min-fold."""
-    import polars as pl
+    Shingle generation + hashing is one vectorized polars pass over the
+    whole batch (functions/grams.py — position duplicates kept; the
+    min-fold is duplicate-invariant, so signatures are value-identical to
+    the per-document ``_shingles`` set form, pinned by
+    tests/test_grams.py). The per-doc permutation min-fold stays a numpy
+    loop: it is u64-multiply bound, and ``np.minimum.reduceat`` measured
+    15x SLOWER than the sliced ``min(axis=1)`` fold (recorded in
+    BASELINE.md)."""
+    from dataprof_ray.functions.grams import char_shingle_hashes_flat
 
-    all_shingles: list = []
-    offsets = [0]
-    for text in texts:
-        all_shingles.extend(_shingles(text, shingle_k))
-        offsets.append(len(all_shingles))
-    hashes = (
-        pl.Series(all_shingles).hash(seed=0).to_numpy().astype(np.uint64)
-        if all_shingles else np.empty(0, dtype=np.uint64)
-    )
-    out = np.empty((len(texts), num_perm), dtype=np.uint64)
-    for d in range(len(texts)):
+    hashes, counts = char_shingle_hashes_flat(texts, shingle_k)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    out = np.empty((len(counts), num_perm), dtype=np.uint64)
+    for d in range(len(counts)):
         out[d, :] = minhash_signature(hashes[offsets[d]: offsets[d + 1]], a, b)
     return out
 
@@ -1198,7 +1196,11 @@ def embedding_neardup_recall(ds, vec_col: str = "embedding", id_col: str = "vec_
 def _wordgram_hashes(text: str, n: int) -> np.ndarray:
     """uint64 hashes of ALL word n-gram positions of a document (duplicates
     kept — one entry per position). Tokenizer matches the textstats/oracle
-    contract: lowercase, ``\\s+`` split, space-joined grams."""
+    contract: lowercase, ``\\s+`` split, space-joined grams.
+
+    This is the PARITY REFERENCE for the vectorized batch kernel
+    (functions/grams.py `wordgram_hashes_flat`, 2.6-3.7x/core) that the
+    production operators use; tests/test_grams.py pins them equal."""
     import polars as pl
 
     toks = re.split(r"\s+", (text or "").lower().strip())
@@ -1247,11 +1249,14 @@ def duplicate_span_stats(
     parts = 64
 
     def gram_doc_pairs(batch: pa.Table) -> pa.Table:
-        # per-doc np.unique means each (gram, doc) contributes once, so the
-        # downstream per-partition value_counts IS the docs-per-gram count
-        hs = [np.unique(_wordgram_hashes(t, n))
-              for t in batch.column(text_col).to_pylist()]
-        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        # per-doc unique means each (gram, doc) contributes once, so the
+        # downstream per-partition value_counts IS the docs-per-gram count;
+        # one vectorized hash pass per batch (functions/grams.py)
+        from dataprof_ray.functions.grams import (unique_per_doc,
+                                                  wordgram_hashes_flat)
+
+        flat, counts = wordgram_hashes_flat(batch.column(text_col), n)
+        h, _ = unique_per_doc(flat, counts)
         return pa.table({
             "h": pa.array(h, pa.uint64()),
             "__part": pa.array((h % np.uint64(parts)).astype(np.int32),
@@ -1277,25 +1282,24 @@ def duplicate_span_stats(
     dup_ref = ray.put(dup_sorted)
 
     def scan(batch: pa.Table) -> pa.Table:
+        from dataprof_ray.functions.grams import (per_doc_hit_counts,
+                                                  wordgram_hashes_flat)
+
         dup_arr = ray.get(dup_ref)
-        ids = batch.column(id_col)
-        total, ndup, frac = [], [], []
-        for t in batch.column(text_col).to_pylist():
-            hs = _wordgram_hashes(t, n)
-            if len(hs) and len(dup_arr):
-                pos = np.searchsorted(dup_arr, hs)
-                pos[pos == len(dup_arr)] = 0
-                c = int((dup_arr[pos] == hs).sum()) if len(dup_arr) else 0
-            else:
-                c = 0
-            total.append(len(hs))
-            ndup.append(c)
-            frac.append(c / len(hs) if len(hs) else 0.0)
+        flat, counts = wordgram_hashes_flat(batch.column(text_col), n)
+        if len(flat) and len(dup_arr):
+            pos = np.searchsorted(dup_arr, flat)
+            pos[pos == len(dup_arr)] = 0
+            ndup = per_doc_hit_counts(dup_arr[pos] == flat, counts)
+        else:
+            ndup = np.zeros(len(counts), dtype=np.int64)
+        frac = np.where(counts > 0, ndup / np.maximum(counts, 1), 0.0)
         return pa.table({
-            id_col: ids,
-            "n_grams": pa.array(total, pa.int64()),
+            id_col: batch.column(id_col),
+            "n_grams": pa.array(counts, pa.int64()),
             "n_dup_positions": pa.array(ndup, pa.int64()),
-            "dup_span_frac": pa.array(round_away(frac, 4), pa.float64()),
+            "dup_span_frac": pa.array(round_away(frac.tolist(), 4),
+                                      pa.float64()),
         })
 
     out = ds.select_columns([id_col, text_col]).map_batches(
@@ -1682,14 +1686,13 @@ def remove_duplicate_spans(ds, n: int = 13, id_col: str = "doc_id",
     parts = _EDGE_PARTITIONS
 
     def gram_doc_pairs(batch: pa.Table) -> pa.Table:
+        from dataprof_ray.functions.grams import (unique_per_doc,
+                                                  wordgram_hashes_flat)
+
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        hs, ds_ = [], []
-        for i, t in zip(ids, batch.column(text_col).to_pylist()):
-            u = np.unique(_wordgram_hashes(t, n))
-            hs.append(u)
-            ds_.append(np.full(len(u), i, dtype=np.int64))
-        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
-        d = np.concatenate(ds_) if ds_ else np.empty(0, dtype=np.int64)
+        flat, counts = wordgram_hashes_flat(batch.column(text_col), n)
+        h, ud = unique_per_doc(flat, counts)
+        d = ids[ud].astype(np.int64)
         return pa.table({
             "h": pa.array(h, pa.uint64()),
             "d": pa.array(d, pa.int64()),
@@ -1734,20 +1737,26 @@ def _remove_spans_broadcast(ds, dup_ds, n, id_col, text_col):
     dup_ref = ray.put((dup_h, dup_owner))
 
     def scrub(batch: pa.Table) -> pa.Table:
+        from dataprof_ray.functions.grams import wordgram_hashes_flat
         from dataprof_ray.pipelines.textstats import _broadcast_cached
 
         h_arr, owner_arr = _broadcast_cached(dup_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        flat, counts = wordgram_hashes_flat(batch.column(text_col), n)
+        if len(flat) and len(h_arr):
+            pos = np.searchsorted(h_arr, flat)
+            pos[pos == len(h_arr)] = 0
+            found = h_arr[pos] == flat
+            owners = owner_arr[pos]
+        else:
+            found = np.zeros(len(flat), dtype=bool)
+            owners = np.zeros(len(flat), dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts)))
         out_text, n_tok, n_removed = [], [], []
-        for i, t in zip(ids, batch.column(text_col).to_pylist()):
-            hs = _wordgram_hashes(t, n)
-            if len(hs) and len(h_arr):
-                pos = np.searchsorted(h_arr, hs)
-                pos[pos == len(h_arr)] = 0
-                isdup = (h_arr[pos] == hs) & (owner_arr[pos] != i)
-                js = np.flatnonzero(isdup)
-            else:
-                js = np.empty(0, dtype=np.int64)
+        for r, (i, t) in enumerate(
+                zip(ids, batch.column(text_col).to_pylist())):
+            sl = slice(offs[r], offs[r + 1])
+            js = np.flatnonzero(found[sl] & (owners[sl] != i))
             txt, nt, nr = _scrub_doc_tokens(t, js, n)
             out_text.append(txt)
             n_tok.append(nt)
@@ -1791,23 +1800,25 @@ def _remove_spans_partitioned(ds, dup_ds, n_dup, n, id_col, text_col,
         })
 
     def candidates(batch: pa.Table) -> pa.Table:
+        from dataprof_ray.functions.grams import wordgram_hashes_flat
         from dataprof_ray.pipelines.textstats import _broadcast_cached
 
         bf = _broadcast_cached(bloom_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        hs_l, d_l, j_l = [], [], []
-        for i, t in zip(ids, batch.column(text_col).to_pylist()):
-            hs = _wordgram_hashes(t, n)
-            if not len(hs):
-                continue
-            jj = np.flatnonzero(bf.contains_u64(hs))
-            if len(jj):
-                hs_l.append(hs[jj])
-                d_l.append(np.full(len(jj), i, dtype=np.int64))
-                j_l.append(jj.astype(np.int64))
-        h = np.concatenate(hs_l) if hs_l else np.empty(0, np.uint64)
-        d = np.concatenate(d_l) if d_l else np.empty(0, np.int64)
-        j = np.concatenate(j_l) if j_l else np.empty(0, np.int64)
+        flat, counts = wordgram_hashes_flat(batch.column(text_col), n)
+        if len(flat):
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos_in_doc = (np.arange(len(flat), dtype=np.int64)
+                          - np.repeat(starts, counts))
+            hit = np.flatnonzero(bf.contains_u64(flat))
+            doc_of = np.repeat(np.arange(len(counts)), counts)[hit]
+            h = flat[hit]
+            d = ids[doc_of].astype(np.int64)
+            j = pos_in_doc[hit]
+        else:
+            h = np.empty(0, np.uint64)
+            d = np.empty(0, np.int64)
+            j = np.empty(0, np.int64)
         return pa.table({
             "h": pa.array(h, pa.uint64()),
             "d": pa.array(d, pa.int64()),
@@ -2016,17 +2027,18 @@ def exact_jaccard_pairs(
         # rows (side 0) and the per-doc gram-count row (side 1, count in
         # the h slot) — gram hashing dominates this operator's CPU, so a
         # separate size pass would double it
+        from dataprof_ray.functions.grams import (unique_per_doc,
+                                                  wordgram_hashes_flat)
+
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        hs, ds_, sz_d, sz_n = [], [], [], []
-        for i, t in zip(ids, batch.column(text_col).to_pylist()):
-            u = np.unique(_wordgram_hashes(t, n))
-            if len(u):
-                hs.append(u)
-                ds_.append(np.full(len(u), i, dtype=np.int64))
-                sz_d.append(i)
-                sz_n.append(len(u))
-        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
-        d = np.concatenate(ds_) if ds_ else np.empty(0, dtype=np.int64)
+        flat, counts = wordgram_hashes_flat(batch.column(text_col), n)
+        h, ud = unique_per_doc(flat, counts)
+        d = ids[ud].astype(np.int64) if len(ud) else np.empty(0, np.int64)
+        n_uniq = np.bincount(ud, minlength=len(counts)) if len(ud) \
+            else np.zeros(len(counts), dtype=np.int64)
+        nz = np.flatnonzero(n_uniq)
+        sz_d = ids[nz].astype(np.int64).tolist()
+        sz_n = n_uniq[nz].tolist()
         h_all = np.concatenate([h, np.asarray(sz_n, dtype=np.uint64)])
         d_all = np.concatenate([d, np.asarray(sz_d, dtype=np.int64)])
         part = np.concatenate([(h % np.uint64(parts)).astype(np.int32),
