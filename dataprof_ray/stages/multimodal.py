@@ -1,14 +1,21 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Images/audio/video travel as ``binary`` columns with a sidecar metadata
-struct. The IMAGE kernels (decode / feature / resize) are dual-path: a real
-PIL branch when the library imports, and a clearly-marked deterministic
-stub otherwise (PIL is absent in this container; ``strict=True`` refuses
-the stub). Audio/video kernels remain stubs (soundfile/ffmpeg absent). The
-Ray-side plumbing is real and tested either way: schemas, actor-pool stage
-signatures, batch sizing for wide binary rows, and output layout; the
-real-PIL branch is covered by skip-marked tests that run wherever PIL
-exists.
+struct. Every kernel is dual-path with a ``decode_ok`` marker and a
+``strict`` mode that refuses fabricated values:
+
+* IMAGE decode / feature / resize — real PIL branch when the library
+  imports, deterministic stub otherwise (PIL absent in this container;
+  skip-marked real tests run wherever it exists).
+* AUDIO features — REAL stdlib-``wave`` decode for RIFF/WAV payloads
+  (8/16/24/32-bit PCM, tested in-container), soundfile branch for other
+  formats when importable, headerless-PCM stub otherwise.
+* VIDEO frame sampling — real pyav demux branch when importable
+  (skip-marked test), deterministic stride stub otherwise.
+
+The Ray-side plumbing is real and tested on every branch: schemas,
+actor-pool stage signatures, batch sizing for wide binary rows, and
+output layout.
 
 Batch-size guidance encoded here: payload stages default to small
 ``batch_size`` (64) so batch x concurrency of multi-MB blobs fits worker
@@ -217,54 +224,184 @@ class ImageResizeStage:
         })
 
 
+def _try_import_av():
+    try:
+        import av  # noqa: F401
+
+        return av
+    except ImportError:
+        return None
+
+
+def _try_import_soundfile():
+    try:
+        import soundfile  # noqa: F401
+
+        return soundfile
+    except ImportError:
+        return None
+
+
 class FrameSampleStage:
-    """Actor-pool stage: sample frame offsets from a video payload.
+    """Actor-pool stage: sample frame positions from a video payload.
 
-    STUB: emits deterministic byte offsets for every_n 'frames'; a real
-    implementation would call ffmpeg/pyav (absent here)."""
+    Dual-path kernel, same contract as the image stages: with pyav
+    importable (absent in this container) the REAL branch demuxes the
+    container's first video stream and emits the byte position of every
+    ``every_n``-th packet (``decode_ok=True``); otherwise a deterministic
+    stub emits hash-aligned byte offsets at ``frame_size_hint`` strides so
+    the fan-out plumbing (one row per frame, per-media explode) is
+    exercised with the same schema (``decode_ok=False``). ``strict=True``
+    refuses the stub branch and raises on an undemuxable payload on the
+    real branch."""
 
-    def __init__(self, every_n: int = 10, frame_size_hint: int = 4096) -> None:
+    def __init__(self, every_n: int = 10, frame_size_hint: int = 4096,
+                 strict: bool = False) -> None:
         self.every_n = every_n
         self.frame_size_hint = frame_size_hint
+        self.av = _try_import_av()
+        self.strict = strict
+        if strict and self.av is None:
+            raise NotImplementedError(
+                "frame sampling requires pyav/ffmpeg; not available in this "
+                "container")
+
+    def _offsets(self, payload: bytes):
+        """-> (list of byte positions, decode_ok)."""
+        if self.av is not None:
+            import io
+
+            try:
+                with self.av.open(io.BytesIO(payload or b"")) as container:
+                    stream = container.streams.video[0]
+                    pos = [int(pkt.pos) for k, pkt in
+                           enumerate(container.demux(stream))
+                           if pkt.pos is not None and k % self.every_n == 0]
+                    return pos, True
+            except Exception as exc:
+                if self.strict:
+                    raise ValueError(
+                        "strict=True: undemuxable video payload "
+                        f"({len(payload or b'')} bytes)") from exc
+                return None, False  # null offsets, never fabricated ones
+        n_frames = max(len(payload or b"") // self.frame_size_hint, 1)
+        return [f * self.frame_size_hint
+                for f in range(0, n_frames, self.every_n)], False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, offsets = [], []
+        ids, offsets, ok = [], [], []
         for mid, p in zip(batch.column("media_id").to_pylist(),
                           batch.column("payload").to_pylist()):
-            n_frames = max(len(p or b"") // self.frame_size_hint, 1)
-            for f in range(0, n_frames, self.every_n):
+            pos, decoded = self._offsets(p)
+            for off in (pos if pos is not None else [None]):
                 ids.append(mid)
-                offsets.append(f * self.frame_size_hint)
+                offsets.append(off)
+                ok.append(decoded)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "frame_offset": pa.array(offsets, pa.int64()),
+            "decode_ok": pa.array(ok, pa.bool_()),
         })
 
 
 class AudioFeatureStage:
-    """Actor-pool stage: audio payload -> duration estimate + level stats.
+    """Actor-pool stage: audio payload -> duration + level stats.
 
-    STUB decode: payload bytes are treated as 16-bit PCM mono at
-    ``sample_rate`` (a real implementation would call soundfile/librosa —
-    absent in this container); the Ray plumbing (typed schema, actor
-    signature, batch sizing) is real. Emits (media_id, duration_ms, rms,
-    peak, clipped_ratio)."""
+    Triple-path kernel, strict-marked like the image stages:
 
-    def __init__(self, sample_rate: int = 16_000) -> None:
+    * RIFF/WAVE payloads decode through the stdlib ``wave`` module — a
+      REAL decode (8/16/24/32-bit PCM, any channel count, true sample
+      rate), available in every container (``decode_ok=True``).
+    * other formats decode through soundfile when it imports
+      (``decode_ok=True``; absent here — covered by a skip-marked test).
+    * otherwise the payload is interpreted as headerless 16-bit PCM mono
+      at ``sample_rate`` — the deterministic stub, ``decode_ok=False``.
+
+    ``strict=True`` raises instead of falling back to the stub, so a
+    strict pipeline can never mix real and fabricated level stats. Emits
+    (media_id, duration_ms, rms, peak, clipped_ratio, sample_rate,
+    decode_ok); level stats are over mono-averaged samples normalized to
+    [-1, 1]."""
+
+    def __init__(self, sample_rate: int = 16_000, strict: bool = False) -> None:
         self.sample_rate = sample_rate
+        self.sf = _try_import_soundfile()
+        self.strict = strict
+
+    _WAV_NORM = {1: 128.0, 2: 32768.0, 4: 2147483648.0}
+
+    def _decode(self, payload: bytes):
+        """-> (mono float64 samples in [-1, 1], sample_rate, decode_ok)."""
+        import io
+
+        raw = payload or b""
+        if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+            try:
+                import wave
+
+                with wave.open(io.BytesIO(raw)) as w:
+                    rate = w.getframerate()
+                    width = w.getsampwidth()
+                    ch = max(w.getnchannels(), 1)
+                    data = w.readframes(w.getnframes())
+                if width == 3:  # 24-bit: sign-extend into int32
+                    b3 = np.frombuffer(data, dtype=np.uint8)
+                    b3 = b3[: len(b3) // 3 * 3].reshape(-1, 3)
+                    vals = (b3[:, 0].astype(np.int32)
+                            | (b3[:, 1].astype(np.int32) << 8)
+                            | (b3[:, 2].astype(np.int8).astype(np.int32) << 16))
+                    pcm = vals.astype(np.float64) / 8388608.0
+                elif width == 1:  # 8-bit WAV is unsigned
+                    pcm = (np.frombuffer(data, dtype=np.uint8)
+                           .astype(np.float64) - 128.0) / 128.0
+                else:
+                    dt = np.int16 if width == 2 else np.int32
+                    pcm = (np.frombuffer(data, dtype=dt).astype(np.float64)
+                           / self._WAV_NORM[width])
+                if ch > 1:
+                    pcm = pcm[: len(pcm) // ch * ch].reshape(-1, ch).mean(axis=1)
+                return pcm, rate, True
+            except Exception as exc:
+                if self.strict:
+                    raise ValueError(
+                        "strict=True: undecodable WAV payload "
+                        f"({len(raw)} bytes)") from exc
+        elif self.sf is not None:
+            try:
+                data, rate = self.sf.read(io.BytesIO(raw), dtype="float64")
+                if data.ndim > 1:
+                    data = data.mean(axis=1)
+                return data, rate, True
+            except Exception as exc:
+                if self.strict:
+                    raise ValueError(
+                        "strict=True: undecodable audio payload "
+                        f"({len(raw)} bytes)") from exc
+        if self.strict:
+            raise ValueError(
+                "strict=True: payload is neither WAV nor decodable by an "
+                "available audio library")
+        raw = raw[: len(raw) // 2 * 2]
+        pcm = (np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+               if raw else np.empty(0, dtype=np.float64))
+        return pcm, self.sample_rate, False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id")
-        dur = np.zeros(batch.num_rows, dtype=np.float64)
-        rms = np.zeros(batch.num_rows, dtype=np.float64)
-        peak = np.zeros(batch.num_rows, dtype=np.float64)
-        clipped = np.zeros(batch.num_rows, dtype=np.float64)
+        n = batch.num_rows
+        dur = np.zeros(n, dtype=np.float64)
+        rms = np.zeros(n, dtype=np.float64)
+        peak = np.zeros(n, dtype=np.float64)
+        clipped = np.zeros(n, dtype=np.float64)
+        rates = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
         for i, p in enumerate(batch.column("payload").to_pylist()):
-            raw = (p or b"")[: len(p or b"") // 2 * 2]
-            if not raw:
+            pcm, rate, decoded = self._decode(p)
+            rates[i] = rate
+            ok[i] = decoded
+            if not len(pcm):
                 continue
-            pcm = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
-            dur[i] = len(pcm) / self.sample_rate * 1000.0
+            dur[i] = len(pcm) / rate * 1000.0
             rms[i] = float(np.sqrt(np.mean(pcm * pcm)))
             peak[i] = float(np.abs(pcm).max())
             clipped[i] = float(np.mean(np.abs(pcm) >= 0.999))
@@ -274,15 +411,18 @@ class AudioFeatureStage:
             "rms": pa.array(rms, pa.float64()),
             "peak": pa.array(peak, pa.float64()),
             "clipped_ratio": pa.array(clipped, pa.float64()),
+            "sample_rate": pa.array(rates, pa.int64()),
+            "decode_ok": pa.array(ok, pa.bool_()),
         })
 
 
-def extract_audio_features(ds, sample_rate: int = 16_000, concurrency=(1, 4),
+def extract_audio_features(ds, sample_rate: int = 16_000, strict: bool = False,
+                           concurrency=(1, 4),
                            batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
     return ds.map_batches(
         AudioFeatureStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"sample_rate": sample_rate},
+        fn_constructor_kwargs={"sample_rate": sample_rate, "strict": strict},
     )
 
 
@@ -310,11 +450,13 @@ def resize_images(ds, target: int = 224, strict: bool = False,
                           batch_size=batch_size)
 
 
-def sample_frames(ds, every_n: int = 10, concurrency=(1, 4),
+def sample_frames(ds, every_n: int = 10, strict: bool = False,
+                  concurrency=(1, 4),
                   batch_size: int = DEFAULT_MEDIA_BATCH_SIZE):
     return ds.map_batches(
         FrameSampleStage, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, fn_constructor_kwargs={"every_n": every_n},
+        concurrency=concurrency,
+        fn_constructor_kwargs={"every_n": every_n, "strict": strict},
     )
 
 

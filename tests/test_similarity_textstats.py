@@ -438,3 +438,163 @@ def test_real_pil_decode_features_resize(ray_session):
     # strict=True on the real branch raises on the corrupt payload
     with pytest.raises(Exception):
         MM.decode_images(rd.from_arrow(t), strict=True).to_pandas()
+
+
+# ----------------------------------------------------- audio / video kernels
+
+
+def _make_wav(samples: "np.ndarray", rate: int, width: int,
+              channels: int = 1) -> bytes:
+    """Encode float samples in [-1, 1] as a real RIFF/WAV payload."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    if width == 1:
+        frames = (np.clip(samples, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif width == 2:
+        frames = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    elif width == 3:
+        vals = (np.clip(samples, -1, 1) * 8388607).astype(np.int64)
+        b = np.empty((len(vals), 3), dtype=np.uint8)
+        b[:, 0] = vals & 0xFF
+        b[:, 1] = (vals >> 8) & 0xFF
+        b[:, 2] = (vals >> 16) & 0xFF
+        frames = b.tobytes()
+    else:
+        frames = (np.clip(samples, -1, 1) * 2147483647).astype("<i4").tobytes()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+class TestAudioVideoKernels:
+    def test_real_wav_decode_all_widths(self, ray_session):
+        """The stdlib-wave branch is a REAL decode: true sample rate,
+        duration and level stats for 8/16/24/32-bit PCM."""
+        import numpy as np
+        import ray.data as rd
+
+        from dataprof_ray.stages import multimodal as MM
+
+        rate = 8_000
+        t_axis = np.arange(rate) / rate  # exactly 1 s
+        sine = 0.5 * np.sin(2 * np.pi * 440 * t_axis)
+        payloads = [_make_wav(sine, rate, w) for w in (1, 2, 3, 4)]
+        t = pa.table({
+            "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * 4),
+        })
+        out = (MM.extract_audio_features(rd.from_arrow(t), strict=True)
+               .to_pandas().set_index("media_id").sort_index())
+        assert out.decode_ok.all()
+        assert (out.sample_rate == rate).all()
+        assert np.allclose(out.duration_ms, 1000.0, atol=1.0)
+        # sine rms = amplitude / sqrt(2); 8-bit has ~1/256 quantization
+        assert np.allclose(out.rms, 0.5 / np.sqrt(2), atol=5e-3)
+        assert np.allclose(out.peak, 0.5, atol=5e-3)
+        assert (out.clipped_ratio == 0).all()
+
+    def test_real_wav_stereo_mono_average(self):
+        import numpy as np
+
+        from dataprof_ray.stages import multimodal as MM
+
+        rate = 4_000
+        left = np.full(rate, 0.5)
+        # interleave L/R: mono average of (0.5, -0.5) is 0
+        inter = np.empty(2 * rate)
+        inter[0::2] = left
+        inter[1::2] = -left
+        stage = MM.AudioFeatureStage(strict=True)
+        pcm, got_rate, ok = stage._decode(_make_wav(inter, rate, 2, channels=2))
+        assert ok and got_rate == rate and len(pcm) == rate
+        assert np.abs(pcm).max() < 1e-3
+
+    def test_audio_stub_marked_and_strict_raises(self, ray_session):
+        import numpy as np
+
+        from dataprof_ray.stages import multimodal as MM
+
+        stage = MM.AudioFeatureStage()
+        pcm, rate, ok = stage._decode(b"\x01\x02" * 100)  # headerless bytes
+        assert not ok and rate == stage.sample_rate and len(pcm) == 100
+        with pytest.raises(ValueError, match="strict"):
+            MM.AudioFeatureStage(strict=True)._decode(b"\x01\x02" * 100)
+        # RIFF magic with garbage body: real branch, corrupt payload
+        corrupt = b"RIFF\x00\x00\x00\x00WAVEgarbage"
+        pcm, rate, ok = stage._decode(corrupt)
+        assert not ok
+        with pytest.raises(ValueError, match="strict"):
+            MM.AudioFeatureStage(strict=True)._decode(corrupt)
+
+    def test_frame_sample_stub_marked_and_strict(self, ray_session):
+        import ray.data as rd
+
+        from dataprof_ray.stages import multimodal as MM
+
+        t = MM.synthetic_media_table(4)
+        out = MM.sample_frames(rd.from_arrow(t), every_n=3).to_pandas()
+        assert not out.decode_ok.any()  # stub offsets are marked
+        if MM._try_import_av() is None:
+            with pytest.raises(NotImplementedError):
+                MM.FrameSampleStage(strict=True)
+
+    @pytest.mark.skipif(
+        __import__("dataprof_ray.stages.multimodal",
+                   fromlist=["_try_import_soundfile"])
+        ._try_import_soundfile() is None,
+        reason="real-soundfile branch: soundfile not importable here")
+    def test_real_soundfile_non_wav(self):
+        """Real-soundfile branch (runs wherever soundfile exists): a FLAC
+        payload decodes with true rate and decode_ok=True."""
+        import io
+
+        import numpy as np
+
+        from dataprof_ray.stages import multimodal as MM
+
+        sf = MM._try_import_soundfile()
+        rate = 8_000
+        sine = 0.5 * np.sin(2 * np.pi * 440 * np.arange(rate) / rate)
+        buf = io.BytesIO()
+        sf.write(buf, sine, rate, format="FLAC")
+        raw = buf.getvalue()
+        assert raw[:4] != b"RIFF"
+        pcm, got_rate, ok = MM.AudioFeatureStage(strict=True)._decode(raw)
+        assert ok and got_rate == rate
+        assert np.allclose(np.sqrt(np.mean(pcm ** 2)), 0.5 / np.sqrt(2),
+                           atol=5e-3)
+
+    @pytest.mark.skipif(
+        __import__("dataprof_ray.stages.multimodal",
+                   fromlist=["_try_import_av"])._try_import_av() is None,
+        reason="real-pyav branch: av not importable in this container")
+    def test_real_av_frame_positions(self):
+        """Real-pyav branch (runs wherever av exists): demuxed packet
+        positions for a tiny generated video, decode_ok=True."""
+        import io
+
+        import numpy as np
+
+        from dataprof_ray.stages import multimodal as MM
+
+        av = MM._try_import_av()
+        buf = io.BytesIO()
+        with av.open(buf, "w", format="mp4") as container:
+            stream = container.add_stream("mpeg4", rate=5)
+            stream.width, stream.height, stream.pix_fmt = 64, 64, "yuv420p"
+            for i in range(10):
+                frame = av.VideoFrame.from_ndarray(
+                    np.full((64, 64, 3), i * 20, dtype=np.uint8), format="rgb24")
+                container.mux(stream.encode(frame))
+            container.mux(stream.encode())
+        pos, ok = MM.FrameSampleStage(every_n=2, strict=True)._offsets(
+            buf.getvalue())
+        assert ok and len(pos) >= 2 and all(p >= 0 for p in pos)
