@@ -94,7 +94,7 @@ def broadcast_join(
     small_key: str,
     columns: Sequence[str],
     how: str = "inner",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: Optional[int] = 4096,
 ):
     """Join a large Dataset against a small side without any shuffle.
@@ -102,7 +102,14 @@ def broadcast_join(
     ``small`` may be a Dataset or pyarrow.Table; ``columns`` are the small
     side's columns appended to each matching big-side row. ``how`` is
     "inner" (drop unmatched) or "left" (null-fill). The lookup dict ships
-    once via ray.put; actors dereference it in __init__."""
+    once via ray.put and is deserialized once per WORKER process
+    (textstats._broadcast_cached), so the stage runs as STATELESS tasks:
+    Ray fuses a chain of broadcast joins into one task pipeline, and —
+    unlike the actor-pool form this replaced — a chain of joins cannot
+    starve a small cluster by each pool pinning a CPU (three chained
+    1-CPU pools on a 4-CPU test node deadlocked the read stage).
+    ``concurrency`` optionally caps concurrent tasks (None = let the
+    streaming executor size it)."""
     import ray
 
     if how not in ("inner", "left"):
@@ -111,11 +118,19 @@ def broadcast_join(
         else small.schema().base_schema
     types = [small_schema.field(c).type for c in columns]
     lookup_ref = ray.put(broadcast_lookup(small, small_key, columns))
+    if isinstance(concurrency, tuple):  # legacy actor-pool sizing
+        concurrency = concurrency[1]
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        from dataprof_ray.pipelines.textstats import _broadcast_cached
+
+        joiner = _BroadcastJoiner(_broadcast_cached(lookup_ref), big_key,
+                                  columns, types, how)
+        return joiner(batch)
+
     return big_ds.map_batches(
-        _BroadcastJoiner, batch_format="pyarrow", batch_size=batch_size,
+        join_batch, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs=dict(lookup_ref=lookup_ref, big_key=big_key,
-                                   columns=columns, types=types, how=how),
     )
 
 
@@ -673,7 +688,7 @@ def semi_anti_join(
     big_key: str,
     small_key: str,
     how: str = "semi",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: Optional[int] = 4096,
 ):
     """Existence join against a broadcast key set: ``semi`` keeps big-side
@@ -701,20 +716,23 @@ def semi_anti_join(
     keys = keys.drop_null()  # SQL: a NULL small-side key matches nothing
     keys_ref = ray.put(keys)
     keep_matched = how == "semi"
+    if isinstance(concurrency, tuple):  # legacy actor-pool sizing
+        concurrency = concurrency[1]
 
-    class _Membership:
-        def __init__(self) -> None:
-            self.keys = ray.get(keys_ref)
+    def membership(batch: pa.Table) -> pa.Table:
+        # stateless tasks + per-worker broadcast cache (fusable; no pinned
+        # actor CPUs — see broadcast_join)
+        from dataprof_ray.pipelines.textstats import _broadcast_cached
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            value_set = self.keys.cast(batch.column(big_key).type) \
-                if self.keys.type != batch.column(big_key).type else self.keys
-            mask = pc.fill_null(
-                pc.is_in(batch.column(big_key), value_set=value_set), False)
-            if not keep_matched:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
+        keys_local = _broadcast_cached(keys_ref)
+        value_set = keys_local.cast(batch.column(big_key).type) \
+            if keys_local.type != batch.column(big_key).type else keys_local
+        mask = pc.fill_null(
+            pc.is_in(batch.column(big_key), value_set=value_set), False)
+        if not keep_matched:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
     return big_ds.map_batches(
-        _Membership, batch_format="pyarrow", batch_size=batch_size,
+        membership, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)

@@ -20,8 +20,15 @@ import pyarrow.compute as pc
 _WS_SPLIT = re.compile(r"\s+")
 
 # per-worker-process cache for ray.put broadcasts consumed by stateless
-# tasks: one object-store fetch + deserialize per worker, not per batch
+# tasks: one object-store fetch + deserialize per worker, not per batch.
+# Holds a FEW entries (FIFO-evicted), not one: a fused task chain of
+# several broadcast stages (e.g. three chained broadcast_joins) alternates
+# refs on EVERY batch, and a single-slot cache would re-deserialize each
+# broadcast per batch. Memory stays bounded — broadcasts are <= the 64 MB
+# tier ceilings by contract, and the one legitimately-large broadcast
+# (a decontam Bloom) is used alone in its pipeline.
 _BROADCAST_CACHE: dict = {}
+_BROADCAST_CACHE_SLOTS = 4
 
 
 def _broadcast_cached(ref):
@@ -31,7 +38,8 @@ def _broadcast_cached(ref):
     obj = _BROADCAST_CACHE.get(key)
     if obj is None:
         obj = ray.get(ref)
-        _BROADCAST_CACHE.clear()  # one live broadcast per worker is plenty
+        while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_SLOTS:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
         _BROADCAST_CACHE[key] = obj
     return obj
 

@@ -586,13 +586,14 @@ def test_broadcast_cached_one_fetch_per_worker(ray_session, monkeypatch):
     """VERDICT r3 #5: the broadcast cache resolves a ref with ONE
     object-store read per worker process (per-batch ray.get would
     re-deserialize a GB-size Bloom every batch). Same-ref lookups hit the
-    cache; a new ref evicts the old (one live broadcast per worker)."""
+    cache; it holds a few slots (so a fused chain of broadcast stages
+    alternating refs per batch never thrashes) and FIFO-evicts beyond
+    that."""
     import ray
 
     from dataprof_ray.pipelines import textstats as T
 
-    ref_a = ray.put(np.arange(5))
-    ref_b = ray.put(np.arange(7))
+    refs = [ray.put(np.arange(n)) for n in range(2, 2 + T._BROADCAST_CACHE_SLOTS + 1)]
     calls = {"n": 0}
     real_get = ray.get
 
@@ -602,10 +603,18 @@ def test_broadcast_cached_one_fetch_per_worker(ray_session, monkeypatch):
 
     monkeypatch.setattr(ray, "get", counting_get)
     T._BROADCAST_CACHE.clear()
-    a1 = T._broadcast_cached(ref_a)
-    a2 = T._broadcast_cached(ref_a)
-    assert calls["n"] == 1 and a1 is a2 and a1.sum() == 10
-    b = T._broadcast_cached(ref_b)
-    assert calls["n"] == 2 and b.sum() == 21
-    assert len(T._BROADCAST_CACHE) == 1  # old broadcast evicted
+    a1 = T._broadcast_cached(refs[0])
+    a2 = T._broadcast_cached(refs[0])
+    assert calls["n"] == 1 and a1 is a2 and a1.sum() == 1
+    # alternating refs within the slot budget: every lookup is a cache hit
+    for r in refs[:T._BROADCAST_CACHE_SLOTS]:
+        T._broadcast_cached(r)
+    for r in refs[:T._BROADCAST_CACHE_SLOTS]:
+        T._broadcast_cached(r)
+    assert calls["n"] == T._BROADCAST_CACHE_SLOTS
+    # one ref beyond the budget evicts the oldest (FIFO), capacity holds
+    T._broadcast_cached(refs[-1])
+    assert calls["n"] == T._BROADCAST_CACHE_SLOTS + 1
+    assert len(T._BROADCAST_CACHE) == T._BROADCAST_CACHE_SLOTS
+    assert refs[0].hex() not in T._BROADCAST_CACHE
     T._BROADCAST_CACHE.clear()
