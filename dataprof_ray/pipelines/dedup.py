@@ -584,30 +584,26 @@ def _fetch_shingle_sets(ds, ids: set, text_col: str, id_col: str,
     Numpy arrays (not python sets) keep the broadcast's pickle/unpickle a
     memcpy — deserializing millions of boxed ints per worker was the
     verify stage's hidden cost."""
-    import polars as pl
     import pyarrow.compute as pc
 
     wanted = pa.array(sorted(int(i) for i in ids), pa.int64())
 
     def fetch_hash(batch: pa.Table) -> pa.Table:
+        # one vectorized shingle+hash pass (functions/grams.py); position
+        # duplicates ride along — the driver-side assembly np.uniques
+        # every entry, so the final dict is value-identical
+        from dataprof_ray.functions.grams import char_shingle_hashes_flat
+
         mask = pc.is_in(batch.column(id_col), value_set=wanted)
         batch = batch.filter(pc.fill_null(mask, False))
-        texts = batch.column(text_col).to_pylist()
-        all_shingles: list = []
-        offsets = [0]
-        for t in texts:
-            all_shingles.extend(_shingles(t, shingle_k))
-            offsets.append(len(all_shingles))
-        hashes = (
-            pl.Series(all_shingles).hash(seed=0).to_numpy().astype(np.uint64)
-            if all_shingles else np.empty(0, dtype=np.uint64)
-        )
+        hashes, counts = char_shingle_hashes_flat(
+            batch.column(text_col), shingle_k)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
         return pa.table({
             id_col: batch.column(id_col),
-            "shingle_hashes": pa.array(
-                [hashes[offsets[i]: offsets[i + 1]].tolist()
-                 for i in range(len(texts))],
-                pa.list_(pa.uint64())),
+            "shingle_hashes": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(hashes, pa.uint64())),
         })
 
     out: dict = {}
