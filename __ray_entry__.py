@@ -22,6 +22,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -51,6 +52,16 @@ def _read(sf_dir: str, table: str, columns=None, **kwargs):
     kwargs.setdefault("override_num_blocks", 16)
     return read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kwargs)
 
+
+
+def _int_away(col, factor: float = 100.0):
+    """Scale a float column and round HALF-AWAY-FROM-ZERO to int64 —
+    DuckDB/SQL ROUND semantics. pc.round is half-to-even and silently
+    diverges from the oracle on exact .5 ties (none exist in 2-decimal
+    testdata, but nothing enforces that granularity)."""
+    scaled = pc.multiply(pc.cast(col, pa.float64()), pa.scalar(factor))
+    mag = pc.floor(pc.add(pc.abs(scaled), pa.scalar(0.5)))
+    return pc.cast(pc.multiply(pc.sign(scaled), mag), pa.int64())
 
 def _docs_as_corpus_stage(batch: pa.Table) -> pa.Table:
     """Adapt the documents table to the corpus schema (url, warc_ts, html,
@@ -106,8 +117,8 @@ def _q1_pricing(sf_dir: str) -> pd.DataFrame:
             "l_linestatus": b.column("l_linestatus"),
             "l_quantity": b.column("l_quantity"),
             "l_discount": b.column("l_discount"),
-            "base_cents": pc.cast(pc.round(pc.multiply(price, pa.scalar(100.0))), pa.int64()),
-            "disc_e4": pc.cast(pc.round(disc), pa.int64()),
+            "base_cents": _int_away(price),
+            "disc_e4": _int_away(disc, factor=1.0),
         })
 
     ds = ds.map_batches(add_cents, batch_format="pyarrow")
@@ -207,8 +218,7 @@ def _orders_monthly(sf_dir: str) -> pd.DataFrame:
 
     def add_ym(b: pa.Table) -> pa.Table:
         d = b.column("o_orderdate")
-        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))),
-                        pa.int64())
+        cents = _int_away(b.column("o_totalprice"))
         return pa.table({
             "y": pc.cast(pc.year(d), pa.int64()),
             "m": pc.cast(pc.month(d), pa.int64()),
@@ -565,9 +575,7 @@ def _running_user_totals(sf_dir: str):
             "event_id": b.column("event_id"),
             "ts": b.column("ts"),
             "user_id": b.column("user_id"),
-            "value_cents": pc.cast(
-                pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))),
-                pa.int64()),
+            "value_cents": _int_away(b.column("value")),
         })
 
     return cumulative_window(ev.map_batches(cents, batch_format="pyarrow"),
@@ -676,9 +684,7 @@ def _rolling_user_events(sf_dir: str):
             "event_id": b.column("event_id"),
             "ts": b.column("ts"),
             "user_id": b.column("user_id"),
-            "value_cents": pc.cast(
-                pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))),
-                pa.int64()),
+            "value_cents": _int_away(b.column("value")),
         })
 
     return rolling_window(ev.map_batches(cents, batch_format="pyarrow"),
@@ -1018,8 +1024,7 @@ def _sales_by_segment(sf_dir: str) -> pd.DataFrame:
                             how="inner", concurrency=(1, 4))
 
     def add_cents(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"),
-                                             pa.scalar(100.0))), pa.int64())
+        cents = _int_away(b.column("o_totalprice"))
         return pa.table({"c_mktsegment": b.column("c_mktsegment"),
                          "price_cents": cents})
 
@@ -1079,8 +1084,7 @@ def _revenue_by_priority(sf_dir: str) -> pd.DataFrame:
     from dataprof_ray.pipelines.join import hash_join
 
     def add_cents(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"),
-                                             pa.scalar(100.0))), pa.int64())
+        cents = _int_away(b.column("l_extendedprice"))
         return pa.table({"l_orderkey": b.column("l_orderkey"),
                          "price_cents": cents})
 
@@ -1168,8 +1172,7 @@ def _skewed_join_events(sf_dir: str) -> pd.DataFrame:
 
     def skew(b: pa.Table) -> pa.Table:
         uid = b.column("user_id").to_numpy(zero_copy_only=False)
-        cents = pc.cast(pc.round(pc.multiply(b.column("value"),
-                                             pa.scalar(100.0))), pa.int64())
+        cents = _int_away(b.column("value"))
         return pa.table({
             "skew_uid": pa.array(np.where(uid % 5 < 2, 7, uid), pa.int64()),
             "cents": cents,
@@ -1238,8 +1241,7 @@ def _revenue_by_region(sf_dir: str) -> pd.DataFrame:
                        how="inner", concurrency=(1, 4))
 
     def add_cents(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"),
-                                             pa.scalar(100.0))), pa.int64())
+        cents = _int_away(b.column("o_totalprice"))
         return pa.table({"r_name": b.column("r_name"), "price_cents": cents})
 
     df = preagg_groupby(j.map_batches(add_cents, batch_format="pyarrow"),

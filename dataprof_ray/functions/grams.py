@@ -31,13 +31,9 @@ the pinning tests):
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import polars as pl
 import pyarrow as pa
-
-_WS_SPLIT = re.compile(r"\s+")
 
 # Rust-regex spelling of CPython's \s (verified char-for-char by
 # tests/test_grams.py::test_whitespace_class_parity)

@@ -613,7 +613,10 @@ def _fetch_shingle_sets(ds, ids: set, text_col: str, id_col: str,
         ids_np = batch.column(id_col).to_numpy(zero_copy_only=False)
         col = batch.column("shingle_hashes").combine_chunks()
         flat = np.asarray(col.flatten(), dtype=np.uint64)
+        # a SLICED ListArray keeps absolute parent offsets while flatten()
+        # rebases its values to 0 — normalize so the two stay aligned
         offs = np.asarray(col.offsets)
+        offs = offs - offs[0]
         for k, i in enumerate(ids_np):
             # unique+sort once here so the verify can intersect presorted
             out[int(i)] = np.unique(flat[offs[k]: offs[k + 1]])

@@ -293,7 +293,11 @@ class FrameSampleStage:
         for mid, p in zip(batch.column("media_id").to_pylist(),
                           batch.column("payload").to_pylist()):
             pos, decoded = self._offsets(p)
-            for off in (pos if pos is not None else [None]):
+            # every media emits >= 1 row on every branch: a real demux
+            # with no byte positions (pkt.pos=None formats) or a failed
+            # demux both yield one null-offset row, so per-media joins
+            # downstream never silently lose a media_id
+            for off in (pos if pos else [None]):
                 ids.append(mid)
                 offsets.append(off)
                 ok.append(decoded)
@@ -362,11 +366,14 @@ class AudioFeatureStage:
                     pcm = pcm[: len(pcm) // ch * ch].reshape(-1, ch).mean(axis=1)
                 return pcm, rate, True
             except Exception as exc:
-                if self.strict:
+                # fall through to soundfile (it decodes WAV subformats the
+                # stdlib module can't: IEEE-float, ADPCM, ...) or the stub;
+                # strict raises below only if no real decoder remains
+                if self.strict and self.sf is None:
                     raise ValueError(
                         "strict=True: undecodable WAV payload "
                         f"({len(raw)} bytes)") from exc
-        elif self.sf is not None:
+        if self.sf is not None:
             try:
                 data, rate = self.sf.read(io.BytesIO(raw), dtype="float64")
                 if data.ndim > 1:

@@ -598,3 +598,65 @@ class TestAudioVideoKernels:
         pos, ok = MM.FrameSampleStage(every_n=2, strict=True)._offsets(
             buf.getvalue())
         assert ok and len(pos) >= 2 and all(p >= 0 for p in pos)
+
+    def test_wav_subformat_falls_back_to_soundfile(self):
+        """A RIFF payload the stdlib wave module cannot decode (IEEE-float
+        / ADPCM subformats) must fall through to soundfile when it is
+        importable — not raise under strict or degrade to the PCM stub."""
+        import numpy as np
+
+        from dataprof_ray.stages import multimodal as MM
+
+        class FakeSF:
+            def read(self, buf, dtype):
+                return np.full(800, 0.25), 8_000
+
+        stage = MM.AudioFeatureStage(strict=True)
+        stage.sf = FakeSF()
+        riff_odd = b"RIFF\x24\x00\x00\x00WAVE" + b"\x03\x00" * 16
+        pcm, rate, ok = stage._decode(riff_odd)
+        assert ok and rate == 8_000 and len(pcm) == 800
+        # without soundfile, strict still raises on the undecodable RIFF
+        stage_nosf = MM.AudioFeatureStage(strict=True)
+        stage_nosf.sf = None
+        with pytest.raises(ValueError, match="strict"):
+            stage_nosf._decode(riff_odd)
+
+    def test_frame_sample_emits_row_for_positionless_demux(self):
+        """A real demux whose packets carry no byte positions must still
+        emit one (null-offset, decode_ok=True) row per media — a media_id
+        may never silently vanish from the output."""
+        import pyarrow as pa
+
+        from dataprof_ray.stages import multimodal as MM
+
+        class _Pkt:
+            pos = None
+
+        class _Container:
+            class streams:
+                video = [object()]
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def demux(self, stream):
+                return [_Pkt(), _Pkt()]
+
+        class FakeAV:
+            def open(self, buf):
+                return _Container()
+
+        stage = MM.FrameSampleStage(every_n=1)
+        stage.av = FakeAV()
+        out = stage(pa.table({
+            "media_id": pa.array([7], pa.int64()),
+            "payload": pa.array([b"xx"], pa.binary()),
+        }))
+        assert out.num_rows == 1
+        assert out.column("media_id").to_pylist() == [7]
+        assert out.column("frame_offset").to_pylist() == [None]
+        assert out.column("decode_ok").to_pylist() == [True]

@@ -85,11 +85,15 @@ def scaled_documents(src_dir: str, factor: int, seed: int = 7) -> pa.Table:
     flat = rng.choice(vocab, size=int(out_len.sum()), p=probs)
     offs = np.concatenate(([0], np.cumsum(out_len)))
     texts = [" ".join(flat[offs[i]:offs[i + 1]]) for i in range(n_out)]
-    # plant exact duplicates at the source rate
+    # plant exact duplicates at the source rate: sample DISJOINT target
+    # and source rows (targets copy a snapshot of the sources, so no
+    # planted pair can be destroyed by a later overwrite)
     n_dups = int(round((len(df) - df.text.nunique()) * factor))
-    dup_from = rng.choice(n_out, size=n_dups, replace=False)
-    for j, i in enumerate(dup_from):
-        texts[int(i)] = texts[int((i + 1 + j) % n_out)]
+    picks = rng.choice(n_out, size=2 * n_dups, replace=False)
+    targets, sources = picks[:n_dups], picks[n_dups:]
+    originals = [texts[int(i)] for i in sources]
+    for i, t in zip(targets, originals):
+        texts[int(i)] = t
     langs = rng.choice(df.lang.to_numpy(), size=n_out)
     sources = [f"src{i % df.source.nunique()}" for i in range(n_out)]
     return pa.table({
