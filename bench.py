@@ -105,6 +105,8 @@ def bench_queries() -> dict[str, float]:
         # gaps, full-outer join
         "jaccard_pairs_exact", "vocab_drift_documents",
         "event_gaps_users", "user_click_purchase_counts",
+        # round 5 addition: hot-key salted large-large join end-to-end
+        "skewed_join_events",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
