@@ -1,1 +1,2 @@
-"""Sources: synthetic corpus generator, corpus reader, CSV sniffing, JSON policy."""
+"""Sources: synthetic corpus generator, corpus reader, CSV sniffing, JSON
+policy, HTTP-range parquet, WARC/WET web archives (warc.py)."""
