@@ -108,9 +108,14 @@ class _StreamParser:
                 self._compact()
                 return out
             if len(self._buf) - self._pos > limit:
+                # Consume one byte before raising so a skip-mode resync()
+                # cannot re-find the failed record's own magic at _pos and
+                # loop forever on the same record.
+                off = self._offset()
+                self._pos += 1
                 raise WarcFormatError(
                     f"{self._path}: no {delim!r} within {limit} bytes "
-                    f"at offset {self._offset()}")
+                    f"at offset {off}")
             if not self._fill():
                 return None
 
@@ -156,6 +161,14 @@ class _StreamParser:
             self._skip_blank()
             head = self._read_until(_HDR_END)
             if head is None:
+                if self._pos < len(self._buf):
+                    # EOF with an unterminated header: consume the tail so
+                    # skip-mode resync() terminates, and surface the error.
+                    off = self._offset()
+                    self._pos = len(self._buf)
+                    raise WarcFormatError(
+                        f"{self._path}: truncated header at EOF "
+                        f"(offset {off})")
                 return
             if not head.startswith(_MAGIC):
                 raise WarcFormatError(

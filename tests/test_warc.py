@@ -104,6 +104,41 @@ def test_truncated_tail_skips_or_raises(ray_session, tmp_path):
         read_wet(str(p), policy="strict").materialize()
 
 
+def test_runaway_header_terminates(tmp_path):
+    """A header block that never terminates must not loop forever in skip
+    mode (resync used to re-find the failed record's own magic at _pos) and
+    must raise in strict mode."""
+    import io
+    import itertools
+
+    from dataprof_ray.sources.warc import _iter_file
+
+    bad = b"WARC/1.0\r\nX: " + b"a" * ((1 << 22) + 100)
+    rows = list(itertools.islice(
+        _iter_file(io.BytesIO(bad), "mem", "wet", "skip"), 10))
+    assert rows == []  # terminated, no infinite parse_ok=False markers
+    with pytest.raises(WarcFormatError):
+        list(_iter_file(io.BytesIO(bad), "mem", "wet", "strict"))
+
+
+def test_truncated_header_at_eof(tmp_path):
+    """An unterminated header at EOF raises in strict mode (it used to be
+    silently swallowed) and terminates cleanly in skip mode."""
+    import io
+    import itertools
+
+    from dataprof_ray.sources.warc import _iter_file, build_wet_record
+
+    good = build_wet_record("https://example.com/ok", "fine")
+    trunc = b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Le"
+    data = good + trunc
+    rows = list(itertools.islice(
+        _iter_file(io.BytesIO(data), "mem", "wet", "skip"), 10))
+    assert [r.get("url") for r in rows] == ["https://example.com/ok"]
+    with pytest.raises(WarcFormatError, match="truncated header"):
+        list(_iter_file(io.BytesIO(data), "mem", "wet", "strict"))
+
+
 def test_strict_policy_clean_file_ok(ray_session, tmp_path):
     p = tmp_path / "clean.wet"
     p.write_bytes(_wet_bytes(3))
