@@ -1633,6 +1633,59 @@ def _profile_report_documents(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _corr_qty_disc_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Per-group Pearson correlation from exact integer partial sums
+    (pipelines/aggregate.grouped_corr): corr(quantity, discount_e4) by
+    return flag. Integer scaling makes every partial sum order-free, so
+    the Ray reduction and the DuckDB oracle (same explicit formula over
+    CAST-to-DOUBLE exact sums) agree bit-for-bit before ROUND."""
+    from dataprof_ray.pipelines.aggregate import grouped_corr
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "qty": _int_away(b.column("l_quantity"), factor=1.0),
+            "disc_e4": _int_away(b.column("l_discount"), factor=10000.0),
+        })
+
+    out = grouped_corr(li.map_batches(to_int, batch_format="pyarrow"),
+                       ["l_returnflag"], "qty", "disc_e4")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _entropy_event_types(sf_dir: str) -> pd.DataFrame:
+    """Per-group Shannon entropy (base 2) of the event-type mix for 16
+    user buckets — pipelines/aggregate.grouped_entropy vs DuckDB's
+    entropy() aggregate."""
+    from dataprof_ray.pipelines.aggregate import grouped_entropy
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("user_id")))
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({"bucket": pa.array(u % 16, pa.int64()),
+                         "event_type": b.column("event_type")})
+
+    out = grouped_entropy(ev.map_batches(bucket, batch_format="pyarrow"),
+                          ["bucket"], "event_type")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def _fuzzy_name_pairs(sf_dir: str):
+    """FastSS edit-distance self-join (pipelines/fuzzy.py): all customer
+    pairs whose names are within Levenshtein distance 1, exact by
+    deletion-neighborhood candidates + in-bucket verify, pinned against
+    DuckDB's levenshtein() cross-join oracle."""
+    from dataprof_ray.pipelines.fuzzy import fuzzy_pairs
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return fuzzy_pairs(cust, "c_name", "c_custkey", max_distance=1)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracle-backed (driver hash-checks its window against
@@ -1691,6 +1744,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in round 5:
         "skewed_join_events": _skewed_join_events,
         "audits_summary": _audits_summary,
+        # -- round-5 additions (oracle-backed; outside the 50-slot
+        #    window, parity-asserted by the pytest oracle harness):
+        "corr_qty_disc_lineitem": _corr_qty_disc_lineitem,
+        "entropy_event_types": _entropy_event_types,
+        "fuzzy_name_pairs": _fuzzy_name_pairs,
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
         "doc_frequency_documents": _doc_frequency_documents,
@@ -2310,6 +2368,41 @@ def oracle_sql() -> dict[str, str]:
             "('quality_classifier_audit', TRUE), "
             "('quantization_audit', TRUE)"
             ") AS t(audit, passed) ORDER BY audit"
+        ),
+        "corr_qty_disc_lineitem": (
+            # the explicit corr formula over CAST-to-DOUBLE exact integer
+            # sums — NOT corr(): DuckDB's single-pass recurrence carries
+            # plan-order float error; this form is bit-identical to the
+            # Ray side's numpy expression on the same exact partials
+            "WITH t AS (SELECT l_returnflag, "
+            "CAST(ROUND(l_quantity) AS BIGINT) AS qty, "
+            "CAST(ROUND(l_discount * 10000) AS BIGINT) AS disc_e4 "
+            "FROM lineitem WHERE l_quantity IS NOT NULL "
+            "AND l_discount IS NOT NULL), "
+            "s AS (SELECT l_returnflag, COUNT(*) AS n, SUM(qty) AS sx, "
+            "SUM(disc_e4) AS sy, SUM(qty * disc_e4) AS sxy, "
+            "SUM(qty * qty) AS sxx, SUM(disc_e4 * disc_e4) AS syy "
+            "FROM t GROUP BY l_returnflag) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+            "ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) "
+            "/ (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+            "* SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+            "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS corr "
+            "FROM s ORDER BY l_returnflag"
+        ),
+        "entropy_event_types": (
+            "SELECT user_id % 16 AS bucket, "
+            "ROUND(entropy(event_type), 4) AS entropy FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY 1 ORDER BY 1"
+        ),
+        "fuzzy_name_pairs": (
+            "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+            "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1 "
+            "ORDER BY id_a, id_b"
         ),
         "global_shuffle_documents": (
             "SELECT doc_id, "

@@ -84,7 +84,16 @@ def preagg_groupby(
         .groupby(keys)
         .aggregate(*final_aggs)
     )
-    return agg.to_pandas().sort_values(keys).reset_index(drop=True)
+    out = agg.to_pandas()
+    if any(k not in out.columns for k in keys):
+        # zero input rows -> zero groups -> column-less frame (the same
+        # empty-input class funnel_counts guards); emit the typed shape
+        out = pd.DataFrame({k: pd.Series(dtype=object) for k in keys})
+        for name, _col, fn in specs:
+            out[name] = pd.Series(
+                dtype=np.int64 if fn == "count" else np.float64)
+        return out
+    return out.sort_values(keys).reset_index(drop=True)
 
 
 def group_quantiles(
@@ -534,3 +543,105 @@ def funnel_counts(ds, key: str, ts_col: str, stage_col: str,
     out["__o"] = out["stage"].map(stage_idx)
     return (out.sort_values("__o").drop(columns="__o")
             .reset_index(drop=True))
+
+
+def grouped_corr(ds, keys: Sequence[str], x_col: str, y_col: str,
+                 decimals: int = 4,
+                 batch_size: Optional[int] = 8192) -> pd.DataFrame:
+    """Per-group Pearson correlation from EXACT integer partial sums.
+
+    Contract: ``x_col`` and ``y_col`` must hold integer-valued int64
+    columns (callers scale floats first, e.g. ``_int_away`` cents/e4),
+    small enough that n*max(|x|*|y|, x^2, y^2) fits int64 — then the five
+    partial sums (sum x, sum y, sum xy, sum x^2, sum y^2) are order-free
+    integers, every reduction order yields identical bits, and the final
+    float expression matches a DuckDB oracle computing the SAME formula
+    over CAST-to-DOUBLE integer sums (IEEE ops on identical inputs).
+    DuckDB's own ``corr()`` uses a different single-pass recurrence whose
+    float error differs run-to-run of the plan — the oracle must spell
+    the formula out, not call ``corr()``.
+
+    Scale design: the classic combiner pattern — per-batch product
+    columns + per-batch group collapse, one tiny shuffle of |keys| x
+    |batches| partial rows, corr computed on the driver's one-row-per-key
+    frame. Rows where either side is null are excluded (SQL corr
+    semantics); null keys form their own group (SQL GROUP BY).
+    """
+    keys = list(keys)
+
+    def products(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(batch.column(x_col)),
+                       pc.is_valid(batch.column(y_col)))
+        b = batch.filter(mask)
+        x = b.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {k: b.column(k) for k in keys}
+        cols["__x"] = pa.array(x, pa.int64())
+        cols["__y"] = pa.array(y, pa.int64())
+        cols["__xy"] = pa.array(x * y, pa.int64())
+        cols["__xx"] = pa.array(x * x, pa.int64())
+        cols["__yy"] = pa.array(y * y, pa.int64())
+        return pa.table(cols)
+
+    stats = preagg_groupby(
+        ds.map_batches(products, batch_format="pyarrow",
+                       batch_size=batch_size),
+        keys,
+        [("n", None, "count"), ("sx", "__x", "sum"), ("sy", "__y", "sum"),
+         ("sxy", "__xy", "sum"), ("sxx", "__xx", "sum"),
+         ("syy", "__yy", "sum")],
+        batch_size=batch_size,
+    )
+    n = stats["n"].to_numpy(np.float64)
+    sx = stats["sx"].to_numpy(np.float64)
+    sy = stats["sy"].to_numpy(np.float64)
+    sxy = stats["sxy"].to_numpy(np.float64)
+    sxx = stats["sxx"].to_numpy(np.float64)
+    syy = stats["syy"].to_numpy(np.float64)
+    num = n * sxy - sx * sy
+    den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = np.where(den == 0.0, np.nan, num / den)
+    out = stats[keys].copy()
+    out["n"] = stats["n"].astype(np.int64)
+    out["corr"] = round_away(corr, decimals)
+    return out.reset_index(drop=True)
+
+
+def grouped_entropy(ds, keys: Sequence[str], value_col: str,
+                    decimals: int = 4,
+                    batch_size: Optional[int] = 8192) -> pd.DataFrame:
+    """Per-group Shannon entropy (base 2) of ``value_col``'s value
+    distribution — DuckDB ``entropy()`` semantics: nulls excluded, zero
+    for single-valued groups. Returns one row per key.
+
+    Scale design: counts per (key, value) via the partial/combiner
+    groupby (the shuffle moves distinct key-value rows, never raw rows),
+    then the entropy fold runs on the driver's tiny counts frame.
+    Cardinality contract: |keys| x |distinct values| must be driver-small
+    — the operator is for categorical columns (event types, langs,
+    sources), not free text; high-cardinality values belong to the
+    HLL/CMS family."""
+    keys = list(keys)
+    counts = preagg_groupby(
+        ds.map_batches(
+            lambda b: b.filter(pc.is_valid(b.column(value_col))),
+            batch_format="pyarrow", batch_size=batch_size),
+        keys + [value_col],
+        [("cnt", None, "count")],
+        batch_size=batch_size,
+    )
+
+    def _h(g: pd.DataFrame) -> float:
+        c = g["cnt"].to_numpy(np.float64)
+        p = c / c.sum()
+        return float(-(p * np.log2(p)).sum())
+
+    if counts.empty:
+        out = pd.DataFrame({k: pd.Series(dtype=object) for k in keys})
+        out["entropy"] = pd.Series(dtype=np.float64)
+        return out
+    out = (counts.groupby(keys, dropna=False, sort=True)
+           .apply(_h, include_groups=False).rename("entropy").reset_index())
+    out["entropy"] = round_away(out["entropy"].to_numpy(), decimals)
+    return out

@@ -288,3 +288,78 @@ def test_session_window_returns_dataset_by_default(ray_session):
     pd.testing.assert_frame_equal(df, report)
     assert df[["u", "session_id", "n_events"]].values.tolist() == [
         [1, 1, 2], [1, 2, 1], [2, 1, 2]]
+
+
+def test_grouped_corr_matches_duckdb(ray_session):
+    """Exact-integer-partials corr == the DuckDB oracle formula, and
+    degenerate groups (zero variance) come back NaN."""
+    import duckdb
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.aggregate import grouped_corr
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, n),
+        "x": rng.integers(1, 50, n).astype(np.int64),
+        "y": rng.integers(-500, 500, n).astype(np.int64),
+    })
+    # group 3: constant x -> zero variance -> NaN corr
+    df.loc[df["k"] == 3, "x"] = 7
+    # plant nulls on one side: excluded on both sides
+    df["y"] = df["y"].astype("Int64")
+    df.loc[df.index[:50], "y"] = pd.NA
+    got = grouped_corr(
+        rd.from_pandas(df).repartition(5), ["k"], "x", "y")
+    want = duckdb.sql(
+        "WITH t AS (SELECT k, x, y FROM df WHERE y IS NOT NULL), "
+        "s AS (SELECT k, COUNT(*) n, SUM(x) sx, SUM(y) sy, SUM(x*y) sxy, "
+        "SUM(x*x) sxx, SUM(y*y) syy FROM t GROUP BY k) "
+        "SELECT k, CAST(n AS BIGINT) n, "
+        "ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+        " / (SQRT(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))"
+        " * SQRT(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 4) corr "
+        "FROM s GROUP BY ALL ORDER BY k").df()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == list(want["k"])
+    assert list(got["n"]) == list(want["n"])
+    g, w = got["corr"].to_numpy(), want["corr"].to_numpy()
+    assert np.isnan(g[3]) and np.isnan(w[3])
+    assert (g[:3] == w[:3]).all()
+
+
+def test_grouped_entropy_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.aggregate import grouped_entropy
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 3000),
+        "v": rng.choice(["a", "b", "c", None], 3000, p=[.5, .3, .1, .1]),
+    })
+    got = grouped_entropy(
+        rd.from_pandas(df).repartition(4), ["k"], "v")
+    want = duckdb.sql(
+        "SELECT k, ROUND(entropy(v), 4) AS entropy "
+        "FROM df GROUP BY k ORDER BY k").df()
+    assert (got["entropy"].to_numpy() == want["entropy"].to_numpy()).all()
+
+
+def test_grouped_entropy_single_value_and_empty(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.aggregate import grouped_entropy
+
+    df = pd.DataFrame({"k": [1, 1, 2], "v": ["x", "x", "y"]})
+    got = grouped_entropy(rd.from_pandas(df), ["k"], "v")
+    assert list(got["entropy"]) == [0.0, 0.0]
+    empty = pd.DataFrame({"k": pd.Series(dtype=np.int64),
+                          "v": pd.Series(dtype=str)})
+    got = grouped_entropy(rd.from_pandas(empty), ["k"], "v")
+    assert len(got) == 0 and "entropy" in got.columns
