@@ -1686,6 +1686,51 @@ def _fuzzy_name_pairs(sf_dir: str):
     return fuzzy_pairs(cust, "c_name", "c_custkey", max_distance=1)
 
 
+def _order_rank_ntile(sf_dir: str):
+    """Distributed global ROW_NUMBER / NTILE / percent_rank over orders
+    by (o_totalprice DESC, o_orderkey) — pipelines/ranking.global_rank:
+    sketch splits -> exact split counts -> per-split local rank, no
+    single-worker global sort."""
+    from dataprof_ray.pipelines.ranking import global_rank
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return global_rank(orders, by="o_totalprice", tiebreak=["o_orderkey"],
+                       descending=True, ntile=8, percent_col="pct")
+
+
+def _mojibake_repair_documents(sf_dir: str):
+    """Mojibake repair (functions/mojibake.py): plant the canonical
+    UTF-8-as-cp1252 defect into the ASCII corpus deterministically
+    ('spark' -> 'spÃ¤rk', i.e. 'spärk' mis-decoded), run the generic
+    codec-round-trip repair, and emit per-doc (changed-flag, md5 of the
+    repaired text) — the SQL oracle states the expected repaired text
+    directly via replace()."""
+    import hashlib
+
+    from dataprof_ray.functions.mojibake import repair_mojibake
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        txt = pc.replace_substring(batch.column("text"), "spark", "spÃ¤rk")
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", txt)
+
+    repaired = repair_mojibake(
+        docs.map_batches(plant, batch_format="pyarrow"))
+
+    def digest(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "mojibake_fixed": batch.column("mojibake_fixed"),
+            "text_md5": pa.array(md5s, pa.string()),
+        })
+
+    return repaired.map_batches(digest, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracle-backed (driver hash-checks its window against
@@ -1749,6 +1794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_qty_disc_lineitem": _corr_qty_disc_lineitem,
         "entropy_event_types": _entropy_event_types,
         "fuzzy_name_pairs": _fuzzy_name_pairs,
+        "order_rank_ntile": _order_rank_ntile,
+        "mojibake_repair_documents": _mojibake_repair_documents,
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
         "doc_frequency_documents": _doc_frequency_documents,
@@ -2403,6 +2450,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
             "WHERE levenshtein(a.c_name, b.c_name) <= 1 "
             "ORDER BY id_a, id_b"
+        ),
+        "mojibake_repair_documents": (
+            "SELECT doc_id, (text LIKE '%spark%') AS mojibake_fixed, "
+            "md5(replace(text, 'spark', 'spärk')) AS text_md5 "
+            "FROM documents"
+        ),
+        "order_rank_ntile": (
+            "SELECT o_orderkey, o_totalprice, "
+            "ROW_NUMBER() OVER w AS rnk, NTILE(8) OVER w AS tile, "
+            "percent_rank() OVER w AS pct FROM orders "
+            "WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)"
         ),
         "global_shuffle_documents": (
             "SELECT doc_id, "

@@ -22,6 +22,21 @@ def ray_session():
     ray.shutdown()
 
 
+@pytest.fixture(autouse=True)
+def _reap_streaming_executors():
+    """Finalize dropped Datasets after every test. An early-stopped
+    execution (limit / take / partial iter_batches) keeps its streaming
+    executor — and its actor pool's CPUs — alive until the Dataset is
+    garbage-collected; on the 4-CPU test session one leftover 1-CPU
+    actor plus the next query's actor pools starves the read tasks into
+    a permanent 'waiting_for_remote_node_resources' deadlock (observed:
+    a lingering BruteForceScorer + the 3-pool unfused quality filter)."""
+    yield
+    import gc
+
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
