@@ -1695,7 +1695,8 @@ def _order_rank_ntile(sf_dir: str):
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     return global_rank(orders, by="o_totalprice", tiebreak=["o_orderkey"],
-                       descending=True, ntile=8, percent_col="pct")
+                       descending=True, ntile=8, percent_col="pct",
+                       dense_col="drnk", cume_col="cume")
 
 
 def _mojibake_repair_documents(sf_dir: str):
@@ -2459,8 +2460,11 @@ def oracle_sql() -> dict[str, str]:
         "order_rank_ntile": (
             "SELECT o_orderkey, o_totalprice, "
             "ROW_NUMBER() OVER w AS rnk, NTILE(8) OVER w AS tile, "
-            "percent_rank() OVER w AS pct FROM orders "
-            "WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)"
+            "percent_rank() OVER w AS pct, "
+            "DENSE_RANK() OVER w2 AS drnk, CUME_DIST() OVER w2 AS cume "
+            "FROM orders "
+            "WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey), "
+            "w2 AS (ORDER BY o_totalprice DESC)"
         ),
         "global_shuffle_documents": (
             "SELECT doc_id, "

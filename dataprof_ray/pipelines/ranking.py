@@ -62,6 +62,8 @@ def global_rank(
     ntile: Optional[int] = None,
     ntile_col: str = "tile",
     percent_col: Optional[str] = None,
+    dense_col: Optional[str] = None,
+    cume_col: Optional[str] = None,
     sketch_k: int = 256,
 ):
     """Append a 1-based global ``rank_col`` (== SQL ``ROW_NUMBER() OVER
@@ -74,6 +76,14 @@ def global_rank(
     Returns a lazy Dataset; rows come back range-partitioned by split,
     not in rank order (consumers that need order sort the small top-k
     slice they take).
+
+    ``dense_col`` / ``cume_col`` add DENSE_RANK() / CUME_DIST() with
+    peer groups over ``by`` ALONE (the standard semantics — with the
+    unique tiebreak in the window they would degenerate to ROW_NUMBER
+    and rnk/N). They cost nothing extra per row: equal values are
+    forced into one split, so per-split tie groups are complete;
+    dense_col adds ONE extra small pass (distinct values per split,
+    a shuffle of per-batch-unique (split, value) pairs).
     """
     import ray
 
@@ -119,6 +129,10 @@ def global_rank(
             tbl = tbl.append_column(ntile_col, pa.array([], pa.int64()))
         if percent_col is not None:
             tbl = tbl.append_column(percent_col, pa.array([], pa.float64()))
+        if dense_col is not None:
+            tbl = tbl.append_column(dense_col, pa.array([], pa.int64()))
+        if cume_col is not None:
+            tbl = tbl.append_column(cume_col, pa.array([], pa.float64()))
         return rd_mod.from_arrow(tbl)
     cuts = np.unique(np.array(
         [folded.quantile(i / splits) for i in range(1, splits)]))
@@ -146,6 +160,32 @@ def global_rank(
     offsets = excl[::-1].copy() if descending else excl
     offsets_ref = ray.put(offsets)
 
+    # ---- optional pass 2b: distinct values per split (DENSE_RANK) ----
+    dense_ref = None
+    if dense_col is not None:
+        def distinct_partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({"s": pa.array(split_ids(batch), pa.int64()),
+                          "v": batch.column(by)})
+            return pa.Table.from_pandas(
+                t.to_pandas().drop_duplicates(),
+                preserve_index=False).replace_schema_metadata(None)
+
+        def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"s": [np.int64(df["s"].iloc[0])],
+                                 "nd": [np.int64(df["v"].nunique())]})
+
+        nd = np.zeros(n_cells, dtype=np.int64)
+        per_split = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+                     .groupby("s")
+                     .map_groups(nullable_cogroup(count_distinct),
+                                 batch_format="pyarrow")
+                     .to_pandas())
+        nd[per_split["s"].to_numpy(dtype=np.int64)] = (
+            per_split["nd"].to_numpy(dtype=np.int64))
+        nd_ordered = nd[::-1] if descending else nd
+        nd_excl = np.concatenate(([0], np.cumsum(nd_ordered)[:-1]))
+        dense_ref = ray.put(nd_excl[::-1].copy() if descending else nd_excl)
+
     # ---- pass 3: per-split local sort + offset -----------------------
     sort_cols = [by, *tiebreak]
     ascending = [not descending] + [True] * len(tiebreak)
@@ -162,6 +202,10 @@ def global_rank(
                 out[ntile_col] = pd.Series([], dtype=np.int64)
             if percent_col is not None:
                 out[percent_col] = pd.Series([], dtype=np.float64)
+            if dense_col is not None:
+                out[dense_col] = pd.Series([], dtype=np.int64)
+            if cume_col is not None:
+                out[cume_col] = pd.Series([], dtype=np.float64)
             return out
         split = int(df["__split"].iloc[0])
         base = int(ray.get(offsets_ref)[split])
@@ -176,6 +220,19 @@ def global_rank(
             # exact same expression DuckDB evaluates: (rank-1)/(N-1)
             df[percent_col] = (rank0 / (total - 1) if total > 1
                                else np.zeros(len(df)))
+        if dense_col is not None or cume_col is not None:
+            # peer groups over `by` alone; complete within the split
+            # because equal values cannot straddle splits. factorize in
+            # sorted order -> monotone codes 0,0,1,1,2,...
+            codes, _ = pd.factorize(df[by])
+            if dense_col is not None:
+                dbase = int(ray.get(dense_ref)[split])
+                df[dense_col] = dbase + codes.astype(np.int64) + 1
+            if cume_col is not None:
+                # CUME_DIST = (global position of the LAST peer + 1) / N
+                sizes = np.bincount(codes)
+                last_local = np.cumsum(sizes) - 1
+                df[cume_col] = (base + last_local[codes] + 1) / total
         return df
 
     return (ds.map_batches(add_split, batch_format="pyarrow")

@@ -34,10 +34,15 @@ class TestNtileFormula:
 
 
 def _duck_window(df: pd.DataFrame, order: str, n_tile: int) -> pd.DataFrame:
+    # dense_rank / cume_dist windows order by the VALUE alone (peer
+    # groups); row_number / ntile / percent_rank use the full unique order
+    vorder = order.split(",")[0]
     return duckdb.sql(
         f"SELECT id, v, ROW_NUMBER() OVER w AS rnk, "
-        f"NTILE({n_tile}) OVER w AS tile, percent_rank() OVER w AS pct "
-        f"FROM df WINDOW w AS (ORDER BY {order}) ORDER BY id").df()
+        f"NTILE({n_tile}) OVER w AS tile, percent_rank() OVER w AS pct, "
+        f"DENSE_RANK() OVER w2 AS drnk, CUME_DIST() OVER w2 AS cume "
+        f"FROM df WINDOW w AS (ORDER BY {order}), "
+        f"w2 AS (ORDER BY {vorder}) ORDER BY id").df()
 
 
 class TestGlobalRank:
@@ -45,15 +50,18 @@ class TestGlobalRank:
         out = global_rank(
             rd.from_pandas(df).repartition(6), by="v", tiebreak=["id"],
             descending=descending, splits=splits, ntile=n_tile,
-            percent_col="pct")
+            percent_col="pct", dense_col="drnk", cume_col="cume")
         got = (out.to_pandas().sort_values("id").reset_index(drop=True)
-               [["id", "v", "rnk", "tile", "pct"]])
+               [["id", "v", "rnk", "tile", "pct", "drnk", "cume"]])
         order = "v DESC, id" if descending else "v, id"
         want = _duck_window(df, order, n_tile)
         assert list(got["rnk"]) == list(want["rnk"])
         assert list(got["tile"]) == list(want["tile"])
-        # percent_rank is (rnk-1)/(N-1) in double on both sides: bit-exact
+        assert list(got["drnk"]) == list(want["drnk"])
+        # percent_rank / cume_dist are integer-ratio doubles on both
+        # sides: bit-exact
         assert (got["pct"].to_numpy() == want["pct"].to_numpy()).all()
+        assert (got["cume"].to_numpy() == want["cume"].to_numpy()).all()
 
     def test_matches_duckdb_descending(self, ray_session):
         rng = np.random.default_rng(11)
