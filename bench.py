@@ -107,6 +107,9 @@ def bench_queries() -> dict[str, float]:
         "event_gaps_users", "user_click_purchase_counts",
         # round 5 addition: hot-key salted large-large join end-to-end
         "skewed_join_events",
+        # round 5 additions: distributed global ranking (row_number/
+        # ntile/percent_rank/dense_rank/cume_dist), mojibake repair
+        "order_rank_ntile", "mojibake_repair_documents",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
