@@ -1732,6 +1732,76 @@ def _mojibake_repair_documents(sf_dir: str):
     return repaired.map_batches(digest, batch_format="pyarrow")
 
 
+def _rollup_sales_priority(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP from ONE distributed pass (aggregate.rollup_aggregate):
+    finest-grain partial/combiner groupby once, coarser levels folded from
+    the finest frame on the driver; grouping_id = SQL GROUPING() bitmask.
+    Integer-cents sums keep the fold order-independent and exact."""
+    from dataprof_ray.pipelines.aggregate import rollup_aggregate
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_orderstatus",
+                            "o_totalprice"])
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "o_orderstatus": b.column("o_orderstatus"),
+            "price_cents": _int_away(b.column("o_totalprice")),
+        })
+
+    df = rollup_aggregate(
+        orders.map_batches(add_cents, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"],
+        [("cnt", None, "count"), ("sum_cents", "price_cents", "sum")],
+    )
+    df["sum_cents"] = df["sum_cents"].astype(np.int64)
+    return df
+
+
+def _cube_docs_lang_source(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE — all 2^n grouping sets from the same single scan."""
+    from dataprof_ray.pipelines.aggregate import rollup_aggregate
+
+    docs = _read(sf_dir, "documents",
+                 columns=["lang", "source", "n_chars"])
+    df = rollup_aggregate(
+        docs, ["lang", "source"],
+        [("cnt", None, "count"), ("sum_chars", "n_chars", "sum")],
+        mode="cube",
+    )
+    df["sum_chars"] = df["sum_chars"].astype(np.int64)
+    return df
+
+
+def _mode_lang_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source modal language (aggregate.grouped_mode): the shuffle
+    moves one row per distinct (source, lang) pair; deterministic
+    (count DESC, lang ASC) tie-break mirrored in the oracle's window."""
+    from dataprof_ray.pipelines.aggregate import grouped_mode
+
+    return grouped_mode(
+        _read(sf_dir, "documents", columns=["source", "lang"]),
+        ["source"], "lang")
+
+
+def _next_event_lead(sf_dir: str):
+    """LEAD() as a distributed operator (window.lead_delta): per user,
+    each event's NEXT same-user timestamp and the exact microsecond
+    time-to-next-event (dwell/abandonment signal) — the mirror of
+    ★event_gaps_users' LAG."""
+    from dataprof_ray.pipelines.window import lead_delta
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def drop_nulls(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                                pc.is_valid(b.column("ts"))))
+
+    return lead_delta(ev.map_batches(drop_nulls, batch_format="pyarrow"),
+                      ts_col="ts", key="user_id", order_extra=["event_id"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # oracle-backed (driver hash-checks its window against
@@ -1797,6 +1867,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": _fuzzy_name_pairs,
         "order_rank_ntile": _order_rank_ntile,
         "mojibake_repair_documents": _mojibake_repair_documents,
+        "rollup_sales_priority": _rollup_sales_priority,
+        "cube_docs_lang_source": _cube_docs_lang_source,
+        "mode_lang_by_source": _mode_lang_by_source,
+        "next_event_lead": _next_event_lead,
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
         "doc_frequency_documents": _doc_frequency_documents,
@@ -2456,6 +2530,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, (text LIKE '%spark%') AS mojibake_fixed, "
             "md5(replace(text, 'spark', 'spärk')) AS text_md5 "
             "FROM documents"
+        ),
+        "rollup_sales_priority": (
+            "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS sum_cents, "
+            "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)"
+            " AS grouping_id "
+            "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"
+        ),
+        "cube_docs_lang_source": (
+            "SELECT lang, source, COUNT(*) AS cnt, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(GROUPING(lang, source) AS BIGINT) AS grouping_id "
+            "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        "mode_lang_by_source": (
+            "SELECT source, lang, cnt FROM ("
+            "SELECT source, lang, COUNT(*) AS cnt, "
+            "ROW_NUMBER() OVER (PARTITION BY source "
+            "ORDER BY COUNT(*) DESC, lang) AS rn "
+            "FROM documents WHERE lang IS NOT NULL "
+            "GROUP BY source, lang) WHERE rn = 1"
+        ),
+        "next_event_lead": (
+            "SELECT event_id, user_id, ts, "
+            "LEAD(ts) OVER w AS next_ts, "
+            "DATEDIFF('microseconds', ts, LEAD(ts) OVER w) AS gap_us "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "order_rank_ntile": (
             "SELECT o_orderkey, o_totalprice, "

@@ -645,3 +645,121 @@ def grouped_entropy(ds, keys: Sequence[str], value_col: str,
            .apply(_h, include_groups=False).rename("entropy").reset_index())
     out["entropy"] = round_away(out["entropy"].to_numpy(), decimals)
     return out
+
+
+def rollup_aggregate(ds, keys: Sequence[str], specs: Sequence[tuple],
+                     mode: str = "rollup",
+                     batch_size: Optional[int] = 8192) -> pd.DataFrame:
+    """SQL ``GROUP BY ROLLUP / CUBE`` from ONE distributed pass.
+
+    The cluster scans and shuffles exactly once, at the finest grain
+    (``preagg_groupby`` over all ``keys``); every coarser grouping set is
+    derived by re-folding that finest-grain frame on the driver. This is
+    the scale contract: at 100 TB the only data that ever reaches the
+    driver is |distinct key combos| rows, and the n-1 (rollup) or 2^n - 1
+    (cube) coarser levels cost zero additional cluster work — folding
+    partials is exact because the supported aggregates are distributive
+    (``sum``/``count``/``min``/``max``; count folds as sum-of-counts).
+    AVG callers derive it as sum/count after the fold.
+
+    Output matches SQL semantics bit-for-bit: grouping sets are
+    ``keys[:n], keys[:n-1], ..., ()`` for rollup and every subset for
+    cube; aggregated-away key columns are NULL; ``grouping_id`` carries
+    the ``GROUPING(keys...)`` bitmask (first key = most significant bit),
+    which keeps real-NULL key groups (bit 0) distinguishable from
+    rollup-total rows (bit 1). On empty input only the grand-total set
+    emits its row (count 0, other aggregates NULL) — DuckDB-verified.
+    """
+    from itertools import combinations
+
+    keys = list(keys)
+    if mode not in ("rollup", "cube"):
+        raise ValueError(f"mode must be 'rollup' or 'cube', got {mode!r}")
+    if not keys:
+        raise ValueError("rollup_aggregate needs at least one key")
+
+    finest = preagg_groupby(ds, keys, specs, batch_size=batch_size)
+
+    if mode == "rollup":
+        sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    else:
+        sets = [c for r in range(len(keys), -1, -1)
+                for c in combinations(keys, r)]
+
+    fold = {name: ("sum" if fn in ("sum", "count") else fn)
+            for name, _col, fn in specs}
+    names = [name for name, _c, _f in specs]
+
+    frames = []
+    for s in sets:
+        gid = sum(1 << (len(keys) - 1 - i)
+                  for i, k in enumerate(keys) if k not in s)
+        if len(s) == len(keys):
+            part = finest.copy()
+        elif finest.empty:
+            if s:
+                continue  # SQL: keyed sets emit no rows on empty input
+            part = pd.DataFrame(
+                {name: [0 if fn == "count" else np.nan]
+                 for name, _c, fn in specs})
+        elif not s:
+            part = pd.DataFrame([{name: finest[name].sum()
+                                  if fold[name] == "sum"
+                                  else getattr(finest[name], fold[name])()
+                                  for name in names}])
+        else:
+            part = (finest.groupby(list(s), dropna=False, sort=False)
+                    .agg(fold).reset_index())
+        for k in keys:
+            if k not in s:
+                part[k] = None
+        part = part[keys + names].copy()
+        part["grouping_id"] = np.int64(gid)
+        frames.append(part)
+
+    out = pd.concat(frames, ignore_index=True)
+    for k in keys:
+        out[k] = out[k].astype(object).where(out[k].notna(), None)
+    for name, _c, fn in specs:
+        if fn == "count":
+            out[name] = out[name].astype(np.int64)
+    out["grouping_id"] = out["grouping_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def grouped_mode(ds, keys: Sequence[str], value_col: str,
+                 batch_size: Optional[int] = 8192) -> pd.DataFrame:
+    """Most frequent ``value_col`` value per key group, with the
+    deterministic (count DESC, value ASC) tie-break both engines can
+    express. Null values are excluded as mode candidates (SQL ``mode()``
+    and the oracle's ``WHERE value IS NOT NULL`` agree); a key whose
+    values are all null emits no row.
+
+    Scale design: identical exchange to ``grouped_entropy`` — one
+    partial/combiner groupby over (keys, value), so the shuffle moves one
+    row per DISTINCT (key, value) pair, never raw rows; the argmax fold
+    runs on the driver's tiny counts frame. Same cardinality contract:
+    categorical values only.
+    """
+    keys = list(keys)
+    counts = preagg_groupby(
+        ds.map_batches(
+            lambda b: b.filter(pc.is_valid(b.column(value_col))),
+            batch_format="pyarrow", batch_size=batch_size),
+        keys + [value_col],
+        [("cnt", None, "count")],
+        batch_size=batch_size,
+    )
+    if counts.empty:
+        out = pd.DataFrame({k: pd.Series(dtype=object) for k in keys})
+        out[value_col] = pd.Series(dtype=object)
+        out["cnt"] = pd.Series(dtype=np.int64)
+        return out
+    picked = (counts
+              .sort_values(keys + ["cnt", value_col],
+                           ascending=[True] * len(keys) + [False, True],
+                           kind="stable")
+              .groupby(keys, dropna=False, sort=False)
+              .head(1))
+    picked["cnt"] = picked["cnt"].astype(np.int64)
+    return picked.reset_index(drop=True)

@@ -352,6 +352,29 @@ def lag_delta(ds, ts_col: str, key: str, order_extra: Sequence[str] = (),
                                                      add_part_column,
                                                      nullable_cogroup)
 
+    return _shift_delta(ds, ts_col, key, order_extra, partitions,
+                        shift=1, out_col="prev_ts")
+
+
+def lead_delta(ds, ts_col: str, key: str, order_extra: Sequence[str] = (),
+               partitions: int = None):
+    """SQL ``LEAD()`` — the mirror of :func:`lag_delta`: each row gets its
+    same-key SUCCESSOR's timestamp (``next_ts``; null for a key's last
+    row) and the exact integer microsecond gap ``gap_us = next - cur``
+    (time-to-next-event — the dwell/abandonment feature). Same total-order
+    requirement, same null-row pass-through, same exchange shape as
+    lag_delta (coarse hash(key) partitions, one sort + one vectorized
+    groupby-shift per partition)."""
+    return _shift_delta(ds, ts_col, key, order_extra, partitions,
+                        shift=-1, out_col="next_ts")
+
+
+def _shift_delta(ds, ts_col, key, order_extra, partitions,
+                 shift: int, out_col: str):
+    from dataprof_ray.pipelines.partitioning import (DEFAULT_PARTITIONS,
+                                                     add_part_column,
+                                                     nullable_cogroup)
+
     parts = partitions or DEFAULT_PARTITIONS
     order_extra = list(order_extra)
 
@@ -361,16 +384,19 @@ def lag_delta(ds, ts_col: str, key: str, order_extra: Sequence[str] = (),
         valid = df[valid_mask].sort_values([key, ts_col] + order_extra,
                                            kind="stable")
         skipped = df[~valid_mask]
-        prev = valid.groupby(key, sort=False)[ts_col].shift(1)
+        other = valid.groupby(key, sort=False)[ts_col].shift(shift)
         out = valid.copy()
-        out["prev_ts"] = prev
+        out[out_col] = other
         cur = valid[ts_col].to_numpy()
-        prev_np = prev.to_numpy()
-        has_prev = ~pd.isna(prev_np)
+        other_np = other.to_numpy()
+        has_other = ~pd.isna(other_np)
         gap = pd.array(np.zeros(len(valid), dtype=np.int64), dtype="Int64")
-        gap[~has_prev] = pd.NA
-        if has_prev.any():
-            gap[has_prev] = (cur[has_prev] - prev_np[has_prev]) \
+        gap[~has_other] = pd.NA
+        if has_other.any():
+            # LAG: cur - prev; LEAD: next - cur — both non-negative under
+            # the sort order, both exactly DATEDIFF('us', earlier, later)
+            lo, hi = ((other_np, cur) if shift > 0 else (cur, other_np))
+            gap[has_other] = (hi[has_other] - lo[has_other]) \
                 .astype("timedelta64[us]").astype(np.int64)
         out["gap_us"] = gap
         if len(skipped):
@@ -378,7 +404,7 @@ def lag_delta(ds, ts_col: str, key: str, order_extra: Sequence[str] = (),
             # dtype from the INPUT column (correct unit/tz even when every
             # row of this partition is skipped — a hardcoded [us] would
             # emit a block schema disagreeing with matched partitions)
-            skipped["prev_ts"] = pd.Series(
+            skipped[out_col] = pd.Series(
                 pd.NaT, index=skipped.index, dtype=df[ts_col].dtype)
             skipped["gap_us"] = pd.array([pd.NA] * len(skipped),
                                          dtype="Int64")
