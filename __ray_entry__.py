@@ -1774,6 +1774,39 @@ def _cube_docs_lang_source(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _grouping_sets_orders(sf_dir: str) -> pd.DataFrame:
+    """Explicit GROUPING SETS ((priority), (status)) — two independent
+    1-D summaries from the same single finest-grain scan; neither set is
+    a rollup prefix of the other."""
+    from dataprof_ray.pipelines.aggregate import rollup_aggregate
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_orderstatus"])
+    return rollup_aggregate(
+        orders, ["o_orderpriority", "o_orderstatus"],
+        [("cnt", None, "count")],
+        grouping_sets=[("o_orderpriority",), ("o_orderstatus",)],
+    )
+
+
+def _hourly_active_users(sf_dir: str):
+    """Windowed COUNT(DISTINCT): distinct users per clock hour. The
+    tumbling window is a zero-shuffle map (truncate ts); the distinct
+    count rides group_distinct's pair exchange (distinct (hour, hash)
+    pairs move, never raw events)."""
+    from dataprof_ray.pipelines.aggregate import group_distinct
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b.column("ts"), unit="hour")
+        return pa.table({"hour": hour, "user_id": b.column("user_id")})
+
+    return group_distinct(
+        ev.map_batches(add_hour, batch_format="pyarrow"),
+        ["hour"], "user_id")
+
+
 def _mode_lang_by_source(sf_dir: str) -> pd.DataFrame:
     """Per-source modal language (aggregate.grouped_mode): the shuffle
     moves one row per distinct (source, lang) pair; deterministic
@@ -1871,6 +1904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_docs_lang_source": _cube_docs_lang_source,
         "mode_lang_by_source": _mode_lang_by_source,
         "next_event_lead": _next_event_lead,
+        "grouping_sets_orders": _grouping_sets_orders,
+        "hourly_active_users": _hourly_active_users,
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
         "doc_frequency_documents": _doc_frequency_documents,
@@ -2552,6 +2587,18 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY COUNT(*) DESC, lang) AS rn "
             "FROM documents WHERE lang IS NOT NULL "
             "GROUP BY source, lang) WHERE rn = 1"
+        ),
+        "grouping_sets_orders": (
+            "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt, "
+            "CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)"
+            " AS grouping_id "
+            "FROM orders GROUP BY GROUPING SETS "
+            "((o_orderpriority), (o_orderstatus))"
+        ),
+        "hourly_active_users": (
+            "SELECT date_trunc('hour', ts) AS hour, "
+            "COUNT(DISTINCT user_id) AS distinct_count "
+            "FROM events GROUP BY 1"
         ),
         "next_event_lead": (
             "SELECT event_id, user_id, ts, "

@@ -649,6 +649,7 @@ def grouped_entropy(ds, keys: Sequence[str], value_col: str,
 
 def rollup_aggregate(ds, keys: Sequence[str], specs: Sequence[tuple],
                      mode: str = "rollup",
+                     grouping_sets: Optional[Sequence[Sequence[str]]] = None,
                      batch_size: Optional[int] = 8192) -> pd.DataFrame:
     """SQL ``GROUP BY ROLLUP / CUBE`` from ONE distributed pass.
 
@@ -664,7 +665,10 @@ def rollup_aggregate(ds, keys: Sequence[str], specs: Sequence[tuple],
 
     Output matches SQL semantics bit-for-bit: grouping sets are
     ``keys[:n], keys[:n-1], ..., ()`` for rollup and every subset for
-    cube; aggregated-away key columns are NULL; ``grouping_id`` carries
+    cube — or pass explicit ``grouping_sets`` (each a subset of ``keys``;
+    SQL ``GROUP BY GROUPING SETS ((...), ...)``, duplicates emit their
+    rows once per occurrence just like SQL). Aggregated-away key columns
+    are NULL; ``grouping_id`` carries
     the ``GROUPING(keys...)`` bitmask (first key = most significant bit),
     which keeps real-NULL key groups (bit 0) distinguishable from
     rollup-total rows (bit 1). On empty input only the grand-total set
@@ -678,13 +682,26 @@ def rollup_aggregate(ds, keys: Sequence[str], specs: Sequence[tuple],
     if not keys:
         raise ValueError("rollup_aggregate needs at least one key")
 
-    finest = preagg_groupby(ds, keys, specs, batch_size=batch_size)
-
-    if mode == "rollup":
+    if grouping_sets is not None:
+        sets = []
+        for s in grouping_sets:
+            s = tuple(s)
+            extra = [k for k in s if k not in keys]
+            if extra:
+                raise ValueError(
+                    f"grouping set {s!r} has columns outside keys: {extra}")
+            if len(set(s)) != len(s):
+                raise ValueError(f"grouping set {s!r} repeats a column")
+            sets.append(s)
+        if not sets:
+            raise ValueError("grouping_sets must name at least one set")
+    elif mode == "rollup":
         sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
     else:
         sets = [c for r in range(len(keys), -1, -1)
                 for c in combinations(keys, r)]
+
+    finest = preagg_groupby(ds, keys, specs, batch_size=batch_size)
 
     fold = {name: ("sum" if fn in ("sum", "count") else fn)
             for name, _col, fn in specs}

@@ -79,6 +79,34 @@ def test_rollup_empty_input_grand_total_only(ray_session):
     assert pd.isna(row["s"]) and pd.isna(row["lo"])
 
 
+def test_explicit_grouping_sets_match_duckdb(ray_session, nullkey_df):
+    ours = rollup_aggregate(
+        _mk(ray_session, nullkey_df), ["k1", "k2"], SPECS,
+        grouping_sets=[("k2",), ("k1", "k2"), ()])
+    oracle = _duck(nullkey_df,
+                   f"SELECT k1, k2, {SQL_AGGS} FROM t "
+                   "GROUP BY GROUPING SETS ((k2), (k1, k2), ())")
+    a, b = _norm(ours), _norm(oracle)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)],
+        check_dtype=False, check_exact=False, rtol=1e-12)
+
+
+def test_grouping_sets_duplicates_emit_twice_and_validate(ray_session,
+                                                          nullkey_df):
+    ds = _mk(ray_session, nullkey_df)
+    out = rollup_aggregate(ds, ["k1", "k2"], SPECS,
+                           grouping_sets=[("k1",), ("k1",)])
+    assert len(out) == 2 * nullkey_df["k1"].nunique(dropna=False)
+    with pytest.raises(ValueError):
+        rollup_aggregate(ds, ["k1"], SPECS, grouping_sets=[("nope",)])
+    with pytest.raises(ValueError):
+        rollup_aggregate(ds, ["k1", "k2"], SPECS,
+                         grouping_sets=[("k1", "k1")])
+    with pytest.raises(ValueError):
+        rollup_aggregate(ds, ["k1"], SPECS, grouping_sets=[])
+
+
 def test_rollup_rejects_bad_mode_and_no_keys(ray_session, nullkey_df):
     ds = _mk(ray_session, nullkey_df)
     with pytest.raises(ValueError):
