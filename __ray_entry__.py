@@ -1774,6 +1774,42 @@ def _cube_docs_lang_source(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+_WINSOR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _winsorized_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Winsorized (5%/95% clipped-tail) means via EXACT global quantiles
+    at bounded memory (aggregate.exact_global_quantiles: sketch brackets
+    each rank, one counting pass ships only the ~2*slack*n in-bracket
+    values, type-7 reads its order stats from the slice — exactness never
+    depends on sketch quality, only the pass count)."""
+    from dataprof_ray.pipelines.aggregate import winsorized_stats
+
+    return winsorized_stats(
+        _read(sf_dir, "lineitem", columns=list(_WINSOR_COLS)),
+        list(_WINSOR_COLS))
+
+
+def _winsorized_sql() -> str:
+    # CASE guard: DuckDB's GREATEST/LEAST IGNORE nulls, so a bare
+    # AVG(LEAST(GREATEST(x, lo), hi)) silently turns every NULL x into
+    # lo_cut; clipping must only see non-null values (measured divergence
+    # -3.86 vs 0.26 on a 2.5%-null column).
+    parts = []
+    for c in _WINSOR_COLS:
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT({c}) AS n, "
+            f"ROUND(qq.lo, 4) AS lo_cut, ROUND(qq.hi, 4) AS hi_cut, "
+            f"ROUND(AVG(CASE WHEN {c} IS NULL THEN NULL "
+            f"ELSE LEAST(GREATEST({c}, qq.lo), qq.hi) END), 4) "
+            f"AS mean_winsorized "
+            f"FROM lineitem, (SELECT quantile_cont({c}, 0.05) AS lo, "
+            f"quantile_cont({c}, 0.95) AS hi FROM lineitem) qq "
+            f"GROUP BY qq.lo, qq.hi"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _grouping_sets_orders(sf_dir: str) -> pd.DataFrame:
     """Explicit GROUPING SETS ((priority), (status)) — two independent
     1-D summaries from the same single finest-grain scan; neither set is
@@ -1906,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_event_lead": _next_event_lead,
         "grouping_sets_orders": _grouping_sets_orders,
         "hourly_active_users": _hourly_active_users,
+        "winsorized_lineitem": _winsorized_lineitem,
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
         "doc_frequency_documents": _doc_frequency_documents,
@@ -2595,6 +2632,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY GROUPING SETS "
             "((o_orderpriority), (o_orderstatus))"
         ),
+        "winsorized_lineitem": _winsorized_sql(),
         "hourly_active_users": (
             "SELECT date_trunc('hour', ts) AS hour, "
             "COUNT(DISTINCT user_id) AS distinct_count "

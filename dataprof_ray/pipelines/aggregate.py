@@ -15,6 +15,7 @@ derived value (mean, ratio) computed on the tiny final frame by the caller.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 import numpy as np
@@ -780,3 +781,174 @@ def grouped_mode(ds, keys: Sequence[str], value_col: str,
               .head(1))
     picked["cnt"] = picked["cnt"].astype(np.int64)
     return picked.reset_index(drop=True)
+
+
+def exact_global_quantiles(ds, col: str, qs: Sequence[float],
+                           k: int = 512, slack: float = 0.01,
+                           max_bracket: int = 2_000_000,
+                           max_rounds: int = 5) -> dict:
+    """EXACT global QUANTILE_CONT (type-7) without ever co-locating the
+    column: a mergeable :class:`QuantileSketch` brackets each target rank,
+    then one counting pass per round ships only (a) the exact count of
+    values below each bracket and (b) the in-bracket values themselves —
+    expected O(slack * n) points, not n. The type-7 interpolation then
+    reads its two order statistics straight out of the collected slice.
+    If a true rank falls outside its bracket (sketch error), the bracket
+    widens (slack x4) and ONLY the failed quantiles re-run — exactness
+    never depends on sketch quality, only the pass count does.
+
+    Scale contract: bracket traffic is ~2 * slack * n values per
+    quantile; pick ``k`` (sketch rank error O(1/k)) and ``slack`` so that
+    fits the driver (``max_bracket`` hard-fails loudly rather than
+    silently materializing the column). Ties/NaN: nulls and NaNs are
+    excluded (SQL aggregate semantics); heavy ties only shrink brackets.
+
+    Returns ``{q: (exact_value, n_non_null)}``.
+    """
+    from dataprof_ray.state.quantile_sketch import QuantileSketch  # noqa: F401
+    from dataprof_ray.functions.kernels import quantile_type7  # noqa: F401
+
+    qs = list(qs)
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must lie in [0, 1], got {qs!r}")
+
+    sketch = sketch_from_column(ds, col, k)
+
+    pending = {q: slack for q in qs}
+    results: dict = {}
+    for _round in range(max_rounds):
+        if not pending:
+            break
+        brackets = {}
+        for q, s in pending.items():
+            lo = (-np.inf if q - s <= 0.0 else sketch.quantile(q - s))
+            hi = (np.inf if q + s >= 1.0 else sketch.quantile(q + s))
+            brackets[q] = (lo, hi)
+        blist = sorted(brackets.items())
+        lo_arr = np.array([b[1][0] for b in blist])
+        hi_arr = np.array([b[1][1] for b in blist])
+
+        def partial(batch: pa.Table, _lo=lo_arr, _hi=hi_arr) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            v = v[~pd.isna(v)].astype(np.float64, copy=False)
+            v = v[~np.isnan(v)]
+            qi_out, val_out = [], []
+            below = np.empty(len(_lo), np.int64)
+            for i, (lo, hi) in enumerate(zip(_lo, _hi)):
+                below[i] = int((v < lo).sum())
+                inb = v[(v >= lo) & (v <= hi)]
+                qi_out.append(np.full(len(inb), i, np.int32))
+                val_out.append(inb)
+            counts = pa.table({
+                "qi": pa.array(np.arange(len(_lo), dtype=np.int32)),
+                "below": pa.array(below),
+                "n_valid": pa.array(
+                    np.full(len(_lo), len(v), np.int64)),
+                "val": pa.nulls(len(_lo), pa.float64()),
+            })
+            vals = pa.table({
+                "qi": pa.array(np.concatenate(qi_out).astype(np.int32)),
+                "below": pa.nulls(sum(map(len, val_out)), pa.int64()),
+                "n_valid": pa.nulls(sum(map(len, val_out)), pa.int64()),
+                "val": pa.array(np.concatenate(val_out)),
+            })
+            return pa.concat_tables([counts, vals])
+
+        below_tot = np.zeros(len(blist), np.int64)
+        n_total = 0
+        collected: list = [[] for _ in blist]
+        n_collected = 0
+        for part in (ds.select_columns([col])
+                     .map_batches(partial, batch_format="pyarrow")
+                     .iter_batches(batch_format="pyarrow",
+                                   batch_size=None)):
+            qi = part.column("qi").to_numpy(zero_copy_only=False)
+            below = part.column("below").to_numpy(zero_copy_only=False)
+            nv = part.column("n_valid").to_numpy(zero_copy_only=False)
+            val = part.column("val").to_numpy(zero_copy_only=False)
+            is_count = ~pd.isna(below)
+            np.add.at(below_tot, qi[is_count],
+                      below[is_count].astype(np.int64))
+            if is_count.any():
+                n_total += int(nv[is_count][qi[is_count] == 0].sum())
+            vrows = ~is_count
+            n_collected += int(vrows.sum())
+            if n_collected > max_bracket:
+                raise MemoryError(
+                    f"quantile bracket for {col!r} exceeded max_bracket="
+                    f"{max_bracket}; raise k or lower slack")
+            for i in range(len(blist)):
+                sel = val[vrows & (qi == i)]
+                if len(sel):
+                    collected[i].append(sel)
+
+        still_pending = {}
+        for i, (q, (lo, hi)) in enumerate(blist):
+            vals = (np.sort(np.concatenate(collected[i]))
+                    if collected[i] else np.empty(0))
+            if n_total == 0:
+                results[q] = (float("nan"), 0)
+                continue
+            h = (n_total - 1) * q
+            i0 = int(math.floor(h))
+            i1 = min(i0 + 1, n_total - 1)
+            b = int(below_tot[i])
+            if i0 >= b and i1 < b + len(vals):
+                x0, x1 = float(vals[i0 - b]), float(vals[i1 - b])
+                frac = h - i0
+                results[q] = (x0 * (1 - frac) + x1 * frac, n_total)
+            else:
+                still_pending[q] = pending[q] * 4.0
+        pending = still_pending
+    if pending:
+        raise RuntimeError(
+            f"exact_global_quantiles did not converge for {sorted(pending)} "
+            f"after {max_rounds} bracket widenings")
+    return results
+
+
+def winsorized_stats(ds, cols: Sequence[str], lo_q: float = 0.05,
+                     hi_q: float = 0.95, decimals: int = 4,
+                     k: int = 512) -> pd.DataFrame:
+    """Winsorized (clipped-tail) summary per column: exact global
+    [lo_q, hi_q] cut points via :func:`exact_global_quantiles`, then one
+    shared vectorized pass clips every column to its cuts and folds
+    (count, sum) partials into the winsorized mean — the robust-mean
+    feature that tames crawl-metric outliers without dropping rows.
+    Clipping uses the UNROUNDED cuts (as SQL would); only the reported
+    values round half-away."""
+    cols = list(cols)
+    cuts = {}
+    for c in cols:
+        qr = exact_global_quantiles(ds, c, [lo_q, hi_q], k=k)
+        cuts[c] = (qr[lo_q][0], qr[hi_q][0])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, sums = [], [], []
+        for c in cols:
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            v = v[~pd.isna(v)].astype(np.float64, copy=False)
+            lo, hi = cuts[c]
+            names.append(c)
+            ns.append(len(v))
+            sums.append(float(np.clip(v, lo, hi).sum()))
+        return pa.table({"column_name": pa.array(names),
+                         "n": pa.array(ns, pa.int64()),
+                         "s": pa.array(sums, pa.float64())})
+
+    parts = (ds.select_columns(cols)
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = parts.groupby("column_name", sort=False).sum().reindex(cols)
+    out = pd.DataFrame({
+        "column_name": cols,
+        "n": agg["n"].to_numpy(np.int64),
+        "lo_cut": [float(round_away(np.float64(cuts[c][0]), decimals))
+                   for c in cols],
+        "hi_cut": [float(round_away(np.float64(cuts[c][1]), decimals))
+                   for c in cols],
+        "mean_winsorized": [
+            float(round_away(np.float64(s / n), decimals)) if n else np.nan
+            for s, n in zip(agg["s"], agg["n"])],
+    })
+    return out

@@ -189,3 +189,95 @@ def test_lead_null_rows_pass_through(ray_session):
     assert skipped["next_ts"].isna().all() and skipped["gap_us"].isna().all()
     first = out[out["event_id"] == 1].iloc[0]
     assert pd.isna(first["next_ts"])  # its only same-key peer has null ts
+
+
+# ------------------------- exact_global_quantiles / winsorized_stats
+
+
+def _num_ds(ray_session, vals, parts=4):
+    import ray.data as rd
+    return rd.from_pandas(pd.DataFrame({"x": vals})).repartition(parts)
+
+
+def test_exact_quantiles_bit_equal_type7(ray_session):
+    """The distributed bracket selection must reproduce the single-process
+    type-7 kernel BIT-FOR-BIT (numpy's np.quantile lerp differs by 1 ulp
+    from the x0*(1-f)+x1*f form, so the kernel is the reference — the same
+    one group_quantiles and the SQL oracles are pinned to)."""
+    from dataprof_ray.functions.kernels import quantile_type7
+    from dataprof_ray.pipelines.aggregate import exact_global_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(2, 1.2, 50_000)
+    qs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.999, 1.0]
+    res = exact_global_quantiles(_num_ds(ray_session, vals), "x", qs,
+                                 slack=0.005)
+    sv = np.sort(vals)
+    for q in qs:
+        assert res[q] == (quantile_type7(sv, q), 50_000)
+        assert abs(res[q][0] - np.quantile(vals, q)) <= \
+            1e-12 * max(1.0, abs(res[q][0]))
+
+
+def test_exact_quantiles_converges_past_bad_bracket(ray_session):
+    """A deliberately coarse sketch (k=8, the minimum) with a near-zero
+    initial slack misses brackets; the widening loop must still land on
+    the exact type-7 value."""
+    from dataprof_ray.functions.kernels import quantile_type7
+    from dataprof_ray.pipelines.aggregate import exact_global_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([rng.normal(0, 1, 20_000),
+                           rng.normal(500, 1, 50)])  # far outlier cluster
+    res = exact_global_quantiles(_num_ds(ray_session, vals), "x",
+                                 [0.5, 0.999], k=8, slack=1e-6,
+                                 max_rounds=12)
+    sv = np.sort(vals)
+    assert res[0.5][0] == quantile_type7(sv, 0.5)
+    assert res[0.999][0] == quantile_type7(sv, 0.999)
+
+
+def test_exact_quantiles_ties_nulls_empty(ray_session):
+    from dataprof_ray.pipelines.aggregate import exact_global_quantiles
+
+    ties = np.array([5.0] * 1000 + [1.0, 9.0])
+    res = exact_global_quantiles(_num_ds(ray_session, ties), "x", [0.5])
+    assert res[0.5] == (5.0, 1002)
+
+    withnull = pd.array([1.0, None, 3.0, None], dtype="Float64")
+    res = exact_global_quantiles(_num_ds(ray_session, withnull), "x", [0.5])
+    assert res[0.5] == (2.0, 2)
+
+    empty = exact_global_quantiles(
+        _num_ds(ray_session, pd.array([None, None], dtype="Float64")),
+        "x", [0.5])
+    assert np.isnan(empty[0.5][0]) and empty[0.5][1] == 0
+
+    with pytest.raises(ValueError):
+        exact_global_quantiles(_num_ds(ray_session, ties), "x", [1.5])
+
+
+def test_exact_quantiles_max_bracket_fails_loud(ray_session):
+    from dataprof_ray.pipelines.aggregate import exact_global_quantiles
+
+    vals = np.arange(10_000, dtype=np.float64)
+    with pytest.raises(MemoryError, match="max_bracket"):
+        exact_global_quantiles(_num_ds(ray_session, vals), "x", [0.5],
+                               slack=0.5, max_bracket=100)
+
+
+def test_winsorized_stats_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.aggregate import winsorized_stats
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"a": rng.normal(10, 3, 30_000),
+                       "b": rng.exponential(4, 30_000)})
+    df.loc[rng.choice(30_000, 700, replace=False), "a"] = np.nan
+    out = winsorized_stats(rd.from_pandas(df).repartition(6), ["a", "b"])
+    for _, r in out.iterrows():
+        v = df[r["column_name"]].dropna().to_numpy()
+        lo, hi = np.quantile(v, [0.05, 0.95])
+        assert r["n"] == len(v)
+        assert abs(r["mean_winsorized"] - np.clip(v, lo, hi).mean()) < 1e-3
