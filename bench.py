@@ -110,6 +110,10 @@ def bench_queries() -> dict[str, float]:
         # round 5 additions: distributed global ranking (row_number/
         # ntile/percent_rank/dense_rank/cume_dist), mojibake repair
         "order_rank_ntile", "mojibake_repair_documents",
+        # round 5 additions: one-pass ROLLUP, exact-quantile winsorize,
+        # windowed COUNT(DISTINCT), LEAD time-to-next-event
+        "rollup_sales_priority", "winsorized_lineitem",
+        "hourly_active_users", "next_event_lead",
     ]
     qs = E.queries()
     out: dict[str, float] = {}
