@@ -1810,6 +1810,40 @@ def _winsorized_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _robust_outliers_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Median/MAD outlier fences (aggregate.robust_outlier_stats): two
+    bracketed exact-quantile passes per column (median, then median of
+    |x - median|) + one shared fence-count pass. DuckDB median()/mad()
+    are bit-identical to type-7 at q=0.5 on doubles, so counts match
+    exactly."""
+    from dataprof_ray.pipelines.aggregate import robust_outlier_stats
+
+    return robust_outlier_stats(
+        _read(sf_dir, "lineitem", columns=list(_WINSOR_COLS)),
+        list(_WINSOR_COLS))
+
+
+def _robust_outliers_sql() -> str:
+    # CAST the consistency constant: a bare 1.4826 literal is
+    # DECIMAL(5,4) in DuckDB and decimal x decimal arithmetic would
+    # diverge from the engine's float64 fence by ulps — enough to flip a
+    # strict comparison on a fence-adjacent value.
+    parts = []
+    for c in _WINSOR_COLS:
+        fence = ("CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mm.d")
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT({c}) AS n, "
+            f"ROUND(mm.med, 4) AS median, ROUND(mm.d, 4) AS mad, "
+            f"ROUND(mm.med - {fence}, 4) AS lo_fence, "
+            f"ROUND(mm.med + {fence}, 4) AS hi_fence, "
+            f"COUNT(*) FILTER (WHERE {c} < mm.med - {fence} "
+            f"OR {c} > mm.med + {fence}) AS n_outliers "
+            f"FROM lineitem, (SELECT median({c}) AS med, mad({c}) AS d "
+            f"FROM lineitem) mm GROUP BY mm.med, mm.d"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _grouping_sets_orders(sf_dir: str) -> pd.DataFrame:
     """Explicit GROUPING SETS ((priority), (status)) — two independent
     1-D summaries from the same single finest-grain scan; neither set is
@@ -1943,6 +1977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets_orders": _grouping_sets_orders,
         "hourly_active_users": _hourly_active_users,
         "winsorized_lineitem": _winsorized_lineitem,
+        "robust_outliers_lineitem": _robust_outliers_lineitem,
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
         "doc_frequency_documents": _doc_frequency_documents,
@@ -2633,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
             "((o_orderpriority), (o_orderstatus))"
         ),
         "winsorized_lineitem": _winsorized_sql(),
+        "robust_outliers_lineitem": _robust_outliers_sql(),
         "hourly_active_users": (
             "SELECT date_trunc('hour', ts) AS hour, "
             "COUNT(DISTINCT user_id) AS distinct_count "

@@ -952,3 +952,69 @@ def winsorized_stats(ds, cols: Sequence[str], lo_q: float = 0.05,
             for s, n in zip(agg["s"], agg["n"])],
     })
     return out
+
+
+def robust_outlier_stats(ds, cols: Sequence[str], z: float = 3.0,
+                         decimals: int = 4, k: int = 512) -> pd.DataFrame:
+    """Robust (median/MAD) outlier fences per column — the
+    outlier detector that, unlike mean/stddev z-scores, is not dragged by
+    the outliers it is trying to find. Per column: exact global median,
+    exact MAD (median of |x - median|, a second bracketed-quantile pass
+    over the derived deviation column), then one shared vectorized pass
+    counts values strictly outside ``median ± z * 1.4826 * MAD`` (1.4826
+    = the normal-consistency constant, so z is in sigma units).
+
+    Exactness: both quantiles ride :func:`exact_global_quantiles`
+    (bounded memory, sketch brackets + exact rank selection); DuckDB's
+    ``median()``/``mad()`` are bit-identical to type-7 at q=0.5 on
+    doubles (verified), so the oracle agrees before rounding. Fences are
+    computed from UNROUNDED stats in float64 with the same
+    multiplication order the SQL uses."""
+    cols = list(cols)
+    stats = {}
+    for c in cols:
+        med = exact_global_quantiles(ds, c, [0.5], k=k)[0.5][0]
+
+        def dev_batch(batch: pa.Table, _c=c, _m=med) -> pa.Table:
+            x = pc.cast(batch.column(_c), pa.float64())
+            return pa.table(
+                {"__dev": pc.abs(pc.subtract(x, pa.scalar(_m)))})
+
+        mad = exact_global_quantiles(
+            ds.select_columns([c])
+            .map_batches(dev_batch, batch_format="pyarrow"),
+            "__dev", [0.5], k=k)[0.5][0]
+        lo = med - z * 1.4826 * mad
+        hi = med + z * 1.4826 * mad
+        stats[c] = (med, mad, lo, hi)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, outs = [], [], []
+        for c in cols:
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            v = v[~pd.isna(v)].astype(np.float64, copy=False)
+            _med, _mad, lo, hi = stats[c]
+            names.append(c)
+            ns.append(len(v))
+            outs.append(int(((v < lo) | (v > hi)).sum()))
+        return pa.table({"column_name": pa.array(names),
+                         "n": pa.array(ns, pa.int64()),
+                         "n_outliers": pa.array(outs, pa.int64())})
+
+    parts = (ds.select_columns(cols)
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = parts.groupby("column_name", sort=False).sum().reindex(cols)
+
+    def _r(x):
+        return float(round_away(np.float64(x), decimals))
+
+    return pd.DataFrame({
+        "column_name": cols,
+        "n": agg["n"].to_numpy(np.int64),
+        "median": [_r(stats[c][0]) for c in cols],
+        "mad": [_r(stats[c][1]) for c in cols],
+        "lo_fence": [_r(stats[c][2]) for c in cols],
+        "hi_fence": [_r(stats[c][3]) for c in cols],
+        "n_outliers": agg["n_outliers"].to_numpy(np.int64),
+    })

@@ -281,3 +281,25 @@ def test_winsorized_stats_matches_pandas(ray_session):
         lo, hi = np.quantile(v, [0.05, 0.95])
         assert r["n"] == len(v)
         assert abs(r["mean_winsorized"] - np.clip(v, lo, hi).mean()) < 1e-3
+
+
+def test_robust_outlier_stats_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from dataprof_ray.pipelines.aggregate import robust_outlier_stats
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(50, 5, 20_000)
+    base[:40] = rng.normal(500, 10, 40)  # planted far outliers
+    df = pd.DataFrame({"a": base})
+    df.loc[rng.choice(20_000, 300, replace=False), "a"] = np.nan
+    out = robust_outlier_stats(rd.from_pandas(df).repartition(6), ["a"])
+    r = out.iloc[0]
+    v = df["a"].dropna().to_numpy()
+    med = np.quantile(v, 0.5)
+    mad = np.quantile(np.abs(v - med), 0.5)
+    lo, hi = med - 3 * 1.4826 * mad, med + 3 * 1.4826 * mad
+    assert r["n"] == len(v)
+    assert abs(r["median"] - med) < 1e-3 and abs(r["mad"] - mad) < 1e-3
+    assert r["n_outliers"] == int(((v < lo) | (v > hi)).sum())
+    assert r["n_outliers"] >= 35  # the planted cluster is caught
