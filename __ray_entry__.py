@@ -1810,6 +1810,38 @@ def _winsorized_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+_EXACT_QS = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def _exact_quantiles_price(sf_dir: str) -> pd.DataFrame:
+    """Direct driver check of the bounded-memory exact rank selection:
+    seven exact global quantiles of l_extendedprice, each bit-equal to
+    QUANTILE_CONT before the shared 4-decimal rounding."""
+    from dataprof_ray.pipelines.aggregate import (exact_global_quantiles,
+                                                  round_away)
+
+    res = exact_global_quantiles(
+        _read(sf_dir, "lineitem", columns=["l_extendedprice"]),
+        "l_extendedprice", list(_EXACT_QS))
+    return pd.DataFrame({
+        "q": [float(q) for q in _EXACT_QS],
+        "value": [float(round_away(np.float64(res[q][0]), 4))
+                  for q in _EXACT_QS],
+        "n": np.int64(res[_EXACT_QS[0]][1]),
+    })
+
+
+def _exact_quantiles_sql() -> str:
+    parts = []
+    for q in _EXACT_QS:
+        parts.append(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"ROUND(quantile_cont(l_extendedprice, {q}), 4) AS value, "
+            f"COUNT(l_extendedprice) AS n FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _robust_outliers_lineitem(sf_dir: str) -> pd.DataFrame:
     """Median/MAD outlier fences (aggregate.robust_outlier_stats): two
     bracketed exact-quantile passes per column (median, then median of
@@ -1978,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_active_users": _hourly_active_users,
         "winsorized_lineitem": _winsorized_lineitem,
         "robust_outliers_lineitem": _robust_outliers_lineitem,
+        "exact_quantiles_price": _exact_quantiles_price,
         "top_terms_documents": _top_terms_documents,
         "top_bigrams_documents": _top_bigrams_documents,
         "doc_frequency_documents": _doc_frequency_documents,
@@ -2669,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "winsorized_lineitem": _winsorized_sql(),
         "robust_outliers_lineitem": _robust_outliers_sql(),
+        "exact_quantiles_price": _exact_quantiles_sql(),
         "hourly_active_users": (
             "SELECT date_trunc('hour', ts) AS hour, "
             "COUNT(DISTINCT user_id) AS distinct_count "
